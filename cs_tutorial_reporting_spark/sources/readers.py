@@ -1,0 +1,83 @@
+"""Sources (SURVEY.md §2.1, S1-S7).
+
+The reference's sources are (a) Airflow REST endpoints, (b) JSON-array
+files in GCS, (c) Postgres scans. All three collapse to declarative Spark
+reads:
+
+- REST pagination (``airflow_to_gcs.py:260-293``) is subsumed by Spark's
+  partitioned file reads — no client-side offset loops.
+- GCS JSON-array objects (``gcs_to_postgres.py:159-161``) are
+  ``multiLine`` JSON reads with an explicit schema.
+- Postgres key/scalar scans (``reporting_dag.py:24-45``) become reads of
+  the existing target table (JDBC on a live deploy; parquet in the
+  harness) feeding a max-aggregate or anti-join.
+
+Every reader takes an explicit ``StructType`` — no inference (SURVEY
+§1.2: the reference declares all schemas up front).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import STAR_TABLES
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan with Catalyst filter/column pushdown (the default)."""
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    Timestamp columns are cast through the catalog schema so ns-precision
+    parquet (events.ts) lands as Spark µs deterministically.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    want = STAR_TABLES.get(name)
+    if want is not None and [f.name for f in want.fields] == df.columns:
+        # Cast only where physical type differs (ns→µs, int32 vs int64).
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want.fields]
+        )
+    return df
+
+
+def read_json_array(
+    spark: SparkSession, path: str, schema: T.StructType, encoding: str = "UTF-8"
+) -> DataFrame:
+    """Landing-zone reader for JSON-*array* files (one array of row objects
+    per file — the reference's GCS object format, ``airflow_to_gcs.py:155``,
+    read back at ``gcs_to_postgres.py:159-161``).
+
+    ``multiLine=True`` makes Spark parse whole-file arrays instead of
+    NDJSON. Schema is explicit; extra JSON fields are dropped (projection
+    P2), missing declared fields surface as NULLs at read and are caught
+    by ``operators.project.project_cast(strict=True)``.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .option("encoding", encoding)
+        .json(path)
+    )
+
+
+def read_csv_staging(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Reader matching the reference's CSV staging hop semantics
+    (``gcs_to_postgres.py:162-181``): header row, empty string → NULL
+    (``NULL AS ''``). The idiomatic engine skips this hop entirely —
+    provided for format parity and migration reads.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("nullValue", "")
+        .csv(path)
+    )

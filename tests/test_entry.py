@@ -1,0 +1,30 @@
+"""Smoke tests of the driver contract (t1 shape)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+from .conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"o_orderstatus", "n_loaded", "sum_price"}
+
+
+def test_all_queries_run_at_smoke_sf(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_SMOKE)
+        assert df.count() >= 0, name
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(isinstance(s, str) and s.strip() for s in o.values())

@@ -1,0 +1,123 @@
+"""Operator unit tests mirroring SURVEY.md §5.2 — watermark boundary,
+empty-table watermark, anti-join single/composite PK, ''→NULL coercion,
+strict projection, boolean-through-string round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from cs_tutorial_reporting_spark.operators.incremental import (
+    dedup_against,
+    dedup_within,
+    incremental_filter,
+    watermark,
+)
+from cs_tutorial_reporting_spark.operators.project import null_if_empty, project_cast
+from cs_tutorial_reporting_spark.schemas import RPT_DAG
+
+TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+
+@pytest.fixture()
+def runs(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", "r1", TS("2024-01-01T00:00:00"), "success"),
+            ("d1", "r2", TS("2024-01-02T00:00:00"), "success"),
+            ("d1", "r3", TS("2024-01-02T00:00:00.000001"), "running"),
+            ("d2", "r1", None, "queued"),
+        ],
+        "dag_id string, dag_run_id string, start_date timestamp, state string",
+    )
+
+
+def test_watermark_is_global_max(spark, runs):
+    assert watermark(runs, "start_date") == TS("2024-01-02T00:00:00.000001")
+
+
+def test_watermark_empty_table_is_none(spark, runs):
+    empty = runs.filter("1=0")
+    assert watermark(empty, "start_date") is None
+
+
+def test_incremental_filter_strict_gt_boundary(spark, runs):
+    # the row exactly AT the watermark must be excluded; +1µs row kept
+    wm = TS("2024-01-02T00:00:00")
+    kept = incremental_filter(runs, "start_date", wm).collect()
+    assert [r.dag_run_id for r in kept] == ["r3"]
+
+
+def test_incremental_filter_none_watermark_full_scan(spark, runs):
+    assert incremental_filter(runs, "start_date", None).count() == 4
+
+
+def test_dedup_against_single_pk(spark, runs):
+    existing = runs.filter("dag_run_id = 'r1'")
+    out = dedup_against(runs, existing, ["dag_run_id"]).collect()
+    assert sorted(r.dag_run_id for r in out) == ["r2", "r3"]
+
+
+def test_dedup_against_composite_pk(spark, runs):
+    existing = spark.createDataFrame(
+        [("d1", "r1")], "dag_id string, dag_run_id string"
+    )
+    out = dedup_against(runs, existing, ["dag_run_id", "dag_id"])
+    # (d2, r1) shares dag_run_id but not the composite key → survives
+    assert sorted((r.dag_id, r.dag_run_id) for r in out.collect()) == [
+        ("d1", "r2"),
+        ("d1", "r3"),
+        ("d2", "r1"),
+    ]
+
+
+def test_dedup_within_keeps_one_row_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 1), ("b", 5)], "k string, v int"
+    )
+    out = dedup_within(df, ["k"]).collect()
+    assert sorted((r.k, r.v) for r in out) == [("a", 1), ("b", 5)]
+
+
+def test_project_cast_strict_missing_column_raises(spark):
+    df = spark.createDataFrame([("x",)], "dag_id string")
+    with pytest.raises(ValueError, match="missing"):
+        project_cast(df, RPT_DAG, strict=True)
+
+
+def test_project_cast_lenient_fills_null_and_orders(spark):
+    df = spark.createDataFrame([("desc", "x")], "description string, dag_id string")
+    out = project_cast(df, RPT_DAG, strict=False)
+    assert out.columns == [f.name for f in RPT_DAG.fields]
+    row = out.first()
+    assert row.dag_id == "x" and row.description == "desc"
+    assert row.is_paused is None
+
+
+def test_project_cast_boolean_through_string(spark):
+    # airflow_to_gcs.py:143 quirk: str(True) = 'True' must cast to bool
+    df = spark.createDataFrame(
+        [("d", "True"), ("e", "false"), ("f", None)],
+        "dag_id string, is_paused string",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("dag_id", T.StringType(), False),
+            T.StructField("is_paused", T.BooleanType(), True),
+        ]
+    )
+    vals = {r.dag_id: r.is_paused for r in project_cast(df, schema).collect()}
+    assert vals == {"d": True, "e": False, "f": None}
+
+
+def test_null_if_empty(spark):
+    df = spark.createDataFrame(
+        [("", "keep"), ("x", "")], "a string, b string"
+    )
+    out = null_if_empty(df, "a").collect()
+    assert (out[0].a, out[0].b) == (None, "keep")
+    assert (out[1].a, out[1].b) == ("x", "")  # only column a mapped
+    out_all = null_if_empty(df).collect()
+    assert out_all[1].b is None  # no-args → all string cols
