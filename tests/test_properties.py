@@ -1,0 +1,65 @@
+"""Property-based tests (SURVEY.md §5.4) — hypothesis over the
+incremental-load operator core. Small example counts: each example round-
+trips through Spark."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cs_tutorial_reporting_spark.operators.incremental import (
+    dedup_against,
+    incremental_filter,
+    watermark,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # key
+        st.one_of(
+            st.none(),
+            st.integers(min_value=0, max_value=10_000).map(
+                lambda s: T0 + dt.timedelta(seconds=s)
+            ),
+        ),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy, split=st.integers(min_value=0, max_value=50))
+def test_incremental_contract(spark, rows, split):
+    df = spark.createDataFrame(rows, "k int, ts timestamp") if rows else (
+        spark.createDataFrame([], "k int, ts timestamp")
+    )
+    existing = df.filter(f"k < {split}").cache()
+    wm = watermark(existing, "ts")
+
+    delta = dedup_against(
+        incremental_filter(df, "ts", wm), existing, ["k"]
+    ).collect()
+
+    existing_keys = {r.k for r in existing.collect()}
+    # 1. no loaded key collides with an existing key
+    assert all(r.k not in existing_keys for r in delta)
+    # 2. every loaded row is strictly after the watermark (NULLs never load)
+    if wm is not None:
+        assert all(r.ts is not None and r.ts > wm for r in delta)
+    # 3. watermark monotonicity: max over union never decreases
+    new_state = existing.unionByName(
+        spark.createDataFrame(delta, "k int, ts timestamp")
+        if delta
+        else existing.filter("1=0")
+    )
+    wm2 = watermark(new_state, "ts")
+    assert wm is None or (wm2 is not None and wm2 >= wm)

@@ -1,0 +1,61 @@
+"""Source/sink tests (SURVEY.md §2.1) — JSON-*array* landing files (the
+reference's GCS object format), CSV staging ''→NULL, partitioned append."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from cs_tutorial_reporting_spark.schemas import RPT_DAG
+from cs_tutorial_reporting_spark.sources.readers import (
+    read_csv_staging,
+    read_json_array,
+)
+from cs_tutorial_reporting_spark.sources.sinks import (
+    write_json_landing,
+    write_table_append,
+)
+
+
+def test_read_json_array_file(spark, tmp_path):
+    # one JSON array per file — airflow_to_gcs.py:155 format, with an
+    # extra field the projection must drop and a missing nullable field
+    rows = [
+        {"dag_id": "a", "is_paused": True, "owners": "x", "extra_field": 1},
+        {"dag_id": "b", "is_paused": False, "owners": None},
+    ]
+    p = tmp_path / "dags0.json"
+    p.write_text(json.dumps(rows))
+    df = read_json_array(spark, str(p), RPT_DAG)
+    got = {r.dag_id: r for r in df.collect()}
+    assert got["a"].is_paused is True and got["a"].owners == "x"
+    assert got["b"].description is None
+    assert "extra_field" not in df.columns
+
+
+def test_csv_staging_empty_string_is_null(spark, tmp_path):
+    p = tmp_path / "stage.csv"
+    p.write_text("dag_id,description\nd1,\nd2,hello\n")
+    schema = T.StructType(
+        [f for f in RPT_DAG.fields if f.name in ("dag_id", "description")]
+    )
+    df = read_csv_staging(spark, str(p), schema)
+    got = {r.dag_id: r.description for r in df.collect()}
+    assert got == {"d1": None, "d2": "hello"}  # NULL AS '' parity
+
+
+def test_json_landing_run_partitioned_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    path = write_json_landing(df, str(tmp_path / "landing"), "20240101T000000", n_files=1)
+    assert "20240101T000000" in path
+    back = spark.read.schema("k string, v int").json(path)
+    assert sorted((r.k, r.v) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_append_sink_accumulates(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x int")
+    target = str(tmp_path / "warehouse")
+    write_table_append(df, target)
+    write_table_append(df, target)
+    assert spark.read.parquet(target).count() == 2
