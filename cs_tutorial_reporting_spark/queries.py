@@ -233,6 +233,642 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    bench=True,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. Fact-fact join (lineitem⋈orders)
+    shuffles on the key; all four dimension sides broadcast — at 100 TB
+    the plan is one shuffle exchange, not five."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey))
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + global agg —
+    the pure predicate-pushdown benchmark (all four predicates reach the
+    parquet row-group stats)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no matching orders
+    (count=0 rows must survive)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS — customers with at least one big order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey AS custkey, count(*) AS n_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), o AS (
+        SELECT o_custkey AS custkey, count(*) AS n_o
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT coalesce(f.custkey, o.custkey) AS custkey,
+           coalesce(f.n_f, 0) AS n_finished,
+           coalesce(o.n_o, 0) AS n_open
+    FROM f FULL OUTER JOIN o ON f.custkey = o.custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with coalesced keys — customers having only
+    finished, only open, or both order kinds."""
+    orders = t(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_f"))
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    return f.join(o, "custkey", "full_outer").select(
+        F.col("custkey"),
+        F.coalesce(F.col("n_f"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("n_o"), F.lit(0)).alias("n_open"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (two distinct columns in one grouped agg —
+    Catalyst expands, AQE handles the extra shuffle)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals incl. grand total (NULL keys)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "cube_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (spark.sql over a temp view) —
+    same Catalyst plan as the DataFrame API."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, custkey, spend, rn
+    FROM (
+        SELECT c.c_mktsegment,
+               c.c_custkey AS custkey,
+               round(sum(o.o_totalprice), 2) AS spend,
+               row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY round(sum(o.o_totalprice), 2) DESC, c.c_custkey
+               ) AS rn
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ) WHERE rn <= 3
+    """,
+    bench=True,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: window row_number over an aggregate, deterministic
+    tie-break on the key. At scale this is the standard 'top spenders per
+    segment' shape — one shuffle for the agg, one for the window."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", F.col("c_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").desc(), F.col("custkey").asc()
+    )
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "custkey", "spend", "rn")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders WHERE o_custkey <= 50
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (running total per customer, deterministic
+    order by date + unique key)."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_gap",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_ms
+    FROM events WHERE user_id <= 20
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — inter-event gap per user in ms (event ts precision is
+    reduced to ms on both engines; SURVEY §7.4 ns-truncation note)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    WITH big AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000),
+         recent AS (SELECT o_custkey AS custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT DISTINCT custkey FROM (
+        SELECT custkey FROM big UNION ALL SELECT custkey FROM recent))
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT custkey FROM big INTERSECT SELECT custkey FROM recent)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT custkey FROM big EXCEPT SELECT custkey FROM recent)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over key sets, one labeled count each."""
+    o = t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    rows = [
+        big.unionAll(recent).distinct().agg(
+            F.lit("union").alias("op"), F.count("*").alias("n")
+        ),
+        big.intersect(recent).agg(
+            F.lit("intersect").alias("op"), F.count("*").alias("n")
+        ),
+        big.subtract(recent).agg(  # EXCEPT (distinct) semantics
+            F.lit("except").alias("op"), F.count("*").alias("n")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, o_orderstatus
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_mktsegment", "o_orderstatus")
+        .distinct()
+    )
+
+
+@register(
+    "limit_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — the reference's batch pagination surface (page_limit/
+    page_offset, airflow_to_gcs.py:163,215) as ORDER BY + LIMIT/OFFSET
+    over a unique key (deterministic pages)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS days_since_95,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X3 family — extract/trunc/diff date functions."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_since_95"),
+        )
+        .groupBy("yr", "mo", "month_start", "days_since_95")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT upper(p_brand) AS brand_u,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END
+               AS starts_word,
+           count(*) AS n
+    FROM part GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-X6 family — case, substring, length, concat, LIKE, regexp."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+            F.when(F.col("p_name").rlike(r"^[a-z]+ "), 1).otherwise(0).alias("starts_word"),
+        )
+        .groupBy(
+            "brand_u", "name_prefix", "name_len", "brand_type", "is_brass", "starts_word"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+    SELECT round(sum(abs(l_discount - 0.05)), 4)          AS sum_absdev,
+           round(sum(sqrt(l_quantity)), 4)                AS sum_sqrt,
+           round(sum(ln(l_extendedprice)), 4)             AS sum_ln,
+           round(sum(power(l_tax, 2)), 6)                 AS sum_tax_sq,
+           round(sum(CAST(l_orderkey % 7 AS DOUBLE)), 1)  AS sum_mod
+    FROM lineitem
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins: abs/sqrt/ln/power/mod, all JVM-side codegen."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_absdev"),
+        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt"),
+        F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln"),
+        F.round(F.sum(F.pow(F.col("l_tax"), 2)), 6).alias("sum_tax_sq"),
+        F.round(F.sum((F.col("l_orderkey") % 7).cast("double")), 1).alias("sum_mod"),
+    )
+
+
+@register(
+    "conditional_case_coalesce",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent!') AS prio,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def conditional_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / COALESCE / NULLIF conditionals."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.when(F.col("o_totalprice") >= 300000, "large")
+            .when(F.col("o_totalprice") >= 100000, "medium")
+            .otherwise("small")
+            .alias("bucket"),
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+                F.lit("urgent!"),
+            ).alias("prio"),
+        )
+        .groupBy("bucket", "prio")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    bench=True,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — JSON parse of the events.props payload (from_json with the
+    explicit catalog schema, not schema inference)."""
+    from .schemas import EVENT_PROPS
+
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("p", F.from_json("props", EVENT_PROPS))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the batch twin of the streaming windowed
+    agg in ``streaming/``) — hypertable-style hourly rollup."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_F,
+           count(*) FILTER (o_orderstatus = 'O') AS n_O,
+           count(*) FILTER (o_orderstatus = 'P') AS n_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) — explicit value list so the
+    plan is a single pass, no second job to discover pivot values."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_F"),
+            F.coalesce("O", F.lit(0)).alias("n_O"),
+            F.coalesce("P", F.lit(0)).alias("n_P"),
+        )
+    )
+
+
+@register("approx_count_distinct", oracle=None)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — no oracle (DuckDB's approx
+    sketch differs); driver records rows-only. The exactness test is
+    ``agg_distinct``; this is the 100 TB path where exact distinct would
+    shuffle every key."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.approx_count_distinct("o_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
     "q3_top_unshipped_orders",
     oracle="""
     SELECT l.l_orderkey AS orderkey,

@@ -29,18 +29,49 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns physically stored as parquet TIMESTAMP(NANOS) — Spark 4
+    refuses them unless read as raw int64 ns (legacy nanosAsLong)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        inside = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not inside:
+            return []
+        f = inside[0]
+    schema = pq.read_schema(f)
+    return [
+        fld.name
+        for fld in schema
+        if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    Timestamp columns are cast through the catalog schema so ns-precision
-    parquet (events.ts) lands as Spark µs deterministically.
+    ns-precision timestamps (events.ts) are read as int64 ns and floored
+    to Spark µs via integer division — bit-identical to DuckDB's ns→µs
+    truncation (SURVEY §7.4; double division would lose precision above
+    2^53 ns). Everything else is cast through the catalog schema.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     want = STAR_TABLES.get(name)
     if want is not None and [f.name for f in want.fields] == df.columns:
-        # Cast only where physical type differs (ns→µs, int32 vs int64).
-        from pyspark.sql import functions as F
-
+        # Cast only where physical type differs (int32 vs int64 etc.).
         df = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want.fields]
         )
