@@ -1,0 +1,100 @@
+"""Columnar text-analysis expressions ([EXT] north star: language-ID,
+quality scoring, token counting, fingerprinting over ``documents``).
+
+Design constraint: everything here is a *portable* composition of
+built-in ``pyspark.sql.functions`` (JVM-side, whole-stage codegen — no
+Python UDFs), using only primitives with identical semantics in DuckDB
+(md5, length/replace counting, substring) so every operator can be
+oracle-checked. At 100 TB these are embarrassingly parallel map
+expressions — no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic marker words per language for the n-gram/stopword
+# heuristic. Counting uses the length-replace trick (no regex dialect
+# dependence): count(s, m) = (len(s) - len(replace(s, m, ''))) / len(m).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " das "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+    "zh": ["的", "了", "是"],
+}
+
+
+def occurrence_count(col: Column, marker: str) -> Column:
+    """# of non-overlapping occurrences of ``marker`` via length delta."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("bigint")
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Whitespace token count = spaces + 1 (documents are single-spaced)."""
+    return (occurrence_count(col, " ") + 1).cast("bigint")
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, and single
+    punctuation marks each count as one token (regex kept to a class
+    portable across engines)."""
+    return F.regexp_count(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts (ties and
+    all-zero fall back to 'en'). Deterministic; identical CASE/GREATEST
+    logic is expressible in the DuckDB oracle."""
+    scores = {
+        lang: sum(
+            (occurrence_count(col, m) for m in markers), F.lit(0).cast("bigint")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("en")
+    # fixed evaluation order (reverse list order) ⇒ first-listed wins ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: mean-word-length band +
+    stopword presence + alpha ratio. A deterministic toy of the
+    Gopher/C4-style quality rules, built from portable primitives."""
+    n_chars = F.length(col).cast("double")
+    n_words = whitespace_token_count(col).cast("double")
+    mean_wlen = (n_chars - (n_words - 1)) / n_words  # chars sans spaces / words
+    stop_hits = sum(
+        (occurrence_count(col, m) for m in LANG_MARKERS["en"]),
+        F.lit(0).cast("bigint"),
+    ).cast("double")
+    alpha_chars = F.length(
+        F.regexp_replace(col, F.lit("[^a-zA-Z]"), F.lit(""))
+    ).cast("double")
+    score = (
+        F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_hits / n_words > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(F.lit(0.3), (alpha_chars / n_chars) * 0.3)
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: 60-bit integer from the md5 of the
+    whitespace-normalized, lower-cased text. md5 is identical in every
+    engine ⇒ oracle-checkable; 15 hex digits keep it inside BIGINT."""
+    normalized = F.lower(F.regexp_replace(col, F.lit(" +"), F.lit(" ")))
+    return F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit string hash (md5 prefix); building block for
+    minhash/simhash where Spark's xxhash64 would not match DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")

@@ -1,0 +1,95 @@
+"""[EXT] Multimodal columns: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (deterministic fake features / NotImplementedError
+for real codecs). Everything Spark-side — schema, partition-preserving
+mapInPandas plumbing, batch shapes, metadata struct — is real and
+tested; swapping the stub body for PIL/ffmpeg is a one-function change.
+
+Scale notes: media bytes ride in the same rows as metadata (parquet
+binary columns chunk fine at 100 TB); decode parallelism is row-group
+parallelism; `spark.sql.execution.arrow.maxRecordsPerBatch` bounds the
+pandas batch memory (set it low for large blobs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried alongside every media blob
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),       # png|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def attach_media(df: DataFrame, payload_col, media_type: str, fmt: str) -> DataFrame:
+    """Wrap a binary payload column into (content binary, meta struct) —
+    the canonical multimodal column pair."""
+    return df.withColumn("content", payload_col.cast("binary")).withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def decode_image_stub(content: bytes) -> dict:
+    """STUB — real impl would be PIL/pillow decode + resize. Raises for
+    real codecs; callers wanting deterministic fakes use
+    ``extract_features``."""
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this "
+        "container; see extract_features for the deterministic fake"
+    )
+
+
+def frame_sample_stub(content: bytes, every_ms: int) -> list[bytes]:
+    """STUB — real impl: ffmpeg keyframe sampling."""
+    raise NotImplementedError("video frame sampling requires ffmpeg")
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, content_md5 string, head_byte int"
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic feature extraction over the binary content column
+    via mapInPandas (Arrow batches — the exact plumbing a real decoder
+    uses): byte length, md5 checksum, first byte. Pure function of the
+    bytes ⇒ oracle-checkable in SQL (octet_length / md5 / ascii)."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "content_md5": content.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "head_byte": content.map(lambda b: b[0] if len(b) else -1).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), "content").mapInPandas(op, FEATURE_SCHEMA)

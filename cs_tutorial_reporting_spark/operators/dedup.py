@@ -1,0 +1,255 @@
+"""[EXT] Document deduplication operators for LLM-training-data pipelines.
+
+Five families, all pure DataFrame compositions (no Python in the hot
+path) using portable hash primitives (md5 — identical in DuckDB) so the
+driver's oracle can value-check them:
+
+- exact:        hash-groupBy on normalized text, keep min doc_id
+- minhash LSH:  word-shingles → k md5 minhashes → bands → bucket
+                self-join → exact-Jaccard verify
+- simhash:      per-token 60-bit hash → bitwise majority vote → 16-bit
+                fingerprint; near-dups = same fingerprint
+- n-gram Jaccard: exact set similarity on shingle sets for candidate
+                pairs
+- embedding near-dup: cosine ≥ threshold over normalized embeddings
+
+Scale design (100 TB): every stage is a map or a single hash shuffle.
+MinHash bands replace the quadratic all-pairs comparison with
+``#bands`` hash-partitioned self-joins whose buckets are tiny; the
+exact-verify join only touches candidate pairs. Skewed buckets (boiler-
+plate shingles) are handled by AQE skew-join splitting; a bucket-size
+cap (``max_bucket``) guards the pathological all-identical case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+
+
+def normalize_text(col):
+    """Lowercase + whitespace-collapse; the canonical form every dedup
+    family hashes."""
+    return F.lower(F.regexp_replace(col, F.lit(" +"), F.lit(" ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct normalized text — the kept id is the
+    minimum (deterministic). One hash shuffle on the md5, not on the
+    full text bytes (group keys stay 16 bytes at any document size)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram set (array<string>) of the normalized text.
+    transform over a sequence of start offsets — JVM higher-order
+    functions, no explode shuffle."""
+    words = F.split(normalize_text(col), " ")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            # try_element_at: NULL (skipped by concat_ws) past the end for
+            # docs shorter than n words — ANSI element_at would throw
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(words, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 8):
+    """k minhash values: min over shingles of md5-60bit(seed || shingle).
+    Seeded by prefixing the shingle — portable to any engine with md5."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda s, j=j: hash60(F.concat(F.lit(f"{j}|"), s))
+                )
+            ).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, verified
+    with exact Jaccard over shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct. The
+    all-pairs O(n²) comparison is replaced by ``num_hashes/band_size``
+    equi-joins on band keys; only same-bucket pairs are verified.
+    ``max_bucket`` drops degenerate buckets (e.g. empty-text boilerplate)
+    that would re-create the quadratic blowup.
+    """
+    n_bands = num_hashes // band_size
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # band key = "band_index|mh_i|mh_i+1..." string — one row per band
+    bands = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col("__sig").getItem(b * band_size + i).cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+    # guard: drop pathological buckets before the self-join
+    sizes = bands.groupBy("__band").agg(F.count("*").alias("__bn"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("__bn") > max_bucket).select("__band")),
+        "__band",
+        "left_anti",
+    )
+    a = bands.select(
+        F.col("__band"), F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    b = bands.select(
+        F.col("__band"), F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    pairs = (
+        a.join(b, "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = (F.size("__sh_a") + F.size("__sh_b")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, **kwargs
+) -> DataFrame:
+    """Dedup view: drop the higher id of every verified near-dup pair
+    (greedy, deterministic; transitive chains collapse toward min id)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_fingerprint(text_col, bits: int = 16):
+    """SimHash: per whitespace token take a 60-bit md5 hash; each of the
+    low ``bits`` bit-positions votes +1/-1; fingerprint sets bits with a
+    positive majority. Pure expression — no explode, no shuffle."""
+    tokens = F.split(normalize_text(text_col), " ")
+    th = F.transform(tokens, lambda w: hash60(w))
+
+    def _merge_for_bit(b: int):
+        # closure (not a default arg): pyspark requires exactly-2-param
+        # merge lambdas for aggregate()
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(th, F.lit(0).cast("bigint"), _merge_for_bit(b))
+        fp = fp + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+    return fp
+
+
+def simhash_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Documents sharing a SimHash fingerprint (candidate near-dup
+    clusters): returns (simhash, n_docs, min_id) per colliding group."""
+    return (
+        df.select(F.col(id_col), simhash_fingerprint(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, other: DataFrame | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for explicit candidate pairs (consecutive ids
+    when ``other`` is None) — the verification primitive, exposed
+    standalone so its semantics are independently oracle-checkable."""
+    lhs = df.select(
+        F.col(id_col).alias("id_a"), shingles(F.col(text_col), n).alias("__sa")
+    )
+    rhs = (other if other is not None else df).select(
+        (F.col(id_col) - 1).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        shingles(F.col(text_col), n).alias("__sb"),
+    )
+    joined = lhs.join(rhs, "id_a")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    return joined.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). Brute-force all-pairs when ``n_buckets=0``; with
+    buckets, candidate pairs come from shared random-hyperplane LSH
+    buckets (see similarity.hyperplane_bucket) — the 100 TB path."""
+    from ..functions.vectors import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if n_buckets:
+        from .similarity import hyperplane_bucket
+
+        a = a.withColumn("__bkt", hyperplane_bucket(F.col("__va"), n_buckets))
+        b = b.withColumn("__bkt", hyperplane_bucket(F.col("__vb"), n_buckets))
+        pairs = a.join(b, "__bkt").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

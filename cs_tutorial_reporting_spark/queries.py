@@ -909,3 +909,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
+
+
+# [EXT] registrations live in queries_ext; importing populates QUERIES.
+from . import queries_ext  # noqa: E402,F401  (registry side-effect import)

@@ -1,0 +1,520 @@
+"""[EXT] query registrations: dedup / similarity / text analysis /
+sessionization / as-of / range / multimodal (BASELINE.json north star).
+
+Oracle strategy: all hashing goes through md5 (identical across
+engines); shingle/jaccard set math uses array functions with the same
+semantics (concat_ws NULL-skip verified on both); cosine is computed in
+double with the same sequential fold. Long oracle SQL strings are
+code-generated from the SAME Python constants that drive the Spark
+expressions, so parameters can't drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import LANG_MARKERS
+from .queries import register, t
+
+# -- shared SQL fragments (DuckDB dialect), kept adjacent to constants ----
+
+NORM_SQL = "lower(regexp_replace({col}, ' +', ' ', 'g'))"
+HASH60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+WORDS_SQL = f"string_split({NORM_SQL.format(col='text')}, ' ')"
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1), "
+    "i -> concat_ws(' ', words[i], words[i+1], words[i+2])))"
+)
+
+
+def _occ_sql(col: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"CAST((length({col}) - length(replace({col}, '{m}', ''))) "
+        f"/ {len(marker)} AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""
+    round(
+      (CASE WHEN ((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw) >= 3
+             AND ((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw) <= 10
+            THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN ({_occ_sql('text', ' the ')} + {_occ_sql('text', ' and ')}
+                    + {_occ_sql('text', ' of ')}) / nw > 0.01
+              THEN 0.3 ELSE 0.0 END)
+      + least(0.3, (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) * 0.3)
+    , 4)
+"""
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           ({_occ_sql('text', ' ')} + 1) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_tokens_bpe,
+           {_QUALITY_SQL} AS quality
+    FROM (SELECT doc_id, text,
+                 CAST({_occ_sql('text', ' ')} + 1 AS DOUBLE) AS nw
+          FROM documents)
+    """,
+    bench=True,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and quality scoring —
+    pure map expressions, no shuffle (functions/text.py)."""
+    from .functions.text import (
+        quality_score,
+        whitespace_token_count,
+        word_token_count,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("len_chars"),
+        whitespace_token_count(text).alias("n_tokens_ws"),
+        word_token_count(text).cast("bigint").alias("n_tokens_bpe"),
+        quality_score(text).alias("quality"),
+    )
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        expr = " + ".join(_occ_sql("text", m) for m in markers)
+        score_cols.append(f"({expr}) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_MARKERS) + ")"
+    case = "CASE "
+    for lang in LANG_MARKERS:  # declaration order = tie priority
+        case += f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'en' END"
+    return ", ".join(score_cols), case
+
+
+_SCORES_SQL, _PRED_SQL = _lang_scores_sql()
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT lang, pred_lang, count(*) AS n
+    FROM (
+        SELECT lang, {_PRED_SQL} AS pred_lang
+        FROM (SELECT lang, text, {_SCORES_SQL} FROM documents)
+    )
+    GROUP BY lang, pred_lang
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax) — confusion counts
+    against the labeled ``lang`` column."""
+    from .functions.text import lang_id
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {HASH60_SQL.format(x=NORM_SQL.format(col='text'))} AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5 document fingerprint (functions/text.py)."""
+    from .functions.text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents
+    ),
+    kept AS (
+        SELECT min(doc_id) AS doc_id
+        FROM all_docs
+        GROUP BY md5({NORM_SQL.format(col='text')})
+    )
+    SELECT count(*) AS n_kept, sum(doc_id) AS sum_ids FROM kept
+    """,
+    bench=True,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash over a corpus with injected
+    duplicates (the corpus ∪ shifted-id copy); keeps min doc_id."""
+    from .operators.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    kept = exact_dedup(doubled, "text", "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    parts = [
+        "list_min(list_transform(sh, s -> "
+        + HASH60_SQL.format(x=f"concat('{j}|', s)")
+        + f")) AS mh{j}"
+        for j in range(num_hashes)
+    ]
+    return ", ".join(parts)
+
+
+def _band_keys_sql(num_hashes: int, band_size: int) -> str:
+    n_bands = num_hashes // band_size
+    keys = [
+        "concat_ws('|', '"
+        + str(b)
+        + "', "
+        + ", ".join(
+            f"CAST(mh{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+        )
+        + ")"
+        for b in range(n_bands)
+    ]
+    return "[" + ", ".join(keys) + "]"
+
+
+_MINHASH_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, {SHINGLES_SQL} AS sh
+    FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+),
+sigs AS (
+    SELECT doc_id, sh, {_minhash_sig_sql(8)} FROM base
+),
+bands AS (
+    SELECT doc_id, sh, unnest({_band_keys_sql(8, 2)}) AS band FROM sigs
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           round(
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           , 6) AS jaccard
+    FROM pairs
+    JOIN base sa ON sa.doc_id = id_a
+    JOIN base sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@register("minhash_lsh_dedup_pairs", oracle=_MINHASH_ORACLE, bench=True)
+def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup candidate pairs: 8 md5-minhashes over word 3-shingles,
+    4 bands × 2 rows, exact-Jaccard verification ≥ 0.5 (operators/
+    dedup.py). Fully oracle-checked — both engines run the identical
+    banded-LSH pipeline."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "ngram_jaccard_consecutive",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {SHINGLES_SQL} AS sh
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           , 6) AS jaccard
+    FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for consecutive doc_id pairs — the
+    standalone verification primitive of the LSH pipeline."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3)
+
+
+def _simhash_sql(bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        vote = (
+            "list_sum(list_transform(words, w -> CASE WHEN "
+            f"(({HASH60_SQL.format(x='w')}) >> {b}) & 1 = 1 "
+            "THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "simhash_collision_groups",
+    oracle=f"""
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_id
+    FROM (
+        SELECT doc_id, {_simhash_sql(16)} AS simhash
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    )
+    GROUP BY simhash HAVING count(*) > 1
+    """,
+)
+def simhash_collision_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash (per-token md5 bit votes) collision clusters —
+    near-dup candidate groups (operators/dedup.py)."""
+    from .operators.dedup import simhash_groups
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_groups(d, "text", "doc_id", bits=16)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= 0.45
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the corpus ∪ an exact copy
+    (cos=1.0 planted dups) plus naturally-similar pairs ≥ 0.45."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return embedding_near_dup_pairs(corpus, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle="""
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 6) AS cos,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                  q.embedding::DOUBLE[]), 6) DESC, e.vec_id
+               ) AS BIGINT) AS rank
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 10
+    """,
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors (operators/similarity.py
+    brute-force baseline; broadcast query side, one window shuffle)."""
+    from .operators.similarity import brute_force_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(e, q, k=10)
+    return out.select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register("similarity_topk_lsh", oracle=None, bench=True)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (single
+    probe) — the 100 TB path. No SQL oracle (approximate by design);
+    recall vs brute force is pinned in tests/test_ext_operators.py."""
+    from .operators.similarity import lsh_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(e, q, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / as-of / range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionization_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, CAST(1 + sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(epoch_ms(ts)) AS session_start_ms,
+           max(epoch_ms(ts)) AS session_end_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+    bench=True,
+)
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — one row per session
+    (operators/sessionize.py; streaming twin in streaming/sessions.py)."""
+    from .operators.sessionize import session_stats
+
+    e = t(spark, sf_dir, "events")
+    return session_stats(e, gap_minutes=30.0).withColumn(
+        "session_seq", F.col("session_seq").cast("bigint")
+    )
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    errors AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT e.user_id, e.event_id, c.event_id AS asof_event_id
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every error event, the most
+    recent click by the same user at or before it. Clicks are deduped
+    per (user, ts) first so both engines break ties identically."""
+    from .operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(errors, clicks, key="user_id", ts="ts", value_cols=["event_id"])
+    return out.select(
+        "user_id", "event_id", F.col("asof_event_id")
+    )
+
+
+@register(
+    "range_join_value_buckets",
+    oracle="""
+    SELECT r.bucket_name, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES ('tiny', 0.0, 50.0), ('small', 50.0, 100.0),
+                 ('medium', 100.0, 200.0), ('large', 200.0, 500.0))
+         AS r(bucket_name, lo, hi)
+      ON e.value >= r.lo AND e.value < r.hi
+    GROUP BY r.bucket_name
+    """,
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a small broadcast dimension
+    (operators/asof.py; bucketized variant covered in tests)."""
+    from .operators.asof import range_join_broadcast
+
+    e = t(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [("tiny", 0.0, 50.0), ("small", 50.0, 100.0),
+         ("medium", 100.0, 200.0), ("large", 200.0, 500.0)],
+        "bucket_name string, lo double, hi double",
+    )
+    return (
+        range_join_broadcast(e, ranges, "value", "lo", "hi")
+        .groupBy("bucket_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: wrap bytes into the (content,
+    meta) column pair, then run the Arrow-batched mapInPandas feature
+    extractor (multimodal/columns.py). The 'decode' here is the
+    deterministic fake (byte stats + md5); real codecs slot into the
+    same batch signature."""
+    from .multimodal import attach_media, extract_features
+
+    d = t(spark, sf_dir, "documents")
+    media = attach_media(d, F.encode(F.col("text"), "utf-8"), "image", "raw")
+    return extract_features(media, id_col="doc_id")

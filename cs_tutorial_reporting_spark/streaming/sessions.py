@@ -1,0 +1,92 @@
+"""[EXT] Structured Streaming variants of the time-based operators.
+
+The reference is batch-only (SURVEY §2.7) — its "incrementality" is the
+watermark-filtered re-extract. These are the continuous twins:
+
+- windowed rollup: readStream → withWatermark → window().agg — the
+  streaming form of ``events_hourly_rollup``.
+- session windows: ``session_window(ts, gap)`` — the streaming form of
+  ``operators.sessionize`` (same gap semantics, engine-managed state).
+
+Tested via parquet readStream + memory sink + processAllAvailable()
+(synchronous drain), which exercises real state-store code paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events layout. ns-timestamp parquet is
+    read as int64 and floored to µs, matching the batch reader."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isfile(path):
+        # file-source streams need a directory; narrow with a glob filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        *[f.name for f in EVENTS.fields]
+    )
+
+
+def windowed_rollup(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling-window aggregate with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows (stateful) — one row per closed session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain a bounded file-source stream synchronously into a memory
+    table (test/driver harness helper)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

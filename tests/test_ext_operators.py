@@ -1,0 +1,229 @@
+"""[EXT] operator unit tests — properties the SQL oracle can't express:
+LSH recall, approximate-vs-exact agreement, streaming equivalence,
+stub contracts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs_tutorial_reporting_spark.sources.readers import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_exact_dedup_removes_planted_duplicates(spark, docs):
+    from cs_tutorial_reporting_spark.operators.dedup import exact_dedup
+
+    d = docs.select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    kept = exact_dedup(doubled, "text", "doc_id")
+    assert kept.count() == d.count()
+    # deterministic: always the lower id
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_flags_planted_near_duplicate(spark, docs):
+    """A doc with one word changed out of ~100 has Jaccard ≈ .94 —
+    minhash-LSH must surface the pair."""
+    from cs_tutorial_reporting_spark.operators.dedup import minhash_lsh_pairs
+
+    base = docs.select("doc_id", "text").limit(20)
+    mutated = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutatedtail")).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        base.unionByName(mutated), "text", "doc_id", jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(r.doc_id, r.doc_id + 1000) for r in base.collect()}
+    # banded LSH with 4 bands of 2 at j≈0.9+: expected detection ≈ 1
+    assert len(found & planted) >= int(0.9 * len(planted))
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_minhash_identical_docs_always_pair(spark, docs):
+    from cs_tutorial_reporting_spark.operators.dedup import minhash_lsh_pairs
+
+    base = docs.select("doc_id", "text").limit(10)
+    clone = base.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(
+        base.unionByName(clone), "text", "doc_id", jaccard_threshold=0.99
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(r.doc_id, r.doc_id + 500) for r in base.collect()} <= got
+
+
+def test_minhash_dedup_drops_higher_ids(spark, docs):
+    from cs_tutorial_reporting_spark.operators.dedup import minhash_dedup
+
+    base = docs.select("doc_id", "text").limit(10)
+    clone = base.select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    kept = minhash_dedup(base.unionByName(clone), "text", "doc_id")
+    assert kept.count() == 10
+    assert kept.filter(F.col("doc_id") >= 500).count() == 0
+
+
+def test_simhash_identical_docs_same_fingerprint(spark, docs):
+    from cs_tutorial_reporting_spark.operators.dedup import simhash_fingerprint
+
+    two = docs.limit(2).select(
+        simhash_fingerprint(F.col("text"), bits=16).alias("fp"), "text"
+    )
+    fps = two.select("fp").collect()
+    again = two.select("fp").collect()
+    assert fps == again  # deterministic
+
+
+def test_lsh_topk_recall_against_bruteforce(spark, emb):
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = lsh_topk(emb, q, k=5, n_planes=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # single-probe LSH: expect ≥40% of true top-5 found; the query vector
+    # itself (cos=1) must always be in its own bucket
+    assert len(e & a) / len(e) >= 0.4
+    self_hits = {(r.query_id, r.vec_id) for r in approx.collect() if r.rank == 1}
+    assert self_hits == {(i, i) for i in range(10)}
+
+
+def test_asof_join_basic_semantics(spark):
+    from cs_tutorial_reporting_spark.operators.asof import asof_join
+
+    TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, TS("2024-01-01T10:00:00"), "l1"),
+         (1, TS("2024-01-01T12:00:00"), "l2"),
+         (2, TS("2024-01-01T09:00:00"), "l3")],
+        "k int, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, TS("2024-01-01T09:30:00"), 100),
+         (1, TS("2024-01-01T11:00:00"), 200),
+         (1, TS("2024-01-01T12:00:00"), 300),  # equal ts: inclusive
+         (2, TS("2024-01-01T10:00:00"), 400)],  # after left → no match
+        "k int, ts timestamp, v int",
+    )
+    out = {r.name: r.asof_v for r in
+           asof_join(left, right, "k", "ts", ["v"]).collect()}
+    assert out == {"l1": 100, "l2": 300, "l3": None}
+
+
+def test_bucketized_range_join_matches_broadcast(spark):
+    from cs_tutorial_reporting_spark.operators.asof import (
+        bucketized_range_join,
+        range_join_broadcast,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 80.0), ("b", 80.0, 200.0), ("c", 200.0, 500.0)],
+        "name string, lo double, hi double",
+    )
+    bc = range_join_broadcast(events, ranges, "value", "lo", "hi")
+    bk = bucketized_range_join(events, ranges, "value", "lo", "hi", bucket_width=64.0)
+    a = sorted((r.event_id, r.name) for r in bc.select("event_id", "name").collect())
+    b = sorted((r.event_id, r.name) for r in bk.select("event_id", "name").collect())
+    assert a == b
+
+
+def test_streaming_windowed_rollup_matches_batch(spark):
+    from cs_tutorial_reporting_spark.streaming.sessions import (
+        read_event_stream,
+        run_to_memory,
+        windowed_rollup,
+    )
+
+    stream = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+    run_to_memory(windowed_rollup(stream), "rollup_out")
+    got = spark.sql(
+        "SELECT window_start, event_type, n FROM rollup_out"
+    ).collect()
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    )
+    key = lambda r: (r.window_start, r.event_type, r.n)  # noqa: E731
+    # append-mode emits only watermark-closed windows → subset of batch
+    assert set(map(key, got)) <= set(map(key, batch))
+    assert len(got) >= 0.5 * len(batch)
+
+
+def test_streaming_session_window_runs(spark):
+    from cs_tutorial_reporting_spark.streaming.sessions import (
+        read_event_stream,
+        run_to_memory,
+        session_rollup,
+    )
+
+    stream = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+    run_to_memory(session_rollup(stream, gap="30 minutes"), "session_out")
+    got = spark.sql("SELECT * FROM session_out").collect()
+    assert all(r.session_end > r.session_start for r in got)
+
+
+def test_multimodal_stubs_and_features(spark, docs):
+    import hashlib
+
+    from cs_tutorial_reporting_spark.multimodal import (
+        attach_media,
+        decode_image_stub,
+        extract_features,
+        frame_sample_stub,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(b"...", 1000)
+
+    media = attach_media(docs.limit(5), F.encode("text", "utf-8"), "image", "raw")
+    assert media.schema["meta"].dataType["media_type"].dataType.simpleString() == "string"
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    src = {r.doc_id: r.text for r in docs.limit(5).collect()}
+    for doc_id, text in src.items():
+        raw = text.encode("utf-8")
+        assert feats[doc_id].n_bytes == len(raw)
+        assert feats[doc_id].content_md5 == hashlib.md5(raw).hexdigest()
+        assert feats[doc_id].head_byte == raw[0]
+
+
+def test_sessionize_gap_boundary(spark):
+    from cs_tutorial_reporting_spark.operators.sessionize import sessionize
+
+    TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 10, TS("2024-01-01T00:00:00"), 1.0),
+         (2, 10, TS("2024-01-01T00:30:00"), 1.0),   # exactly 30min → same
+         (3, 10, TS("2024-01-01T01:00:00.001"), 1.0)],  # 30min+1ms → new
+        "event_id int, user_id int, ts timestamp, value double",
+    )
+    got = {r.event_id: r.session_seq for r in sessionize(ev, gap_minutes=30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
