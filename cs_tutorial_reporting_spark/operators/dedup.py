@@ -103,14 +103,25 @@ def minhash_lsh_pairs(
     that would re-create the quadratic blowup.
     """
     n_bands = num_hashes // band_size
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-    # band key = "band_index|mh_i|mh_i+1..." string — one row per band
-    bands = base.select(
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+    # Small-file inputs arrive as 1-2 partitions; the shingle+signature
+    # stage is compute-bound, so fan it out. At real scale the input is
+    # already wide and this is a no-op.
+    target = spark.sparkContext.defaultParallelism * 2
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, "__id")
+    # Shingle sets are reused three times (banding + both verify probes)
+    # and cost ~10 ms/doc to build — persist, don't recompute.
+    sh_df = src.select(
+        "__id", shingles(F.col("__txt"), shingle_n).alias("__sh")
+    ).persist()
+    # band key = "band_index|mh_i|mh_i+1..." string — one row per band;
+    # bands carry ONLY (id, band): the shingle arrays stay out of the
+    # band shuffle and join back by id at verify time.
+    sig = minhash_signature(F.col("__sh"), num_hashes)
+    bands = sh_df.select(
         "__id",
-        "__sh",
         F.explode(
             F.array(
                 *[
@@ -118,7 +129,7 @@ def minhash_lsh_pairs(
                         "|",
                         F.lit(str(b)),
                         *[
-                            F.col("__sig").getItem(b * band_size + i).cast("string")
+                            sig.getItem(b * band_size + i).cast("string")
                             for i in range(band_size)
                         ],
                     )
@@ -127,29 +138,40 @@ def minhash_lsh_pairs(
             )
         ).alias("__band"),
     )
-    # guard: drop pathological buckets before the self-join
-    sizes = bands.groupBy("__band").agg(F.count("*").alias("__bn"))
-    bands = bands.join(
-        F.broadcast(sizes.filter(F.col("__bn") > max_bucket).select("__band")),
-        "__band",
-        "left_anti",
+    # One shuffle groups each bucket; expansion to id pairs happens
+    # inside the row (sorted ids → (i, j>i) combinations), with the
+    # pathological-bucket guard applied before any quadratic work.
+    buckets = (
+        bands.groupBy("__band")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    a = bands.select(
-        F.col("__band"), F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")
-    )
-    b = bands.select(
-        F.col("__band"), F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")
+    ids = F.col("__ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "__band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = pairs.join(
+        sh_df.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+        "id_a",
+    ).join(
+        sh_df.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     union = (F.size("__sh_a") + F.size("__sh_b")).cast("double") - inter
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -241,8 +263,8 @@ def embedding_near_dup_pairs(
     if n_buckets:
         from .similarity import hyperplane_bucket
 
-        a = a.withColumn("__bkt", hyperplane_bucket(F.col("__va"), n_buckets))
-        b = b.withColumn("__bkt", hyperplane_bucket(F.col("__vb"), n_buckets))
+        a = a.withColumn("__bkt", hyperplane_bucket("__va", n_buckets))
+        b = b.withColumn("__bkt", hyperplane_bucket("__vb", n_buckets))
         pairs = a.join(b, "__bkt").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -60,16 +60,16 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane: int, dim: int):
+def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component h[plane][d] ∈
-    (-1, 1): scaled 60-bit md5 hash of "plane:d". Seeded, engine-
-    portable, no RNG state."""
+    (-1, 1): scaled 60-bit md5 hash of "hp{plane}:{d}". Computed
+    driver-side (hashlib ≡ any engine's md5), embedded as literals —
+    seeded, reproducible cluster-wide, no RNG state or broadcast var."""
+    import hashlib
+
     return [
-        (
-            F.conv(F.substring(F.md5(F.lit(f"hp{plane}:{d}")), 1, 15), 16, 10)
-            .cast("double")
-            / F.lit(float(2**60))
-        )
+        int(hashlib.md5(f"hp{plane}:{d}".encode()).hexdigest()[:15], 16)
+        / float(2**60)
         * 2.0
         - 1.0
         for d in range(dim)
@@ -78,18 +78,24 @@ def _hyperplane(plane: int, dim: int):
 
 def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
     """LSH bucket id from the sign pattern of ``n_planes`` fixed random
-    hyperplane projections (bit b set ⇔ ⟨v, h_b⟩ ≥ 0)."""
-    bucket = F.lit(0).cast("bigint")
+    hyperplane projections (bit b set ⇔ ⟨v, h_b⟩ ≥ 0).
+
+    Built as ONE ``F.expr`` SQL string (projection via
+    aggregate(zip_with(...))) — constructing the same tree out of
+    nested Column ops costs ~8 s of py4j round-trips at dim=64; a
+    single parse call is milliseconds and yields the identical plan.
+    """
+    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    terms = []
     for p in range(n_planes):
-        comps = _hyperplane(p, dim)
-        proj = sum(
-            (vec_col.getItem(d).cast("double") * comps[d] for d in range(dim)),
-            F.lit(0.0),
+        consts = ", ".join(f"{c!r}D" for c in _hyperplane(p, dim))
+        proj = (
+            f"aggregate(zip_with({name}, array({consts}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
         )
-        bucket = bucket + F.when(proj >= 0, F.lit(2**p).cast("bigint")).otherwise(
-            F.lit(0)
-        )
-    return bucket
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2**p}L ELSE 0L END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
 def lsh_topk(
@@ -116,9 +122,9 @@ def lsh_topk(
 
     if n_probes is None:
         n_probes = n_planes + 1
-    e = emb.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), n_planes, dim))
+    e = emb.withColumn("__bkt", hyperplane_bucket(vec_col, n_planes, dim))
     q0 = queries.withColumn(
-        "__bkt0", hyperplane_bucket(F.col(query_vec_col), n_planes, dim)
+        "__bkt0", hyperplane_bucket(query_vec_col, n_planes, dim)
     )
     probes = [F.col("__bkt0")] + [
         F.col("__bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
