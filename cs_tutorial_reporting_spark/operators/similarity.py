@@ -143,3 +143,125 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _dot_sql(vec_name: str, consts: list[float]) -> str:
+    arr = ", ".join(f"{c!r}D" for c in consts)
+    return (
+        f"aggregate(zip_with({vec_name}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+def _centroid_dots(vec_name: str, centroids: list[list[float]]):
+    """array<double> of ⟨vec, c_i⟩ for every centroid — one F.expr parse
+    (same py4j-economy rationale as hyperplane_bucket)."""
+    return F.expr(
+        "array(" + ", ".join(_dot_sql(vec_name, c) for c in centroids) + ")"
+    )
+
+
+def build_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seeds = the ``n_centroids`` vectors
+    with smallest md5(id) (a seeded pseudo-random sample), refined by
+    ``lloyd_iters`` k-means steps (assign via argmax dot — vectors are
+    L2-normalized — then per-cluster elementwise mean, re-normalized).
+
+    Driver-side state is just k×d floats; every heavy step is one Spark
+    job (per-dimension ``avg`` aggregates — a single hash shuffle).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    seeds = (
+        emb.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(lloyd_iters):
+        dots = _centroid_dots(vec_col, cents)
+        assigned = emb.select(
+            F.col(vec_col).alias("__v"),
+            F.array_position(dots, F.array_max(dots)).alias("__c"),
+        )
+        means = (
+            assigned.groupBy("__c")
+            .agg(*[F.avg(F.col("__v").getItem(d)).alias(f"m{d}") for d in range(dim)])
+            .collect()
+        )
+        new = list(cents)
+        for r in means:
+            v = [r[f"m{d}"] for d in range(dim)]
+            nrm = sum(x * x for x in v) ** 0.5 or 1.0
+            new[int(r["__c"]) - 1] = [x / nrm for x in v]
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: corpus vectors are
+    bucketed by nearest centroid; each query scores only the ``n_probes``
+    closest cells. Exactness oracle is ``brute_force_topk``.
+
+    At 100 TB the assignment column is computed once at ingest and the
+    corpus is written partitioned/bucketed by ``__cell``, so a query
+    reads ``n_probes/n_centroids`` of the data with partition pruning —
+    this function re-derives the assignment inline for self-containment.
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = build_ivf_centroids(emb, n_centroids, id_col, vec_col)
+    e_dots = _centroid_dots(vec_col, centroids)
+    e = emb.select(
+        id_col, vec_col, F.array_position(e_dots, F.array_max(e_dots)).alias("__cell")
+    )
+    q_dots = _centroid_dots(query_vec_col, centroids)
+    # probe cells = indices of the n_probes largest centroid dots:
+    # sort (−dot, index) structs, slice, project the index
+    probe_arr = F.slice(
+        F.array_sort(
+            F.zip_with(
+                q_dots,
+                F.sequence(F.lit(1), F.lit(len(centroids))),
+                lambda d, i: F.struct((-d).alias("nd"), i.cast("long").alias("c")),
+            )
+        ),
+        1,
+        n_probes,
+    )
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.transform(probe_arr, lambda s: s.getField("c"))).alias("__cell"),
+    )
+    scored = e.join(F.broadcast(q), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(dot(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

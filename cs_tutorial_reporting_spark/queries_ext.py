@@ -386,6 +386,21 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=10, n_planes=6)
 
 
+@register("similarity_topk_ivf", oracle=None, bench=True)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF coarse quantizer (16 deterministic
+    k-means cells, 4 probed) — at scale the corpus is written
+    partitioned by cell so probes become partition pruning. Rows-only
+    check; recall vs brute force pinned in tests."""
+    from .operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, q, k=10, n_centroids=16, n_probes=4)
+
+
 # ---------------------------------------------------------------------------
 # Sessionization / as-of / range join
 # ---------------------------------------------------------------------------
