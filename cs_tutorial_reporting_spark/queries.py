@@ -911,5 +911,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# [EXT] registrations live in queries_ext; importing populates QUERIES.
+# [EXT] + surface registrations live in sibling modules; importing
+# populates QUERIES.
 from . import queries_ext  # noqa: E402,F401  (registry side-effect import)
+from . import queries_surface  # noqa: E402,F401

@@ -1,0 +1,253 @@
+"""Additional SQL-surface registrations (SURVEY §2 "absent in reference,
+engine exposes anyway" rows): percentiles, subquery shapes, array
+functions, ordered string aggregation, date-part spectrum, regex
+extraction, and the salted two-phase aggregation scale pattern.
+
+Determinism rules shared with the oracle: set-valued outputs go through
+``array_sort``; string aggregation concatenates a sorted list; date-part
+numbering is normalized to DuckDB's conventions explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register, t
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           round(stddev_samp(l_extendedprice), 2) AS sd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + sample stddev per group (both
+    engines use linear interpolation over sorted values)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(p, F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile(p, F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile(p, F.lit(0.75)), 2).alias("p75"),
+        F.round(F.stddev_samp(p), 2).alias("sd"),
+    )
+
+
+@register(
+    "subquery_exists_anti",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS sum_bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '5-LOW')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def subquery_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the DataFrame restatement is a
+    left-semi then left-anti join on the correlation key (J1
+    generalized); Catalyst broadcasts both probe sides."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(urgent, "c_custkey", "left_semi")
+        .join(low, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate — expressed as a 1-row broadcast
+    cross join (no driver collect: the threshold stays in the plan)."""
+    o = t(spark, sf_dir, "orders")
+    thresh = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(thresh))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "array_functions_spectrum",
+    oracle="""
+    SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER) AS n_prio,
+           list_contains(list(DISTINCT o_orderpriority), '1-URGENT') AS has_urgent,
+           list_sort(list(DISTINCT o_orderpriority))[1] AS first_prio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def array_functions_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + sort/size/contains/element_at over grouped
+    collect_set (deterministic via array_sort)."""
+    o = t(spark, sf_dir, "orders")
+    prios = F.array_sort(F.collect_set("o_orderpriority"))
+    return o.groupBy("o_orderstatus").agg(
+        prios.alias("priorities"),
+        F.size(prios).alias("n_prio"),
+        F.array_contains(prios, "1-URGENT").alias("has_urgent"),
+        F.element_at(prios, 1).alias("first_prio"),
+    )
+
+
+@register(
+    "string_agg_suppliers",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           count(*) AS n_supp
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def string_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: concat_ws over a sorted collect_list
+    (keeps duplicates — string_agg semantics, order pinned)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "date_parts_spectrum",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+           CAST(min(dayofweek(o_orderdate)) AS INTEGER) AS min_dow,
+           CAST(max(dayofyear(o_orderdate)) AS INTEGER) AS max_doy,
+           CAST(max(weekofyear(o_orderdate)) AS INTEGER) AS max_week,
+           count(*) AS n
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate), date_trunc('quarter', o_orderdate)
+    """,
+)
+def date_parts_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month/quarter + dow/doy/week extraction. Numbering is
+    normalized to DuckDB conventions: its dayofweek is 0=Sunday..6 while
+    Spark's dayofweek is 1=Sunday..7 (shift by −1); weekofyear is ISO in
+    both."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            F.date_trunc("month", d).cast("date").alias("month"),
+            F.date_trunc("quarter", d).cast("date").alias("quarter"),
+            (F.dayofweek(d) - 1).alias("dow"),
+            F.dayofyear(d).alias("doy"),
+            F.weekofyear(d).alias("week"),
+        )
+        .groupBy("month", "quarter")
+        .agg(
+            F.min("dow").alias("min_dow"),
+            F.max("doy").alias("max_doy"),
+            F.max("week").alias("max_week"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "regexp_extract_part_colors",
+    oracle="""
+    SELECT color, count(*) AS n, count(DISTINCT p_brand) AS n_brand
+    FROM (
+        SELECT regexp_extract(p_name, '(red|blue|green|hot|small)', 1) AS color,
+               p_brand
+        FROM part
+        WHERE regexp_matches(p_name, '(red|blue|green|hot|small)')
+    )
+    GROUP BY color
+    """,
+)
+def regexp_extract_part_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + rlike predicate (X-surface regex functions)."""
+    p = t(spark, sf_dir, "part")
+    pat = "(red|blue|green|hot|small)"
+    return (
+        p.filter(F.col("p_name").rlike(pat))
+        .select(
+            F.regexp_extract("p_name", pat, 1).alias("color"), "p_brand"
+        )
+        .groupBy("color")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("p_brand").alias("n_brand"),
+        )
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the hot-key mitigation for skewed
+    group-bys at 100 TB: phase 1 aggregates on (key, salt) spreading each
+    hot key over 16 reducers, phase 2 merges the 16 partials per key.
+    Results are identical to the plain GROUP BY (the oracle); sum order
+    differences are absorbed by round(). Spark's map-side partial
+    aggregation makes this unnecessary for count/sum on moderate skew —
+    the pattern matters for high-cardinality-state aggs (collect_list,
+    exact distinct) where partial aggregation can't shrink the hot key.
+    """
+    e = t(spark, sf_dir, "events")
+    salted = (
+        e.withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(F.count("*").alias("__n"), F.sum("value").alias("__s"))
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("__n").alias("n"),
+        F.round(F.sum("__s"), 2).alias("sum_value"),
+    )
