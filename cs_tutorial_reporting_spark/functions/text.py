@@ -98,3 +98,40 @@ def hash60(col: Column) -> Column:
     """Portable 60-bit string hash (md5 prefix); building block for
     minhash/simhash where Spark's xxhash64 would not match DuckDB."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken): hash every
+    char ``k``-gram of the normalized text (the rolling-hash stream),
+    then keep the minimum of each ``w``-wide window — a deterministic
+    ~1/w sample that two documents share wherever they share a run of
+    ≥ w+k-1 chars. Returns the sorted distinct fingerprint array.
+
+    Pure higher-order expressions (sequence/transform/slice/array_min):
+    no explode, no shuffle, no Python.
+    """
+    from . import bind_once
+
+    normalized = F.lower(F.regexp_replace(col, F.lit(" +"), F.lit(" ")))
+
+    def _grams(nrm):
+        n_grams = F.greatest(F.length(nrm) - (k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: hash60(nrm.substr(i + 1, F.lit(k))),
+        )
+
+    def _winnow(grams):
+        n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n_windows - 1),
+                    lambda j: F.array_min(F.slice(grams, j + 1, w)),
+                )
+            )
+        )
+
+    # bind normalized text, then the gram-hash array, exactly once per
+    # row — inlined they re-evaluate per element (O(n²) per document)
+    return bind_once(bind_once(normalized, _grams), _winnow)

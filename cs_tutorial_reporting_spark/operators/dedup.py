@@ -52,20 +52,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingles(col, n: int = 3):
     """Distinct word n-gram set (array<string>) of the normalized text.
     transform over a sequence of start offsets — JVM higher-order
-    functions, no explode shuffle."""
+    functions, no explode shuffle. The split-words array is lambda-bound
+    so the regexp+split runs once per row, not once per shingle."""
+    from ..functions import bind_once
+
     words = F.split(normalize_text(col), " ")
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            # try_element_at: NULL (skipped by concat_ws) past the end for
-            # docs shorter than n words — ANSI element_at would throw
-            lambda i: F.concat_ws(
-                " ",
-                *[F.try_element_at(words, (i + j + 1).cast("int")) for j in range(n)],
-            ),
+
+    def _sh(ws):
+        n_sh = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                # try_element_at: NULL (skipped by concat_ws) past the end
+                # for docs shorter than n words — ANSI element_at throws
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.try_element_at(ws, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            )
         )
-    )
+
+    return bind_once(words, _sh)
 
 
 def minhash_signature(shingle_col, num_hashes: int = 8):
@@ -191,6 +201,8 @@ def simhash_fingerprint(text_col, bits: int = 16):
     """SimHash: per whitespace token take a 60-bit md5 hash; each of the
     low ``bits`` bit-positions votes +1/-1; fingerprint sets bits with a
     positive majority. Pure expression — no explode, no shuffle."""
+    from ..functions import bind_once
+
     tokens = F.split(normalize_text(text_col), " ")
     th = F.transform(tokens, lambda w: hash60(w))
 
@@ -204,11 +216,16 @@ def simhash_fingerprint(text_col, bits: int = 16):
 
         return merge
 
-    fp = F.lit(0).cast("bigint")
-    for b in range(bits):
-        vote = F.aggregate(th, F.lit(0).cast("bigint"), _merge_for_bit(b))
-        fp = fp + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
-    return fp
+    def _fp(hashes):
+        # the per-token hash array is referenced by all ``bits``
+        # aggregates — lambda-bound so split+md5 runs once, not 16×
+        fp = F.lit(0).cast("bigint")
+        for b in range(bits):
+            vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _merge_for_bit(b))
+            fp = fp + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+        return fp
+
+    return bind_once(th, _fp)
 
 
 def simhash_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

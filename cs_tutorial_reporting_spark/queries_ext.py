@@ -145,6 +145,38 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+_WINNOW_SQL = f"""
+    SELECT doc_id, list_sort(list_distinct(
+        list_transform(range(0, greatest(len(grams) - {_WINNOW_W - 1}, 1)),
+                       j -> list_min(grams[j + 1 : j + {_WINNOW_W}]))
+    )) AS fps
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                   range(0, greatest(length(norm) - {_WINNOW_K - 1}, 1)),
+                   i -> {HASH60_SQL.format(x=f"substr(norm, i + 1, {_WINNOW_K})")}
+               ) AS grams
+        FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
+    )
+"""
+
+
+@register("doc_winnow_fingerprints", oracle=_WINNOW_SQL)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint sets (k=8 char-grams, window
+    w=4) — the plagiarism/near-dup fingerprinting primitive; shared
+    fingerprints ⇒ shared ≥11-char runs (functions/text.py)."""
+    from .functions.text import winnow_fingerprints
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import duckdb
 
     sys.path.insert(0, "/root/repo")
@@ -58,6 +58,8 @@ def main(sf_dir: str) -> int:
         )
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failed = []
     for name, fn in qs.items():
         try:
@@ -100,4 +102,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            set(sys.argv[2:]) or None,
+        )
+    )
