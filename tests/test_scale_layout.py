@@ -1,0 +1,118 @@
+"""Physical-layout tests for the 100 TB posture: partition pruning on
+date-partitioned landing zones, shuffle-free joins on bucketed tables,
+and the streaming incremental-dedup twin of EP2."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from cs_tutorial_reporting_spark.sources.readers import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_landing_prunes_partitions(spark, tmp_path):
+    """A date-partitioned landing write must turn a date predicate into
+    partition pruning (PartitionFilters), not a full scan."""
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "landing")
+    events.withColumn("d", F.to_date("ts")).write.partitionBy("d").parquet(out)
+
+    days = [r.d for r in spark.read.parquet(out).select("d").distinct().collect()]
+    one = sorted(days)[0]
+    df = spark.read.parquet(out).filter(F.col("d") == F.lit(one))
+    import re
+
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*\(d#\d+ = ", plan), plan
+    # pruned row count equals the per-day batch count
+    want = events.filter(F.to_date("ts") == F.lit(one)).count()
+    assert df.count() == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key co-locate: the sort-merge join
+    must run with zero Exchange operators."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bktdb.orders_b")
+    )
+    (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.mode("overwrite")
+        .bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bktdb.lineitem_b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bktdb.orders_b").join(
+            spark.table("bktdb.lineitem_b"), "o_orderkey"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-located both sides
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE bktdb.lineitem_b")
+        spark.sql("DROP TABLE bktdb.orders_b")
+        spark.sql("DROP DATABASE bktdb")
+
+
+def test_streaming_incremental_dedup_matches_batch_distinct(spark, tmp_path):
+    """EP2 streaming twin: duplicates injected across two micro-batches
+    are dropped within the watermark horizon; the surviving set equals
+    the batch distinct-by-PK."""
+    from cs_tutorial_reporting_spark.streaming.incremental import (
+        incremental_dedup_stream,
+    )
+
+    base = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .filter(F.col("event_id") < 2000)
+    )
+    src = str(tmp_path / "src")
+    # batch 1: the data; batch 2: the same rows again (pure duplicates)
+    base.coalesce(1).write.parquet(src, mode="overwrite")
+    base.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = incremental_dedup_stream(
+        stream, ["event_id"], "ts", watermark="30 days"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM inc_dedup_out").first()
+    assert got.n == got.d == base.count()
