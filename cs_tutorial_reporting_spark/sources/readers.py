@@ -29,9 +29,15 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _ns_timestamp_cols(path: str) -> list[str]:
     """Columns physically stored as parquet TIMESTAMP(NANOS) — Spark 4
-    refuses them unless read as raw int64 ns (legacy nanosAsLong)."""
+    refuses them unless read as raw int64 ns (legacy nanosAsLong).
+    Cached per path: the footer peek costs a pyarrow read per call and
+    every registry query hits the same handful of tables."""
     import glob
     import os
 

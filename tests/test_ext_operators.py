@@ -311,3 +311,22 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_pandas_dot_matches_jvm_dot(spark, emb):
+    """Arrow pandas_udf dot == built-in zip_with/aggregate dot (round 6)."""
+    from cs_tutorial_reporting_spark.functions.vectors import dot, dot_pandas
+
+    pairs = (
+        emb.limit(50)
+        .alias("a")
+        .crossJoin(emb.limit(50).select(F.col("embedding").alias("e2")))
+    )
+    pd_dot = dot_pandas()
+    diff = pairs.select(
+        (
+            F.round(dot(F.col("embedding"), F.col("e2")), 6)
+            - F.round(pd_dot(F.col("embedding"), F.col("e2")), 6)
+        ).alias("d")
+    ).agg(F.max(F.abs(F.col("d"))).alias("mx"))
+    assert diff.first()["mx"] == 0.0
