@@ -292,3 +292,56 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph → (node,
+    cluster_id) where cluster_id = the smallest node id reachable.
+    Resolves LSH dup *pairs* into transitive dup *clusters* (A~B, B~C ⇒
+    {A,B,C} even if A≁C directly).
+
+    Iterative DataFrame algorithm: per round one join + min-aggregate;
+    ``localCheckpoint`` truncates lineage so plans stay O(1) per round;
+    converges in graph-diameter rounds (dup chains are shallow — the
+    cap is a guard, and non-convergence raises rather than returning
+    partial labels). At 100 TB scale this is the alternating
+    large/small-star pattern's simple cousin — adequate while cluster
+    diameters stay small.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    e = e.localCheckpoint(eager=False)
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            e.join(labels, e["v"] == labels["node"])
+            .select(e["u"].alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("__nb"))
+        )
+        new_labels = labels.join(nb_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("__nb", "label")).alias("label"),
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.withColumnRenamed("label", "__old")
+            .join(new_labels, "node")
+            .filter(F.col("__old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

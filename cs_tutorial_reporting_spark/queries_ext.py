@@ -367,6 +367,46 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.45)
 
 
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    {_MINHASH_ORACLE}
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+    SELECT u AS node, u AS r FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+),
+labels AS (
+    SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id, count(*) AS n_docs, sum(node) AS sum_ids
+FROM labels GROUP BY cluster_id
+"""
+
+
+@register("dedup_transitive_clusters", oracle=_CC_ORACLE)
+def dedup_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup-cluster resolution: minhash-LSH pairs → iterative
+    min-label connected components (operators/dedup.py). Cluster id =
+    smallest member; oracle = DuckDB recursive-CTE transitive closure
+    over the identical pair set."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.5
+    )
+    labels = connected_components(pairs)
+    return labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"), F.sum("node").alias("sum_ids")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -330,3 +330,22 @@ def test_pandas_dot_matches_jvm_dot(spark, emb):
         ).alias("d")
     ).agg(F.max(F.abs(F.col("d"))).alias("mx"))
     assert diff.first()["mx"] == 0.0
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E (no A~C edge) must yield clusters {A,B,C} and {D,E}."""
+    from cs_tutorial_reporting_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r.node, r.cluster_id) for r in connected_components(edges).collect()
+    }
+    want = (
+        {(n, 1) for n in (1, 2, 3, 4)}
+        | {(n, 10) for n in (10, 11)}
+        | {(n, 20) for n in (20, 21, 22, 23)}
+    )
+    assert got == want
