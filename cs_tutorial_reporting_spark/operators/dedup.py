@@ -277,6 +277,12 @@ def embedding_near_dup_pairs(
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # The pair comparison is compute-bound and inherits the (often
+    # single-file) input partitioning — a cross join of 1×1 partitions
+    # runs the whole O(n²) scoring on one core. Fan the probe side out.
+    target = emb.sparkSession.sparkContext.defaultParallelism * 2
+    if a.rdd.getNumPartitions() < target:
+        a = a.repartition(target)
     if n_buckets:
         from .similarity import hyperplane_bucket
 
