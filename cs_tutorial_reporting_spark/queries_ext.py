@@ -579,6 +579,99 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_fuzzy_keepmin",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {_MINHASH_ORACLE}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS r FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    losers AS (
+        SELECT node FROM reach GROUP BY node HAVING min(r) <> node
+    )
+    SELECT count(*) AS n_kept, sum(doc_id) AS sum_ids
+    FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def dedup_fuzzy_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH pairs → transitive clusters → keep
+    each cluster's minimum doc_id, drop the rest (the full
+    training-corpus dedup story in one query)."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.5
+    )
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = d.join(losers, "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (bounded replay: the stream drains synchronously, then the
+# materialized result is returned as a batch DataFrame — so Structured
+# Streaming runs inside the driver's oracle gate, not just in tests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hourly_rollup",
+    oracle="""
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of ``events_hourly_rollup``: file-source
+    stream → 1 h tumbling window agg → complete-mode memory sink, drained
+    with processAllAvailable. Complete mode emits every window at the
+    final trigger, so the materialized table equals the batch rollup
+    exactly — value-hash oracle-checkable."""
+    from .streaming.sessions import read_event_stream
+
+    name = "stream_rollup_gate"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        (F.unix_timestamp(F.col("w.start")) * 1000).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
