@@ -86,12 +86,21 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 4)
 
 
+def normalize_text(col: Column) -> Column:
+    """Canonical text form every dedup/fingerprint family hashes:
+    lower-cased, ALL whitespace runs (spaces/tabs/newlines) collapsed to
+    one space, trimmed. DuckDB twin:
+    ``trim(lower(regexp_replace(col, '\\s+', ' ', 'g')))``."""
+    return F.trim(F.lower(F.regexp_replace(col, F.lit(r"\s+"), F.lit(" "))))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: 60-bit integer from the md5 of the
     whitespace-normalized, lower-cased text. md5 is identical in every
     engine ⇒ oracle-checkable; 15 hex digits keep it inside BIGINT."""
-    normalized = F.lower(F.regexp_replace(col, F.lit(" +"), F.lit(" ")))
-    return F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(normalize_text(col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
 
 
 def hash60(col: Column) -> Column:
@@ -112,7 +121,7 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
     """
     from . import bind_once
 
-    normalized = F.lower(F.regexp_replace(col, F.lit(" +"), F.lit(" ")))
+    normalized = normalize_text(col)
 
     def _grams(nrm):
         n_grams = F.greatest(F.length(nrm) - (k - 1), F.lit(1))

@@ -72,8 +72,9 @@ FEATURE_SCHEMA = (
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic feature extraction over the binary content column
     via mapInPandas (Arrow batches — the exact plumbing a real decoder
-    uses): byte length, md5 checksum, first byte. Pure function of the
-    bytes ⇒ oracle-checkable in SQL (octet_length / md5 / ascii)."""
+    uses): byte length, md5 checksum, first byte (-1 when empty). Pure
+    function of the bytes ⇒ oracle-checkable in SQL (octet_length / md5 /
+    hex-prefix of the encoded blob)."""
     import hashlib
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

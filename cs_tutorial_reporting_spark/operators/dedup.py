@@ -26,13 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import hash60
-
-
-def normalize_text(col):
-    """Lowercase + whitespace-collapse; the canonical form every dedup
-    family hashes."""
-    return F.lower(F.regexp_replace(col, F.lit(" +"), F.lit(" ")))
+from ..functions.text import hash60, normalize_text  # noqa: F401  (re-export)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -122,10 +116,15 @@ def minhash_lsh_pairs(
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, "__id")
     # Shingle sets are reused three times (banding + both verify probes)
-    # and cost ~10 ms/doc to build — persist, don't recompute.
+    # and cost ~10 ms/doc to build — persist, don't recompute. Lifecycle:
+    # the cached RDD is reclaimed by Spark's ContextCleaner once the
+    # returned plan (and this DataFrame) are garbage collected; under
+    # memory pressure MEMORY_AND_DISK evicts to disk rather than OOM.
+    from pyspark import StorageLevel
+
     sh_df = src.select(
         "__id", shingles(F.col("__txt"), shingle_n).alias("__sh")
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # band key = "band_index|mh_i|mh_i+1..." string — one row per band;
     # bands carry ONLY (id, band): the shingle arrays stay out of the
     # band shuffle and join back by id at verify time.
@@ -240,21 +239,38 @@ def simhash_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) ->
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, other: DataFrame | None = None,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: DataFrame | None = None,
     n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for explicit candidate pairs (consecutive ids
-    when ``other`` is None) — the verification primitive, exposed
-    standalone so its semantics are independently oracle-checkable."""
-    lhs = df.select(
-        F.col(id_col).alias("id_a"), shingles(F.col(text_col), n).alias("__sa")
+    """Exact n-gram Jaccard for candidate pairs — the verification
+    primitive, exposed standalone so its semantics are independently
+    oracle-checkable.
+
+    ``pairs``: a (id_a, id_b) DataFrame naming the pairs to score;
+    defaults to consecutive ids (id, id+1) — a deterministic sample that
+    touches every document once.
+    """
+    if pairs is None:
+        pairs = df.select(
+            F.col(id_col).alias("id_a"), (F.col(id_col) + 1).alias("id_b")
+        ).join(
+            df.select(F.col(id_col).alias("id_b")), "id_b", "left_semi"
+        )
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
     )
-    rhs = (other if other is not None else df).select(
-        (F.col(id_col) - 1).alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        shingles(F.col(text_col), n).alias("__sb"),
+    joined = (
+        pairs.join(
+            sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")),
+            "id_a",
+        ).join(
+            sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")),
+            "id_b",
+        )
     )
-    joined = lhs.join(rhs, "id_a")
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
     return joined.select(
@@ -267,12 +283,16 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_buckets: int = 0,
+    n_planes: int = 0,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    threshold). Brute-force all-pairs when ``n_buckets=0``; with
-    buckets, candidate pairs come from shared random-hyperplane LSH
-    buckets (see similarity.hyperplane_bucket) — the 100 TB path."""
+    threshold). Brute-force all-pairs when ``n_planes=0``; otherwise
+    candidate pairs come from shared random-hyperplane LSH buckets
+    (2^n_planes of them — see similarity.hyperplane_bucket) — the
+    100 TB path. ``dim`` must match the embedding width: the hyperplane
+    constants are generated per dimension and a mismatch zips against
+    NULLs."""
     from ..functions.vectors import cosine
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
@@ -283,11 +303,11 @@ def embedding_near_dup_pairs(
     target = emb.sparkSession.sparkContext.defaultParallelism * 2
     if a.rdd.getNumPartitions() < target:
         a = a.repartition(target)
-    if n_buckets:
+    if n_planes:
         from .similarity import hyperplane_bucket
 
-        a = a.withColumn("__bkt", hyperplane_bucket("__va", n_buckets))
-        b = b.withColumn("__bkt", hyperplane_bucket("__vb", n_buckets))
+        a = a.withColumn("__bkt", hyperplane_bucket("__va", n_planes, dim))
+        b = b.withColumn("__bkt", hyperplane_bucket("__vb", n_planes, dim))
         pairs = a.join(b, "__bkt").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -19,7 +19,7 @@ from .queries import register, t
 
 # -- shared SQL fragments (DuckDB dialect), kept adjacent to constants ----
 
-NORM_SQL = "lower(regexp_replace({col}, ' +', ' ', 'g'))"
+NORM_SQL = r"trim(lower(regexp_replace({col}, '\s+', ' ', 'g')))"
 HASH60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 WORDS_SQL = f"string_split({NORM_SQL.format(col='text')}, ' ')"
 SHINGLES_SQL = (
@@ -239,6 +239,8 @@ def _band_keys_sql(num_hashes: int, band_size: int) -> str:
     return "[" + ", ".join(keys) + "]"
 
 
+_MAX_BUCKET = 1000  # shared with minhash_lsh_pairs(max_bucket=...)
+
 _MINHASH_ORACLE = f"""
 WITH base AS (
     SELECT doc_id, {SHINGLES_SQL} AS sh
@@ -250,9 +252,16 @@ sigs AS (
 bands AS (
     SELECT doc_id, sh, unnest({_band_keys_sql(8, 2)}) AS band FROM sigs
 ),
+ok_bands AS (
+    -- mirror of minhash_lsh_pairs' max_bucket guard (pathological
+    -- buckets are dropped BEFORE pair expansion on both engines)
+    SELECT band FROM bands GROUP BY band HAVING count(*) <= {_MAX_BUCKET}
+),
 pairs AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    FROM bands a
+    JOIN ok_bands ob ON ob.band = a.band
+    JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 ),
 verified AS (
     SELECT id_a, id_b,
@@ -278,7 +287,8 @@ def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        d, "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.5
+        d, "text", "doc_id", num_hashes=8, band_size=2,
+        jaccard_threshold=0.5, max_bucket=_MAX_BUCKET,
     )
 
 
@@ -346,13 +356,14 @@ def simhash_collision_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT vec_id + 100000, embedding FROM embeddings
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]), 6) AS cos
-    FROM corpus a, corpus b
-    WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          >= 0.45
+    SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM corpus a, corpus b
+        WHERE a.vec_id < b.vec_id
+    )
+    WHERE cos >= 0.45  -- threshold on the ROUNDED value, same as Spark
     """,
 )
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,7 +657,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with processAllAvailable. Complete mode emits every window at the
     final trigger, so the materialized table equals the batch rollup
     exactly — value-hash oracle-checkable."""
-    from .streaming.sessions import read_event_stream
+    from .streaming.sessions import read_event_stream, run_to_memory
 
     name = "stream_rollup_gate"
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
@@ -654,16 +665,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    run_to_memory(agg, name, output_mode="complete")
     return spark.table(name).select(
         (F.unix_timestamp(F.col("w.start")) * 1000).alias("window_start_ms"),
         "event_type",
@@ -683,7 +685,10 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
-           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                     ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                               AS INTEGER)
+                END AS INTEGER) AS head_byte
     FROM documents
     """,
 )

@@ -25,19 +25,47 @@ from ..schemas import STAR_TABLES
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
-    """Columnar scan with Catalyst filter/column pushdown (the default)."""
-    return spark.read.parquet(path)
+    """Columnar scan with Catalyst filter/column pushdown (the default).
+
+    ns-timestamp-aware like every engine read path: detected
+    TIMESTAMP(NANOS) columns are read as int64 and floored to µs (the
+    ``nanosAsLong`` session flag stays set once flipped — uniform policy;
+    the footer peek decides per file which columns need conversion).
+    """
+    return _read_parquet_ns_aware(spark, path)
+
+
+def _read_parquet_ns_aware(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 import functools
+import os as _os
 
 
-@functools.lru_cache(maxsize=256)
 def _ns_timestamp_cols(path: str) -> list[str]:
     """Columns physically stored as parquet TIMESTAMP(NANOS) — Spark 4
     refuses them unless read as raw int64 ns (legacy nanosAsLong).
-    Cached per path: the footer peek costs a pyarrow read per call and
-    every registry query hits the same handful of tables."""
+    Cached per (path, mtime): the footer peek costs a pyarrow read per
+    call and every registry query hits the same handful of tables; the
+    mtime key keeps a rewritten file from being served stale schema."""
+    try:
+        mtime = _os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return _ns_timestamp_cols_cached(path, mtime)
+
+
+@functools.lru_cache(maxsize=256)
+def _ns_timestamp_cols_cached(path: str, _mtime: int) -> list[str]:
     import glob
     import os
 
@@ -69,12 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
-    ns_cols = _ns_timestamp_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    df = _read_parquet_ns_aware(spark, path)
     want = STAR_TABLES.get(name)
     if want is not None and [f.name for f in want.fields] == df.columns:
         # Cast only where physical type differs (int32 vs int64 etc.).

@@ -77,11 +77,15 @@ def session_rollup(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
     """Drain a bounded file-source stream synchronously into a memory
-    table (test/driver harness helper)."""
+    table (test/driver harness helper). ``complete`` mode re-emits every
+    group at the final trigger — i.e. the table then equals the batch
+    answer exactly."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
