@@ -349,3 +349,31 @@ def test_connected_components_transitive_chain(spark):
         | {(n, 20) for n in (20, 21, 22, 23)}
     )
     assert got == want
+
+
+def test_normalize_collapses_all_whitespace(spark):
+    """Tabs/newlines/multi-space + edges must hash identically after
+    normalization (the web-scrape near-dup case)."""
+    from cs_tutorial_reporting_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "foo\tbar\nbaz"), (3, "  Foo  bar   baz ")],
+        "doc_id bigint, text string",
+    )
+    kept = exact_dedup(df, "text", "doc_id")
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_ngram_jaccard_explicit_pairs(spark):
+    from cs_tutorial_reporting_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a bigint, id_b bigint")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", pairs=pairs).collect()
+    }
+    assert got == {(1, 2): 1.0, (1, 3): 0.0}
