@@ -20,22 +20,29 @@ from .queries import register, t
     "percentile_stats",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.25) / 100, 2) AS p25,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.5) / 100, 2) AS p50,
+           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               0.75) / 100, 2) AS p75,
            round(stddev_samp(l_extendedprice), 2) AS sd
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles + sample stddev per group (both
-    engines use linear interpolation over sorted values)."""
+    """Exact interpolated percentiles + sample stddev per group. The
+    percentile interpolates over integer CENTS (exact in double) so both
+    engines produce bit-identical midpoints — interpolating the raw
+    doubles can land a half-cent boundary on differently-associated
+    floats and flip round(·, 2) (seen at sf0.001)."""
     li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     p = F.col("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(p, F.lit(0.25)), 2).alias("p25"),
-        F.round(F.percentile(p, F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile(p, F.lit(0.75)), 2).alias("p75"),
+        F.round(F.percentile(cents, F.lit(0.25)) / 100, 2).alias("p25"),
+        F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias("p50"),
+        F.round(F.percentile(cents, F.lit(0.75)) / 100, 2).alias("p75"),
         F.round(F.stddev_samp(p), 2).alias("sd"),
     )
 
