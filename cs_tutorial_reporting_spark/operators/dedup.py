@@ -356,18 +356,18 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("__nb"))
         )
-        new_labels = labels.join(nb_min, "node", "left").select(
+        # fold the convergence flag into the same join so each round is
+        # exactly one join job (checkpoint) + one cheap cached-count
+        stepped = labels.join(nb_min, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("__nb", "label")).alias("label"),
+            (F.coalesce("__nb", "label") < F.col("label"))
+            .cast("int")
+            .alias("__chg"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.withColumnRenamed("label", "__old")
-            .join(new_labels, "node")
-            .filter(F.col("__old") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.agg(F.sum("__chg")).first()[0]
+        labels = stepped.drop("__chg")
+        if not changed:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

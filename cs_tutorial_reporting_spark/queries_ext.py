@@ -163,6 +163,8 @@ _WINNOW_SQL = f"""
 """
 
 
+# not a bench query: the result is 5000 full fingerprint ARRAYS, so
+# collect() time is py4j row transfer, not engine work
 @register("doc_winnow_fingerprints", oracle=_WINNOW_SQL)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint sets (k=8 char-grams, window
@@ -171,6 +173,11 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import winnow_fingerprints
 
     d = t(spark, sf_dir, "documents")
+    # per-char md5 stream is compute-bound: fan small single-file inputs
+    # out before the map (no-op on already-wide inputs)
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
     return d.select(
         "doc_id",
         winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
@@ -528,6 +535,7 @@ def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_join_last_click",
+    bench=True,
     oracle="""
     WITH clicks AS (
         SELECT user_id, ts, max(event_id) AS event_id
@@ -643,6 +651,7 @@ def dedup_fuzzy_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_hourly_rollup",
+    bench=True,
     oracle="""
     SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
            event_type,

@@ -18,6 +18,7 @@ from .queries import register, t
 
 @register(
     "percentile_stats",
+    bench=True,
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
@@ -233,6 +234,7 @@ def regexp_extract_part_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew_salted_agg",
+    bench=True,
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events GROUP BY event_type
@@ -257,4 +259,98 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted.groupBy("event_type").agg(
         F.sum("__n").alias("n"),
         F.round(F.sum("__s"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "having_filter_groups",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 8 AND sum(o_totalprice) > 500000
+    """,
+)
+def having_filter_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING predicate (filter on aggregate columns)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("__raw_total"),
+        )
+        .filter((F.col("n_orders") >= 8) & (F.col("__raw_total") > 500000))
+        .select(
+            "o_custkey", "n_orders", F.round("__raw_total", 2).alias("total")
+        )
+    )
+
+
+@register(
+    "null_safe_join_props",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id,
+               CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 10
+                    THEN NULL
+                    ELSE CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 5
+                              AS VARCHAR)
+               END AS grp
+        FROM events
+    )
+    SELECT coalesce(a.grp, '<null>') AS grp, count(*) AS n
+    FROM (SELECT * FROM keyed WHERE event_id < 5000) a
+    JOIN (SELECT DISTINCT grp FROM keyed) b
+      ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY 1
+    """,
+)
+def null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match NULL keys instead of being dropped — the semantics a
+    dedup-by-nullable-column needs. The key mixes NULLs (k < 10) and
+    values (k % 5) so both match paths are exercised."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    keyed = e.select(
+        "event_id",
+        F.when(k < 10, F.lit(None)).otherwise((k % 5).cast("string")).alias("grp"),
+    )
+    a = keyed.filter(F.col("event_id") < 5000)
+    b = keyed.select("grp").distinct()
+    return (
+        a.join(b, a["grp"].eqNullSafe(b["grp"]))
+        .select(F.coalesce(a["grp"], F.lit("<null>")).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, count(note) AS n_with_note
+    FROM (
+        SELECT o_orderstatus, NULL AS note FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT 'legacy' AS note, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: columns aligned by NAME with missing
+    columns null-filled (unionByName allowMissingColumns ≡ DuckDB
+    UNION ALL BY NAME)."""
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.lit("legacy").alias("note"), "o_orderstatus"
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.count("note").alias("n_with_note")
     )
