@@ -21,30 +21,43 @@ from .queries import register, t
     bench=True,
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
-                               0.25) / 100, 2) AS p25,
-           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
-                               0.5) / 100, 2) AS p50,
-           round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
-                               0.75) / 100, 2) AS p75,
-           round(stddev_samp(l_extendedprice), 2) AS sd
-    FROM lineitem GROUP BY l_returnflag
+           round(qs[1] / 100, 2) AS p25,
+           round(qs[2] / 100, 2) AS p50,
+           round(qs[3] / 100, 2) AS p75,
+           round(sd, 2) AS sd
+    FROM (
+        SELECT l_returnflag,
+               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                             [0.25, 0.5, 0.75]) AS qs,
+               stddev_samp(l_extendedprice) AS sd
+        FROM lineitem GROUP BY l_returnflag
+    )
     """,
 )
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles + sample stddev per group. The
-    percentile interpolates over integer CENTS (exact in double) so both
-    engines produce bit-identical midpoints — interpolating the raw
-    doubles can land a half-cent boundary on differently-associated
-    floats and flip round(·, 2) (seen at sf0.001)."""
+    """Exact interpolated percentiles + sample stddev per group. All
+    three quantiles come from ONE percentile buffer (array form — one
+    sort per group, not three), interpolated over integer CENTS (exact
+    in double) so both engines produce bit-identical midpoints —
+    interpolating raw doubles can land a half-cent boundary on
+    differently-associated floats and flip round(·, 2) (seen at
+    sf0.001)."""
     li = t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    p = F.col("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(cents, F.lit(0.25)) / 100, 2).alias("p25"),
-        F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias("p50"),
-        F.round(F.percentile(cents, F.lit(0.75)) / 100, 2).alias("p75"),
-        F.round(F.stddev_samp(p), 2).alias("sd"),
+    qs = F.percentile(cents, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            qs.alias("__qs"),
+            F.stddev_samp("l_extendedprice").alias("__sd"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__qs", 1) / 100, 2).alias("p25"),
+            F.round(F.element_at("__qs", 2) / 100, 2).alias("p50"),
+            F.round(F.element_at("__qs", 3) / 100, 2).alias("p75"),
+            F.round("__sd", 2).alias("sd"),
+        )
     )
 
 
@@ -353,4 +366,27 @@ def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = old.unionByName(new, allowMissingColumns=True)
     return u.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.count("note").alias("n_with_note")
+    )
+
+
+@register(
+    "explode_lateral_shingles",
+    oracle="""
+    SELECT shingle, count(*) AS n
+    FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS shingle
+        FROM documents WHERE doc_id < 50
+    )
+    GROUP BY shingle HAVING count(*) >= 10
+    """,
+)
+def explode_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (lateral view / unnest): array column to rows, then a
+    frequency rollup — the row-generating operator family."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
     )
