@@ -83,7 +83,11 @@ def quality_score(col: Column) -> Column:
         + F.when(stop_hits / n_words > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
         + F.least(F.lit(0.3), (alpha_chars / n_chars) * 0.3)
     )
-    return F.round(score, 4)
+    # portable round-4: floor(x*1e4 + .5)/1e4 is the same IEEE op sequence
+    # in every engine — round(x, 4) is NOT (Spark rounds the double's
+    # exact decimal, DuckDB rounds the scaled double; a .xxxx5 boundary
+    # splits them — seen at sf0.1)
+    return F.floor(score * 10000 + F.lit(0.5)) / 10000
 
 
 def normalize_text(col: Column) -> Column:

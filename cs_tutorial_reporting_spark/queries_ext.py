@@ -40,8 +40,10 @@ def _occ_sql(col: str, marker: str) -> str:
 # Text analysis
 # ---------------------------------------------------------------------------
 
+# portable round-4 (floor(x*1e4+.5)/1e4) — same IEEE ops as the Spark
+# side; round(x,4) diverges on .xxxx5 boundaries across engines
 _QUALITY_SQL = f"""
-    round(
+    floor((
       (CASE WHEN ((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw) >= 3
              AND ((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw) <= 10
             THEN 0.4 ELSE 0.0 END)
@@ -50,7 +52,7 @@ _QUALITY_SQL = f"""
               THEN 0.3 ELSE 0.0 END)
       + least(0.3, (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                     / CAST(length(text) AS DOUBLE)) * 0.3)
-    , 4)
+    ) * 10000 + 0.5) / 10000
 """
 
 

@@ -390,3 +390,37 @@ def explode_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+@register(
+    "map_functions_scalar",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           CAST(count(DISTINCT o_orderstatus) AS INTEGER) AS n_keys
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def map_functions_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed intermediate state: per-priority status→count map built
+    with map_from_entries, probed with element_at/map_keys. Output is
+    scalar (key-addressed) so the unordered map never reaches the hash
+    compare; the oracle recomputes the same scalars relationally."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct("o_orderstatus", "n"))
+    )
+    return (
+        per.groupBy("o_orderpriority")
+        .agg(m.alias("__m"))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.element_at("__m", "F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.element_at("__m", "O"), F.lit(0)).alias("n_o"),
+            F.size(F.map_keys("__m")).alias("n_keys"),
+        )
+    )
