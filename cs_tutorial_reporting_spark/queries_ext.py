@@ -714,3 +714,60 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     media = attach_media(d, F.encode(F.col("text"), "utf-8"), "image", "raw")
     return extract_features(media, id_col="doc_id")
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept,
+           floor(avg(q) * 10000 + 0.5) / 10000 AS avg_quality
+    FROM (
+        SELECT lang, {_QUALITY_SQL} AS q
+        FROM (SELECT lang, text,
+                     CAST({_occ_sql('text', ' ')} + 1 AS DOUBLE) AS nw
+              FROM documents)
+    )
+    WHERE q >= 0.8
+    GROUP BY lang
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus cleaning step: quality-score every
+    document, keep the high-quality slice, report retention per labeled
+    language — the filter is a pure map, so at 100 TB it pipelines into
+    the scan with zero extra shuffles."""
+    from .functions.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select("lang", quality_score(F.col("text")).alias("q"))
+    return (
+        scored.filter(F.col("q") >= 0.8)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.floor(F.avg("q") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_quality"
+            ),
+        )
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE {HASH60_SQL.format(x="concat('sample|', CAST(doc_id AS VARCHAR))")}
+          % 10 < 3
+    GROUP BY lang
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 30% sample via seeded hash-mod on the key — unlike
+    rand()/TABLESAMPLE this is stable across engines, runs, and
+    partitionings (the only sampling you can audit at 100 TB)."""
+    from .functions.text import hash60
+
+    d = t(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))) % 10
+    return d.filter(bucket < 3).groupBy("lang").agg(F.count("*").alias("n"))
