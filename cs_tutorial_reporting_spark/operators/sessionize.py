@@ -54,3 +54,42 @@ def session_stats(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def grouped_ols_slope(
+    events: "DataFrame",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    y_col: str = "value",
+    min_points: int = 5,
+) -> "DataFrame":
+    """Per-key OLS trend slope (y vs time-in-days) via grouped-map
+    ``applyInPandas`` — the Arrow batch path for per-group model fitting
+    that SQL aggregates can't express in general (here the linear case
+    IS SQL-expressible via regr_slope, which makes this operator
+    oracle-checkable while standing in for arbitrary per-group fits).
+
+    Two-pass centered formula in float64: slope = Σ(x-x̄)(y-ȳ)/Σ(x-x̄)².
+    At 100 TB: one hash shuffle on the key; each group's fit is
+    in-memory vectorized NumPy; state is O(group), not O(total).
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[ts_col].astype("int64") / 86400e9  # datetime64[ns] → days
+        y = pdf[y_col].astype("float64")
+        xc = x - x.mean()
+        sxx = float((xc * xc).sum())
+        slope = float((xc * (y - y.mean())).sum()) / sxx if sxx > 0 else None
+        return pd.DataFrame(
+            {"key": [pdf[key_col].iloc[0]], "slope": [slope], "n": [len(pdf)]}
+        )
+
+    out_schema = f"key bigint, slope double, n bigint"
+    return (
+        events.select(key_col, ts_col, y_col)
+        .groupBy(key_col)
+        .applyInPandas(fit, out_schema)
+        .filter(F.col("n") >= min_points)
+        .withColumnRenamed("key", key_col)
+    )

@@ -771,3 +771,24 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     bucket = hash60(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))) % 10
     return d.filter(bucket < 3).groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "grouped_trend_slope",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts) / 86400.0), 4) AS slope,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id HAVING count(*) >= 5
+    """,
+)
+def grouped_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-vs-time OLS slope via grouped-map applyInPandas
+    (operators/sessionize.py) — the Arrow per-group model-fit path,
+    value-checked against DuckDB's regr_slope."""
+    from .operators.sessionize import grouped_ols_slope
+
+    e = t(spark, sf_dir, "events")
+    out = grouped_ols_slope(e, min_points=5)
+    return out.select("user_id", F.round("slope", 4).alias("slope"), "n")
