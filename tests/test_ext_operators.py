@@ -377,3 +377,19 @@ def test_ngram_jaccard_explicit_pairs(spark):
         for r in ngram_jaccard_pairs(docs, "text", "doc_id", pairs=pairs).collect()
     }
     assert got == {(1, 2): 1.0, (1, 3): 0.0}
+
+
+def test_minhash_max_bucket_guard(spark):
+    """50 identical docs share every band: with max_bucket below the
+    bucket size the guard must drop the whole bucket (0 pairs) instead
+    of exploding quadratically; with the default it must pair them all."""
+    from cs_tutorial_reporting_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact document body repeated verbatim") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    guarded = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=10)
+    assert guarded.count() == 0
+    full = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=1000)
+    assert full.count() == 50 * 49 // 2
