@@ -59,3 +59,49 @@ def test_append_sink_accumulates(spark, tmp_path):
     write_table_append(df, target)
     write_table_append(df, target)
     assert spark.read.parquet(target).count() == 2
+
+
+def test_airflow_rest_datasource_paginates(spark, tmp_path):
+    """Custom Python Data Source (S1-S3): one input partition per page,
+    full pagination (the reference's taskInstances first-page-only bug
+    must NOT reproduce), P1 projection to the declared schema."""
+    import json
+
+    from cs_tutorial_reporting_spark.schemas import RPT_DAG_RUN
+    from cs_tutorial_reporting_spark.sources.airflow_rest import (
+        AirflowRestDataSource,
+    )
+
+    rows = [
+        {
+            "dag_id": f"dag_{i % 3}",
+            "dag_run_id": f"run_{i}",
+            "end_date": None,
+            "execution_date": f"2024-01-{(i % 27) + 1:02d}T00:00:00+00:00",
+            "external_trigger": bool(i % 2),
+            "logical_date": f"2024-01-{(i % 27) + 1:02d}T00:00:00+00:00",
+            "start_date": None,
+            "state": "success",
+            "extra_api_field": "dropped by projection",
+        }
+        for i in range(25)
+    ]
+    fixture = tmp_path / "dag_runs.json"
+    fixture.write_text(json.dumps(rows))
+
+    spark.dataSource.register(AirflowRestDataSource)
+    # string-typed schema: the API wire format is stringly typed (§1.2);
+    # project_cast applies catalog types downstream
+    wire_schema = ", ".join(f"{f.name} string" for f in RPT_DAG_RUN.fields)
+    df = (
+        spark.read.format("airflow_rest")
+        .schema(wire_schema)
+        .option("path", str(fixture))
+        .option("batch_size", 10)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(25/10) pages
+    got = df.collect()
+    assert len(got) == 25  # ALL pages, not just the first
+    assert {r.dag_run_id for r in got} == {f"run_{i}" for i in range(25)}
+    assert "extra_api_field" not in df.columns
