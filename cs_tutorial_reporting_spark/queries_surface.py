@@ -424,3 +424,36 @@ def map_functions_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.map_keys("__m")).alias("n_keys"),
         )
     )
+
+
+@register(
+    "constraint_check_report",
+    oracle="""
+    SELECT
+        (SELECT count(*) FROM (
+            SELECT l_orderkey, l_linenumber
+            FROM (SELECT * FROM lineitem
+                  UNION ALL
+                  SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        )) AS pk_violations,
+        (SELECT count(*) - count(l_shipdate) FROM lineitem)
+            AS null_violations
+    """,
+)
+def constraint_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 engine-enforced constraints: PK-duplicate count over a batch
+    with planted violations (lineitem ∪ every-100th-order copy) and
+    NULL count in a NOT NULL column (operators/constraints.py)."""
+    from .operators.constraints import check_constraints
+
+    li = t(spark, sf_dir, "lineitem")
+    batch = li.unionByName(li.filter(F.col("l_orderkey") % 100 == 0))
+    return check_constraints(
+        batch.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        pk_cols=["l_orderkey", "l_linenumber"],
+        not_null_cols=["l_shipdate"],
+    ).select(
+        F.col("pk_violations").cast("bigint").alias("pk_violations"),
+        F.col("null_violations").cast("bigint").alias("null_violations"),
+    )

@@ -116,3 +116,59 @@ def test_streaming_incremental_dedup_matches_batch_distinct(spark, tmp_path):
         q.stop()
     got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM inc_dedup_out").first()
     assert got.n == got.d == base.count()
+
+
+def test_constraint_checks(spark):
+    from cs_tutorial_reporting_spark.operators.constraints import (
+        check_constraints,
+        pk_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None), (3, "c")], "k int, v string"
+    )
+    assert [r.k for r in pk_violations(df, ["k"]).collect()] == [1]
+    rep = check_constraints(df, pk_cols=["k"], not_null_cols=["v"]).first()
+    assert rep.pk_violations == 1 and rep.null_violations == 1
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """foreachBatch append with a checkpoint: stop after the first file,
+    restart with more files — every input row lands exactly once (no
+    replays, no loss), the production streaming-load write path."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    first = events.filter(F.col("event_id") < 1000)
+    second = events.filter(
+        (F.col("event_id") >= 1000) & (F.col("event_id") < 2000)
+    )
+    first.coalesce(1).write.parquet(src, mode="overwrite")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # processes file 1, checkpoints
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # must process ONLY file 2
+    got = spark.read.parquet(out)
+    assert got.count() == first.count() + second.count()
+    assert got.select("event_id").distinct().count() == got.count()
