@@ -65,3 +65,28 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> str:
     """
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
     return path
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 10_000,
+    properties: dict | None = None,
+) -> None:
+    """K3 on a live warehouse: batched JDBC append — the engine's
+    equivalent of the reference's bulk ``COPY FROM STDIN``
+    (gcs_to_postgres.py:178-181). ``batchsize`` batches the INSERTs;
+    for true COPY-speed loads on Postgres, stage to files and COPY, or
+    use a connector that does. Untested here (no database in the
+    harness)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

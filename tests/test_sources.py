@@ -105,3 +105,51 @@ def test_airflow_rest_datasource_paginates(spark, tmp_path):
     assert len(got) == 25  # ALL pages, not just the first
     assert {r.dag_run_id for r in got} == {f"run_{i}" for i in range(25)}
     assert "extra_api_field" not in df.columns
+
+
+def test_airflow_rest_source_through_ep2_pipeline(spark, tmp_path):
+    """End-to-end: REST data source (partitioned pages) → project_cast →
+    watermark filter → composite-PK dedup → append — the reference's
+    dag_runs pipeline (EP2) on the Spark-native source."""
+    import json
+
+    from cs_tutorial_reporting_spark.plans.pipeline import load_report_table
+    from cs_tutorial_reporting_spark.schemas import RPT_DAG_RUN
+    from cs_tutorial_reporting_spark.sources.airflow_rest import (
+        AirflowRestDataSource,
+    )
+
+    def run(i):
+        return {
+            "dag_id": f"d{i % 2}",
+            "dag_run_id": f"r{i}",
+            "end_date": None,
+            "execution_date": f"2024-02-{(i % 27) + 1:02d}T00:00:00+00:00",
+            "external_trigger": "false",
+            "logical_date": f"2024-02-{(i % 27) + 1:02d}T00:00:00+00:00",
+            "start_date": f"2024-02-{(i % 27) + 1:02d}T06:00:00+00:00",
+            "state": "success",
+        }
+
+    fixture = tmp_path / "runs.json"
+    fixture.write_text(json.dumps([run(i) for i in range(30)]))
+    spark.dataSource.register(AirflowRestDataSource)
+    wire_schema = ", ".join(f"{f.name} string" for f in RPT_DAG_RUN.fields)
+    incoming = (
+        spark.read.format("airflow_rest")
+        .schema(wire_schema)
+        .option("path", str(fixture))
+        .option("batch_size", 7)
+        .load()
+    )
+    # existing = the first 10 runs already loaded (typed)
+    first = load_report_table(incoming.limit(10), None, "rpt_dag_run").loaded
+    res = load_report_table(incoming, first, "rpt_dag_run")
+    delta = res.loaded.collect()
+    # watermark keeps only runs strictly after max(start_date of first 10);
+    # PK dedup would reject re-extracted overlap rows
+    assert res.watermark_used is not None
+    assert all(r.start_date > res.watermark_used for r in delta)
+    got_ids = {r.dag_run_id for r in delta}
+    first_ids = {r.dag_run_id for r in first.collect()}
+    assert got_ids.isdisjoint(first_ids) and got_ids
