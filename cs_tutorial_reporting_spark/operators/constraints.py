@@ -21,12 +21,18 @@ from pyspark.sql import functions as F
 
 
 def pk_violations(df: DataFrame, pk_cols: list[str]) -> DataFrame:
-    """Keys appearing more than once — rows that a PK'd warehouse table
-    would reject. Returns (pk..., n_rows) per violating key."""
+    """Keys a PK'd warehouse table would reject: duplicates AND keys
+    with a NULL component (a PK implies NOT NULL on every part).
+    Returns (pk..., n_rows) per violating key; NULL-component keys
+    surface as their own groups regardless of multiplicity."""
+    has_null_key = None
+    for c in pk_cols:
+        cond = F.col(c).isNull()
+        has_null_key = cond if has_null_key is None else (has_null_key | cond)
     return (
         df.groupBy(*pk_cols)
         .agg(F.count("*").alias("n_rows"))
-        .filter(F.col("n_rows") > 1)
+        .filter((F.col("n_rows") > 1) | has_null_key)
     )
 
 

