@@ -1,0 +1,67 @@
+"""Warehouse table maintenance: compaction and sort-for-skipping.
+
+Two operational realities of the reference's append-only loading
+pattern (K3) at 100 TB that the reference never had to face at Postgres
+scale:
+
+- **Small files.** Every incremental run appends a few files; after
+  thousands of runs a partition holds tens of thousands of tiny files
+  and scan planning dominates query time. ``compact`` rewrites a
+  partition to size-targeted files.
+- **Data skipping.** Parquet stores per-row-group min/max; a scan with
+  a predicate on a column the file is SORTED by prunes row groups (and
+  whole files) without reading them. ``write_sorted`` makes the
+  ordering explicit at write time so the watermark column's min/max
+  actually discriminates.
+
+Both are plain Spark — no table format required. (On Delta/Iceberg the
+same jobs are OPTIMIZE / rewrite_data_files; these helpers are the
+format-free equivalent.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory to ~``target_file_bytes`` files.
+
+    Returns the new file count. Uses total on-disk size to choose the
+    count (cheap driver-side listing), then one shuffle-free coalesce
+    when shrinking. Atomicity: writes to a temp sibling then renames —
+    crash before the rename leaves the original intact.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, round(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    df = spark.read.parquet(path)
+    (df.coalesce(n) if n < len(files) else df.repartition(n)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Append parquet files sorted WITHIN each file by ``sort_cols`` so
+    row-group min/max on those columns is tight and range predicates
+    (the watermark filter F1) skip row groups. ``repartitionByRange``
+    additionally makes file-level ranges disjoint — a filter then prunes
+    whole files, not just row groups."""
+    out = df
+    if n_files:
+        out = out.repartitionByRange(n_files, *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode("append").parquet(path)

@@ -175,3 +175,54 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == first.count() + second.count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from cs_tutorial_reporting_spark.sources.maintenance import compact
+
+    out = str(tmp_path / "tbl")
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    # simulate 8 incremental appends of 4 files each → 32 small files
+    for i in range(8):
+        events.filter(F.col("event_id") % 8 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(out)
+    import glob
+
+    before = len(glob.glob(f"{out}/*.parquet"))
+    assert before >= 32
+    total_before = spark.read.parquet(out).count()
+    n_after = compact(spark, out, target_file_bytes=1 << 30)
+    assert n_after < before
+    assert spark.read.parquet(out).count() == total_before
+
+
+def test_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions ⇒ per-file min/max on
+    the sort column are tight AND disjoint — the physical property that
+    turns a watermark range filter into file-level pruning."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cs_tutorial_reporting_spark.sources.maintenance import write_sorted
+
+    out = str(tmp_path / "sorted")
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    write_sorted(events, out, ["event_id"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats = [
+            md.row_group(g).column(col["event_id"]).statistics
+            for g in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) >= 3
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint → a range predicate prunes whole files
