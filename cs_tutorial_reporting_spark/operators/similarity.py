@@ -173,6 +173,7 @@ def build_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 1,
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Deterministic IVF codebook: seeds = the ``n_centroids`` vectors
     with smallest md5(id) (a seeded pseudo-random sample), refined by
@@ -182,7 +183,8 @@ def build_ivf_centroids(
     Driver-side state is just k×d floats; every heavy step is one Spark
     job (per-dimension ``avg`` aggregates — a single hash shuffle).
     """
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     seeds = (
         emb.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("__h"))
         .orderBy("__h")
