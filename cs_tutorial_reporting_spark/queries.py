@@ -778,7 +778,10 @@ def conditional_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           -- outer CAST: DuckDB sum(BIGINT) yields HUGEINT, which the
+           -- driver's pandas canonicalizer renders as float (hash skew)
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,

@@ -149,29 +149,36 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_K, _WINNOW_W = 8, 4
 
+# fingerprint sets are EXPLODED to (doc_id, fp) rows: the driver's
+# pandas canonicalizer cannot hash array cells, and rows are what a
+# fingerprint-index join consumes anyway
 _WINNOW_SQL = f"""
-    SELECT doc_id, list_sort(list_distinct(
-        list_transform(range(0, greatest(len(grams) - {_WINNOW_W - 1}, 1)),
-                       j -> list_min(grams[j + 1 : j + {_WINNOW_W}]))
-    )) AS fps
+    SELECT doc_id, unnest(fps) AS fp
     FROM (
-        SELECT doc_id,
-               list_transform(
-                   range(0, greatest(length(norm) - {_WINNOW_K - 1}, 1)),
-                   i -> {HASH60_SQL.format(x=f"substr(norm, i + 1, {_WINNOW_K})")}
-               ) AS grams
-        FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
+        SELECT doc_id, list_distinct(
+            list_transform(range(0, greatest(len(grams) - {_WINNOW_W - 1}, 1)),
+                           j -> list_min(grams[j + 1 : j + {_WINNOW_W}]))
+        ) AS fps
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(length(norm) - {_WINNOW_K - 1}, 1)),
+                       i -> {HASH60_SQL.format(x=f"substr(norm, i + 1, {_WINNOW_K})")}
+                   ) AS grams
+            FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
+        )
     )
 """
 
 
-# not a bench query: the result is 5000 full fingerprint ARRAYS, so
+# not a bench query: the result is every fingerprint of every doc, so
 # collect() time is py4j row transfer, not engine work
 @register("doc_winnow_fingerprints", oracle=_WINNOW_SQL)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprint sets (k=8 char-grams, window
-    w=4) — the plagiarism/near-dup fingerprinting primitive; shared
-    fingerprints ⇒ shared ≥11-char runs (functions/text.py)."""
+    """Winnowing rolling-hash fingerprints (k=8 char-grams, window w=4),
+    one (doc_id, fp) row per selected fingerprint — the plagiarism/
+    near-dup fingerprinting primitive; shared fingerprints ⇒ shared
+    ≥11-char runs (functions/text.py)."""
     from .functions.text import winnow_fingerprints
 
     d = t(spark, sf_dir, "documents")
@@ -182,7 +189,9 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = d.repartition(target)
     return d.select(
         "doc_id",
-        winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W).alias("fps"),
+        F.explode(
+            winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
+        ).alias("fp"),
     )
 
 
@@ -204,7 +213,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM all_docs
         GROUP BY md5({NORM_SQL.format(col='text')})
     )
-    SELECT count(*) AS n_kept, sum(doc_id) AS sum_ids FROM kept
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM kept
     """,
     bench=True,
 )
@@ -404,7 +413,7 @@ reach AS (
 labels AS (
     SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
 )
-SELECT cluster_id, count(*) AS n_docs, sum(node) AS sum_ids
+SELECT cluster_id, count(*) AS n_docs, CAST(sum(node) AS BIGINT) AS sum_ids
 FROM labels GROUP BY cluster_id
 """
 
@@ -633,7 +642,7 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers AS (
         SELECT node FROM reach GROUP BY node HAVING min(r) <> node
     )
-    SELECT count(*) AS n_kept, sum(doc_id) AS sum_ids
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
     FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
     """,
 )

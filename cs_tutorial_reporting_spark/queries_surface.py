@@ -130,7 +130,10 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_spectrum",
     oracle="""
     SELECT o_orderstatus,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           -- arrays are serialized: the driver's pandas canonicalizer
+           -- cannot hash list cells (same class of crash as winnow r01)
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+               AS priorities,
            CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER) AS n_prio,
            list_contains(list(DISTINCT o_orderpriority), '1-URGENT') AS has_urgent,
            list_sort(list(DISTINCT o_orderpriority))[1] AS first_prio
@@ -139,11 +142,12 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_functions_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + sort/size/contains/element_at over grouped
-    collect_set (deterministic via array_sort)."""
+    collect_set (deterministic via array_sort; the array itself leaves
+    the query serialized so the driver can hash it)."""
     o = t(spark, sf_dir, "orders")
     prios = F.array_sort(F.collect_set("o_orderpriority"))
     return o.groupBy("o_orderstatus").agg(
-        prios.alias("priorities"),
+        F.concat_ws("|", prios).alias("priorities"),
         F.size(prios).alias("n_prio"),
         F.array_contains(prios, "1-URGENT").alias("has_urgent"),
         F.element_at(prios, 1).alias("first_prio"),
@@ -396,8 +400,11 @@ def explode_lateral_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions_scalar",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           -- CAST: DuckDB sum(int) → HUGEINT → pandas float (hash skew)
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_o,
            CAST(count(DISTINCT o_orderstatus) AS INTEGER) AS n_keys
     FROM orders GROUP BY o_orderpriority
     """,

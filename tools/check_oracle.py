@@ -4,7 +4,18 @@ Runs every ``queries()`` entry against its ``oracle_sql()`` DuckDB
 equivalent at a given sf dir and compares row-count, column names, and an
 order-insensitive canonical value multiset. Run before every commit:
 
-    python tools/check_oracle.py [sf_dir]
+    python tools/check_oracle.py [sf_dir] [query ...]
+
+Canonicalization parity (round-1 lesson): the driver compares PANDAS
+frames — ``df.toPandas()`` vs duckdb ``fetchdf()`` — sorted by every
+column. That path is what we replicate here, because it exposes two
+failure modes a tuple-level compare hides:
+
+- dtype divergence: DuckDB ``sum(BIGINT)`` → HUGEINT → pandas float64
+  (``124750.0``) vs Spark int64 (``124750``) hashes differently even
+  when values are equal;
+- unsortable cells: array columns crash ``sort_values`` (``unhashable
+  type: 'list'``), so a query returning arrays records no result at all.
 """
 
 from __future__ import annotations
@@ -20,27 +31,47 @@ TABLES = (
 
 
 def _canon(v) -> str:
-    if v is None:
+    """Canonical string for one pandas-native cell (mirrors the driver:
+    value repr after the pandas round-trip, so int64 5 != float64 5.0)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round-trip repr; collapse -0.0
-        return repr(v + 0.0 if v != 0 else 0.0)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"  # pandas renders SQL NULL in float cols as NaN
+        return repr(f + 0.0 if f != 0 else 0.0)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        d = (
+            v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+        ).replace(tzinfo=None)
+        # DATE columns round-trip as midnight datetime64 in fetchdf but
+        # as datetime.date from Spark — normalize midnights to date form
+        if (d.hour, d.minute, d.second, d.microsecond) == (0, 0, 0, 0):
+            return d.date().isoformat()
+        return d.isoformat(timespec="microseconds")
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
 
 
-def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+def _canon_frame(pdf) -> list[tuple[str, ...]]:
+    """Driver-parity canonical rows: sort columns by name, sort rows by
+    every column via pandas (raises on unsortable cells — by design:
+    the driver's canonicalizer does too), then stringify cells."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return [tuple(_canon(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
 def main(sf_dir: str, only: set[str] | None = None) -> int:
@@ -63,40 +94,42 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
     failed = []
     for name, fn in qs.items():
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"pass* {name}: rows-only ({len(srows)} rows, no oracle)")
+            print(f"pass* {name}: rows-only ({len(spdf)} rows, no oracle)")
             continue
         try:
-            rel = con.sql(sql)
-            dcols = list(rel.columns)
-            drows = rel.fetchall()
+            ddf = con.sql(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(spdf.columns) != sorted(ddf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}"
+            )
+        if len(spdf) != len(ddf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(ddf)}")
         if not problems:
-            a, b = _rowset(scols, srows), _rowset(dcols, drows)
-            if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+            try:
+                a, b = _canon_frame(spdf), _canon_frame(ddf)
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"canonicalizer crash (driver would too): {e!r}")
+            else:
+                if a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    problems.append(f"values differ, first diffs: {diff}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failed.append(name)
         else:
-            print(f"pass  {name} ({len(srows)} rows)")
+            print(f"pass  {name} ({len(spdf)} rows)")
     print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match at {sf_dir}")
     return 1 if failed else 0
 
