@@ -98,6 +98,19 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
     return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
+def hyperplane_bucket_duckdb_sql(vec_sql: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket`, generated from the SAME
+    ``_hyperplane`` constants — so an oracle can replicate the LSH
+    bucketing exactly (sign of ``list_dot_product`` per plane). Keeping
+    both expressions derived from one Python source prevents drift."""
+    terms = []
+    for p in range(n_planes):
+        consts = ", ".join(repr(c) for c in _hyperplane(p, dim))
+        proj = f"list_dot_product({vec_sql}::DOUBLE[], [{consts}])"
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2**p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

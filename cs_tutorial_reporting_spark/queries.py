@@ -858,16 +858,37 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_count_distinct", oracle=None)
+@register(
+    "approx_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderkey) AS n_orders,
+           true AS approx_customers_ok,
+           true AS approx_orders_ok
+    FROM orders
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — no oracle (DuckDB's approx
-    sketch differs); driver records rows-only. The exactness test is
-    ``agg_distinct``; this is the 100 TB path where exact distinct would
-    shuffle every key."""
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct would shuffle every key. DuckDB's HLL sketch differs, so
+    the checkable invariant is a tolerance boolean: |approx − exact| /
+    exact ≤ 5% (rsd=0.01 ⇒ far inside that) next to the exact counts."""
     o = t(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
-        F.approx_count_distinct("o_orderkey", 0.01).alias("approx_orders"),
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("__ac"),
+        F.approx_count_distinct("o_orderkey", 0.01).alias("__ao"),
+    )
+    def ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.05
+        )
+    return agg.select(
+        "n_customers",
+        "n_orders",
+        ok("__ac", "n_customers").alias("approx_customers_ok"),
+        ok("__ao", "n_orders").alias("approx_orders_ok"),
     )
 
 

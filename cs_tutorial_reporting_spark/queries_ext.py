@@ -396,6 +396,52 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.45)
 
 
+def _near_dup_lsh_oracle(n_planes: int, dim: int, threshold: float) -> str:
+    """DuckDB replication of the LSH-bucketed near-dup pair pipeline
+    (same deterministic hyperplanes as the Spark side)."""
+    from .operators.similarity import hyperplane_bucket_duckdb_sql
+
+    bkt = hyperplane_bucket_duckdb_sql("embedding", n_planes, dim)
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings
+    ),
+    b AS (SELECT vec_id, embedding, {bkt} AS bkt FROM corpus)
+    SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b2.embedding::DOUBLE[]), 6) AS cos
+        FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+    )
+    WHERE cos >= {threshold}
+    """
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=_near_dup_lsh_oracle(8, 64, 0.45),
+    bench=True,
+)
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup over the doubled corpus:
+    candidate pairs from shared hyperplane-LSH buckets (2^8 of them),
+    verified by exact cosine ≥ 0.45 — one equi-join on bucket id, no
+    cartesian product anywhere in the plan (the brute-force variant
+    above is the exactness baseline; this is what runs at 100 TB).
+    Identical vectors always share a bucket, so every planted duplicate
+    is found; the deterministic hyperplanes let the oracle replicate
+    the full pipeline for a hash-level check."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return embedding_near_dup_pairs(corpus, threshold=0.45, n_planes=8, dim=64)
+
+
 _CC_ORACLE = f"""
 WITH RECURSIVE pairs AS (
     {_MINHASH_ORACLE}
@@ -473,18 +519,59 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_lsh", oracle=None, bench=True)
+def _lsh_topk_oracle(n_planes: int, dim: int, k: int, n_queries: int) -> str:
+    """DuckDB replication of the FULL hyperplane-LSH top-k pipeline —
+    bucket signs, the multi-probe XOR fan-out, dot scoring, ranked
+    top-k — from the same deterministic plane constants the Spark side
+    embeds. The approximate path is hash-checked end-to-end, not just
+    recall-bounded."""
+    from .operators.similarity import hyperplane_bucket_duckdb_sql
+
+    bkt = hyperplane_bucket_duckdb_sql("embedding", n_planes, dim)
+    probes = ", ".join(["b0"] + [f"xor(b0, {1 << p})" for p in range(n_planes)])
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding, {bkt} AS bkt FROM embeddings
+    ),
+    q0 AS (
+        SELECT vec_id AS query_id, embedding AS qv, {bkt} AS b0
+        FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    q AS (
+        SELECT query_id, qv, unnest([{probes}]) AS bkt FROM q0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+                   AS cos
+        FROM e JOIN q ON e.bkt = q.bkt
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_lsh", oracle=_lsh_topk_oracle(6, 64, 10, 5), bench=True)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH buckets (single
-    probe) — the 100 TB path. No SQL oracle (approximate by design);
-    recall vs brute force is pinned in tests/test_ext_operators.py."""
+    """Approximate top-10 via random-hyperplane LSH buckets with
+    multi-probe — the 100 TB path. The hyperplanes are deterministic
+    (seeded md5), so the DuckDB oracle replicates the identical
+    pipeline and the result is fully hash-checked; recall vs brute
+    force is additionally pinned in tests/test_ext_operators.py."""
     from .operators.similarity import lsh_topk
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(e, q, k=10, n_planes=6)
+    out = lsh_topk(e, q, k=10, n_planes=6)
+    return out.select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )
 
 
 #: IVF codebook per dataset — an ANN index is built once and queried
@@ -494,25 +581,86 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CODEBOOKS: dict[str, list[list[float]]] = {}
 
 
-@register("similarity_topk_ivf", oracle=None, bench=True)
+def _ivf_topk_oracle(n_centroids: int, n_probes: int, k: int, n_queries: int) -> str:
+    """DuckDB replication of the IVF pipeline with the seed codebook
+    (``lloyd_iters=0``): seeds = the ``n_centroids`` vectors with the
+    smallest md5(vec_id) — expressible in SQL, so cell assignment,
+    probe selection, and ranked top-k are all hash-checked. (Lloyd
+    refinement needs a distributed build; its recall is pinned in
+    pytest instead.)"""
+    return f"""
+    WITH seeds AS (
+        SELECT c, embedding FROM (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                       AS c,
+                   embedding
+            FROM embeddings
+        ) WHERE c <= {n_centroids}
+    ),
+    ed AS (
+        SELECT e.vec_id, e.embedding, s.c,
+               list_dot_product(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS d
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    e AS (
+        SELECT vec_id, embedding, c AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d DESC, c
+            ) AS rn FROM ed
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT q0.vec_id AS query_id, q0.embedding AS qv, s.c,
+               list_dot_product(q0.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS d
+        FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q0
+        CROSS JOIN seeds s
+    ),
+    q AS (
+        SELECT query_id, qv, c AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d DESC, c
+            ) AS rn FROM qd
+        ) WHERE rn <= {n_probes}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+                   AS cos
+        FROM e JOIN q ON e.cell = q.cell
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_ivf", oracle=_ivf_topk_oracle(16, 4, 10, 5), bench=True)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via an IVF coarse quantizer (16 deterministic
-    k-means cells, 4 probed) — at scale the corpus is written
-    partitioned by cell so probes become partition pruning. Rows-only
-    check; recall vs brute force pinned in tests."""
+    """Approximate top-10 via an IVF coarse quantizer (16 cells from the
+    deterministic seed codebook, 4 probed) — at scale the corpus is
+    written partitioned by cell so probes become partition pruning.
+    The seed codebook (smallest-md5 sample, no Lloyd step) is SQL-
+    expressible, so the whole pipeline is hash-checked by the oracle;
+    the Lloyd-refined variant's recall is pinned in pytest."""
     from .operators.similarity import build_ivf_centroids, ivf_topk
 
     e = t(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CODEBOOKS:
         _IVF_CODEBOOKS[sf_dir] = build_ivf_centroids(
-            e, n_centroids=16, dim=64
+            e, n_centroids=16, dim=64, lloyd_iters=0
         )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(
+    out = ivf_topk(
         e, q, k=10, n_centroids=16, n_probes=4,
         centroids=_IVF_CODEBOOKS[sf_dir],
+    )
+    return out.select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("bigint").alias("rank")
     )
 
 

@@ -38,6 +38,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] is ONE JVM hosting all N executor threads — Spark's 1g
+        # default heap OOMs at sf0.1 with 32 concurrent tasks. Sized to
+        # the sandbox (128 GiB); a real cluster sets executor memory in
+        # the deploy config instead. Only effective before JVM launch
+        # (getOrCreate on an existing session keeps its heap).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
         # Deterministic instant semantics for oracle parity (SURVEY §7.4).
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet ns timestamps (events.ts) truncate to Spark's µs.
