@@ -888,6 +888,38 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_decode",
+    oracle="""
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           8 AS bits,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+           (CAST(octet_length(encode(text)) AS BIGINT) * 1000) // 8000
+               AS duration_ms,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                     ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                               AS INTEGER)
+                END AS INTEGER) AS first_sample
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (no codec stub): each document's bytes are
+    wrapped into an actual RIFF/WAVE container, then parsed back by the
+    pure-Python chunk-walking decoder in multimodal/wav.py inside one
+    Arrow mapInPandas pass. The decoded header fields (rate/channels/
+    bits/samples/duration) are pure functions of the payload, so the
+    oracle checks the decode without parsing RIFF itself."""
+    from .multimodal.wav import synth_and_decode_wav
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_decode_wav(d, payload_col="content", id_col="doc_id")
+
+
+@register(
     "corpus_quality_filter",
     oracle=f"""
     SELECT lang, count(*) AS n_kept,

@@ -393,3 +393,49 @@ def test_minhash_max_bucket_guard(spark):
     assert guarded.count() == 0
     full = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=1000)
     assert full.count() == 50 * 49 // 2
+
+
+def test_wav_roundtrip_and_malformed():
+    """The RIFF parser is a real decoder: round-trips the builder,
+    skips unknown chunks (word-aligned), rejects malformed input."""
+    import pytest
+
+    from cs_tutorial_reporting_spark.multimodal.wav import decode_wav, wav_bytes
+
+    pcm = bytes(range(256)) * 3
+    feats = decode_wav(wav_bytes(pcm, sample_rate=16000))
+    assert feats == {
+        "sample_rate": 16000,
+        "n_channels": 1,
+        "bits": 8,
+        "n_samples": 768,
+        "duration_ms": 768 * 1000 // 16000,
+        "first_sample": 0,
+    }
+    # 16-bit stereo: n_samples counts frames, not bytes
+    wide = decode_wav(wav_bytes(pcm[:400], sample_rate=8000, channels=2, sampwidth=2))
+    assert (wide["n_channels"], wide["bits"], wide["n_samples"]) == (2, 16, 100)
+    # an unknown odd-sized chunk between fmt and data must be skipped
+    import struct
+
+    raw = wav_bytes(b"abc")
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # padded
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    assert decode_wav(patched)["n_samples"] == 3
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_wav_decode_via_mapinpandas(spark):
+    from cs_tutorial_reporting_spark.multimodal.wav import synth_and_decode_wav
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "")], "doc_id bigint, text string"
+    ).select("doc_id", F.encode("text", "utf-8").alias("content"))
+    rows = {r.doc_id: r for r in synth_and_decode_wav(df).collect()}
+    assert rows[1].n_samples == 5 and rows[1].first_sample == ord("h")
+    assert rows[2].n_samples == 0 and rows[2].first_sample == -1
