@@ -56,21 +56,34 @@ def incremental_filter(
 
 
 def dedup_against(
-    incoming: DataFrame, existing: DataFrame, pk_cols: list[str]
+    incoming: DataFrame,
+    existing: DataFrame,
+    pk_cols: list[str],
+    hint_broadcast: bool | None = None,
 ) -> DataFrame:
     """F2/J1/A2 — anti-join incoming rows against the target's existing
     primary keys (intended semantics of gcs_to_postgres.py:153-175 +
     reporting_dag.py:67; generalized to composite PKs per rpt.sql:32).
 
-    The build side is projected to the PK columns and de-duplicated, then
-    broadcast-hinted: at any realistic scale the distinct key set of the
-    *already loaded* slice is orders of magnitude smaller than the
-    incoming fact scan, and AQE demotes the hint gracefully if not.
+    The build side is projected to the PK columns and de-duplicated.
+    Join strategy: by default (``hint_broadcast=None``) NO hint is
+    attached — Spark honors an explicit broadcast hint regardless of
+    actual size, so an unexpectedly huge key set would OOM the driver
+    rather than fall back. Catalyst broadcasts statically when the
+    pruned key scan is under ``autoBroadcastJoinThreshold``, and AQE
+    promotes a shuffled join to broadcast at runtime from observed
+    sizes — the safe default at 100 TB. Pass ``hint_broadcast=True``
+    only when the caller KNOWS the key set is small (e.g. a bounded
+    dimension), or ``False`` to forbid broadcasting outright.
     """
     if not pk_cols:
         return incoming
     keys = existing.select(*pk_cols).distinct()
-    return incoming.join(F.broadcast(keys), on=pk_cols, how="left_anti")
+    if hint_broadcast:
+        keys = F.broadcast(keys)
+    elif hint_broadcast is False:
+        keys = keys.hint("shuffle_hash")
+    return incoming.join(keys, on=pk_cols, how="left_anti")
 
 
 def dedup_within(incoming: DataFrame, pk_cols: list[str]) -> DataFrame:

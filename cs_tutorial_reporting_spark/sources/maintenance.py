@@ -29,27 +29,50 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
-    """Rewrite a parquet directory to ~``target_file_bytes`` files.
+    """Rewrite a FLAT parquet directory to ~``target_file_bytes`` files.
 
     Returns the new file count. Uses total on-disk size to choose the
     count (cheap driver-side listing), then one shuffle-free coalesce
-    when shrinking. Atomicity: writes to a temp sibling then renames —
-    crash before the rename leaves the original intact.
+    when shrinking.
+
+    Crash-safety: the new files are written to a temp sibling, the
+    original directory is renamed ASIDE (not deleted), the temp is
+    renamed into place, and only then is the old data removed — at
+    every instant either ``path`` or ``path__old`` holds a complete
+    copy (a crash between the two renames leaves ``path__old`` to
+    restore from; rmtree-before-rename would leave nothing).
+
+    Partitioned layouts (``write_partitioned`` output) are rejected:
+    a flat rewrite would silently destroy the partition directories —
+    compact each leaf partition directory instead.
     """
     import glob
     import os
     import shutil
 
+    path = path.rstrip("/")
+    subdirs = [
+        e
+        for e in os.listdir(path)
+        if os.path.isdir(os.path.join(path, e)) and not e.startswith((".", "_"))
+    ]
+    if subdirs:
+        raise ValueError(
+            f"compact: {path} is a partitioned table (subdirs {subdirs[:3]}…); "
+            "a flat rewrite would destroy the partition layout — compact "
+            "each leaf partition directory instead"
+        )
     files = glob.glob(os.path.join(path, "*.parquet"))
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, round(total / target_file_bytes))
-    tmp = path.rstrip("/") + "__compacting"
+    tmp, old = path + "__compacting", path + "__old"
     df = spark.read.parquet(path)
     (df.coalesce(n) if n < len(files) else df.repartition(n)).write.mode(
         "overwrite"
     ).parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
 
 
