@@ -324,20 +324,28 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
 ) -> DataFrame:
-    """Min-label propagation over an undirected pair graph → (node,
+    """Connected components over an undirected pair graph → (node,
     cluster_id) where cluster_id = the smallest node id reachable.
     Resolves LSH dup *pairs* into transitive dup *clusters* (A~B, B~C ⇒
     {A,B,C} even if A≁C directly).
 
-    Iterative DataFrame algorithm: per round one join + min-aggregate;
-    ``localCheckpoint`` truncates lineage so plans stay O(1) per round;
-    converges in graph-diameter rounds (dup chains are shallow — the
-    cap is a guard, and non-convergence raises rather than returning
-    partial labels). At 100 TB scale this is the alternating
-    large/small-star pattern's simple cousin — adequate while cluster
-    diameters stay small.
+    Algorithm: min-label propagation WITH pointer doubling — each round
+    takes ``label(v) ← min(label(v), min_{u∈N(v)} label(u),
+    label(label(v)))``. The neighbor step alone converges in
+    graph-diameter rounds (a 1,000-node dup chain would need ~999);
+    the ``label(label(v))`` jump halves remaining distances like the
+    alternating large/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), giving O(log n) rounds — the
+    1,000-node path labels in ≲15 rounds (pinned in tests). Labels
+    only ever copy node ids reachable through in-component edges, so
+    the fixed point is exactly the component minimum.
+
+    Each round is two hash joins + one min-aggregate over (node,
+    label) pairs; ``localCheckpoint`` truncates lineage so plans stay
+    O(1) per round. Non-convergence within ``max_iter`` raises rather
+    than returning partial labels (2^25 ≫ any real diameter).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.unionByName(
@@ -356,18 +364,26 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("__nb"))
         )
-        # fold the convergence flag into the same join so each round is
-        # exactly one join job (checkpoint) + one cheap cached-count
         stepped = labels.join(nb_min, "node", "left").select(
             "node",
+            F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce("__nb", "label")).alias("label"),
-            (F.coalesce("__nb", "label") < F.col("label"))
+        )
+        # pointer jump: look up the label OF the label (labels form a
+        # forest rooted at component minima; jumping compresses paths)
+        hop = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("__ll")
+        )
+        jumped = stepped.join(hop, "label", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("__ll", "label")).alias("label"),
+            (F.least(F.col("label"), F.coalesce("__ll", "label")) < F.col("__old"))
             .cast("int")
             .alias("__chg"),
         )
-        stepped = stepped.localCheckpoint(eager=True)
-        changed = stepped.agg(F.sum("__chg")).first()[0]
-        labels = stepped.drop("__chg")
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.agg(F.sum("__chg")).first()[0]
+        labels = jumped.drop("__chg")
         if not changed:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

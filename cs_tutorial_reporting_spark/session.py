@@ -39,12 +39,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         # local[N] is ONE JVM hosting all N executor threads — Spark's 1g
-        # default heap OOMs at sf0.1 with 32 concurrent tasks. Sized to
-        # the sandbox (128 GiB); a real cluster sets executor memory in
-        # the deploy config instead. Only effective before JVM launch
-        # (getOrCreate on an existing session keeps its heap).
+        # default heap OOMs at sf0.1 with 32 concurrent tasks. 8g clears
+        # that; measured NOT larger: a 32g heap slows the allocation-
+        # heavy higher-order-function queries ~2x (GC geometry), e.g.
+        # warm minhash 1.4s@8g vs 3.0s@32g. A real cluster sets executor
+        # memory in the deploy config instead. Only effective before JVM
+        # launch (getOrCreate on an existing session keeps its heap).
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
         # Deterministic instant semantics for oracle parity (SURVEY §7.4).
         .config("spark.sql.session.timeZone", "UTC")

@@ -439,3 +439,22 @@ def test_wav_decode_via_mapinpandas(spark):
     rows = {r.doc_id: r for r in synth_and_decode_wav(df).collect()}
     assert rows[1].n_samples == 5 and rows[1].first_sample == ord("h")
     assert rows[2].n_samples == 0 and rows[2].first_sample == -1
+
+
+def test_connected_components_long_path_graph(spark):
+    """Adversarial diameter: a 1,000-node path. Plain min-label
+    propagation needs ~999 rounds; the pointer-doubling step must
+    label it within 15 — and a too-small cap must raise, never return
+    partial labels."""
+    import pytest
+
+    from cs_tutorial_reporting_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a bigint, id_b bigint"
+    )
+    labels = connected_components(edges, max_iter=15)
+    got = labels.groupBy("cluster_id").count().collect()
+    assert len(got) == 1 and got[0].cluster_id == 0 and got[0]["count"] == 1000
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, max_iter=3)
