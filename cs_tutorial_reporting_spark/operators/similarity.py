@@ -225,6 +225,71 @@ def build_ivf_centroids(
     return cents
 
 
+def write_ivf_partitioned(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest-time IVF layout: assign each vector to its nearest
+    centroid and write the corpus parquet PARTITIONED BY cell. This is
+    the 100 TB story the inline ``ivf_topk`` documents: once the data
+    lives partitioned by cell, a probe is *partition pruning* — the
+    scan reads ``n_probes/n_centroids`` of the files and never touches
+    the rest (asserted via PartitionFilters in tests/test_plans.py)."""
+    dots = _centroid_dots(vec_col, centroids)
+    emb.select(
+        id_col, vec_col, F.array_position(dots, F.array_max(dots)).alias("__cell")
+    ).write.mode("overwrite").partitionBy("__cell").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Query side of the partitioned IVF index: the probe-cell join key
+    is a PARTITION column, so Catalyst turns the bucket equi-join into
+    dynamic partition pruning / partition filters — only the probed
+    cells' files are read. Results are identical to ``ivf_topk`` with
+    the same codebook (pinned in tests)."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(path)
+    q_dots = _centroid_dots(query_vec_col, centroids)
+    probe_arr = F.slice(
+        F.array_sort(
+            F.zip_with(
+                q_dots,
+                F.sequence(F.lit(1), F.lit(len(centroids))),
+                lambda d, i: F.struct((-d).alias("nd"), i.cast("long").alias("c")),
+            )
+        ),
+        1,
+        n_probes,
+    )
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(F.transform(probe_arr, lambda s: s.getField("c"))).alias("__cell"),
+    )
+    scored = e.join(F.broadcast(q), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(dot(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -157,3 +157,33 @@ def test_compact_keeps_a_full_copy_at_every_instant(spark, tmp_path):
     assert seen[0][0] == "flat_table" and seen[0][1] == "flat_table__old"
     assert seen[1][0] == "flat_table__compacting" and seen[1][1] == "flat_table"
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_ivf_partitioned_layout_prunes_and_matches_inline(spark, tmp_path):
+    """The IVF scale path: corpus written partitionBy(__cell) + probe
+    join must (a) return exactly what the inline ivf_topk returns with
+    the same codebook and (b) read ONLY the probed cells — visible as a
+    partition-pruning filter on the scan, the 100 TB win."""
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        build_ivf_centroids,
+        ivf_topk,
+        ivf_topk_pruned,
+        write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = build_ivf_centroids(emb, n_centroids=8, dim=64, lloyd_iters=0)
+    path = str(tmp_path / "ivf_corpus")
+    write_ivf_partitioned(emb, path, cents)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pruned = ivf_topk_pruned(spark, path, q, cents, k=5, n_probes=2)
+    inline = ivf_topk(emb, q, k=5, n_probes=2, centroids=cents)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, inline.collect()))
+    p = plan_text(pruned, "formatted")
+    assert "PartitionFilters" in p
+    # the cell join key must reach the scan as a partition filter, not
+    # arrive as a post-scan join-only condition
+    pf = p.split("PartitionFilters:")[1].split("\n")[0]
+    assert "__cell" in pf and ("dynamicpruning" in pf or "isnotnull" in pf), pf
