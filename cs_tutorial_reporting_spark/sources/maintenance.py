@@ -38,19 +38,35 @@ def compact(
     Crash-safety: the new files are written to a temp sibling, the
     original directory is renamed ASIDE (not deleted), the temp is
     renamed into place, and only then is the old data removed — at
-    every instant either ``path`` or ``path__old`` holds a complete
-    copy (a crash between the two renames leaves ``path__old`` to
-    restore from; rmtree-before-rename would leave nothing).
+    every instant either ``path`` or the aside copy holds a complete
+    copy (rmtree-before-rename would leave nothing). Both siblings are
+    DOT-prefixed (``.<name>__compacting`` / ``.<name>__old``) so a
+    concurrent Spark scan of the PARENT directory (the partitioned-
+    table case — see :func:`compact_partitioned`) never reads them as
+    data. A previous crash is recovered on entry: a stale temp is
+    discarded, a stale aside copy is restored or cleaned depending on
+    whether the swap completed.
 
     Partitioned layouts (``write_partitioned`` output) are rejected:
     a flat rewrite would silently destroy the partition directories —
-    compact each leaf partition directory instead.
+    use :func:`compact_partitioned`.
     """
     import glob
     import os
     import shutil
 
     path = path.rstrip("/")
+    parent, base = os.path.split(path)
+    tmp = os.path.join(parent, f".{base}__compacting")
+    old = os.path.join(parent, f".{base}__old")
+    # crash recovery from a previous interrupted compact
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete rewrite — original is intact
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # swap completed; cleanup was interrupted
+        else:
+            os.rename(old, path)  # crash between the two renames
     subdirs = [
         e
         for e in os.listdir(path)
@@ -59,13 +75,12 @@ def compact(
     if subdirs:
         raise ValueError(
             f"compact: {path} is a partitioned table (subdirs {subdirs[:3]}…); "
-            "a flat rewrite would destroy the partition layout — compact "
-            "each leaf partition directory instead"
+            "a flat rewrite would destroy the partition layout — use "
+            "compact_partitioned"
         )
     files = glob.glob(os.path.join(path, "*.parquet"))
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, round(total / target_file_bytes))
-    tmp, old = path + "__compacting", path + "__old"
     df = spark.read.parquet(path)
     (df.coalesce(n) if n < len(files) else df.repartition(n)).write.mode(
         "overwrite"
@@ -74,6 +89,35 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Compact every LEAF partition of a ``partitionBy`` layout — each
+    leaf is rewritten independently with :func:`compact`'s rename-aside
+    crash-safety, so a crash mid-table loses at most the leaf being
+    rewritten (and that leaf still has its ``__old`` copy). Returns
+    {relative partition path: new file count}.
+
+    Partition values stay encoded in the directory names, so rewriting
+    a leaf's files flat preserves the table exactly. At warehouse
+    scale, leaves are compacted after each incremental-load run
+    touching them — not the whole table sweep this helper does."""
+    import os
+
+    path = path.rstrip("/")
+    results: dict[str, int] = {}
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        if dirnames or not any(f.endswith(".parquet") for f in filenames):
+            continue  # not a leaf data directory
+        results[os.path.relpath(dirpath, path)] = compact(
+            spark, dirpath, target_file_bytes
+        )
+    return results
 
 
 def write_sorted(

@@ -154,9 +154,45 @@ def test_compact_keeps_a_full_copy_at_every_instant(spark, tmp_path):
     finally:
         os.rename = real_rename
     assert n == 1
-    assert seen[0][0] == "flat_table" and seen[0][1] == "flat_table__old"
-    assert seen[1][0] == "flat_table__compacting" and seen[1][1] == "flat_table"
+    # siblings are dot-prefixed so a concurrent scan of the parent
+    # (partitioned-table case) never reads them as data
+    assert seen[0][0] == "flat_table" and seen[0][1] == ".flat_table__old"
+    assert seen[1][0] == ".flat_table__compacting" and seen[1][1] == "flat_table"
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_compact_partitioned_leaves_and_crash_recovery(spark, tmp_path):
+    import os
+    import shutil
+
+    from cs_tutorial_reporting_spark.sources.maintenance import (
+        compact,
+        compact_partitioned,
+    )
+
+    out = str(tmp_path / "ptab")
+    df = spark.range(300).withColumn("p", F.col("id") % 3)
+    # several appends -> several small files per leaf
+    for _ in range(3):
+        df.write.mode("append").partitionBy("p").parquet(out)
+    before = spark.read.parquet(out)
+    assert before.rdd.getNumPartitions() > 3
+    results = compact_partitioned(spark, out, target_file_bytes=1 << 30)
+    assert sorted(results) == ["p=0", "p=1", "p=2"] and set(results.values()) == {1}
+    after = spark.read.parquet(out)
+    assert after.count() == 900 and set(r.p for r in after.select("p").distinct().collect()) == {0, 1, 2}
+
+    # crash recovery: simulate dying between the two renames (original
+    # moved aside, replacement not swapped in) — re-running compact must
+    # restore and complete
+    leaf = os.path.join(out, "p=0")
+    os.rename(leaf, os.path.join(out, ".p=0__old"))
+    assert compact(spark, leaf, target_file_bytes=1 << 30) == 1
+    assert spark.read.parquet(out).count() == 900
+    # stale temp from an interrupted rewrite is discarded
+    shutil.copytree(os.path.join(out, "p=1"), os.path.join(out, ".p=1__compacting"))
+    compact(spark, os.path.join(out, "p=1"), target_file_bytes=1 << 30)
+    assert spark.read.parquet(out).count() == 900
 
 
 def test_ivf_partitioned_layout_prunes_and_matches_inline(spark, tmp_path):
