@@ -295,21 +295,41 @@ def embedding_near_dup_pairs(
     NULLs."""
     from ..functions.vectors import cosine
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    # The pair comparison is compute-bound and inherits the (often
-    # single-file) input partitioning — a cross join of 1×1 partitions
-    # runs the whole O(n²) scoring on one core. Fan the probe side out.
-    target = emb.sparkSession.sparkContext.defaultParallelism * 2
-    if a.rdd.getNumPartitions() < target:
-        a = a.repartition(target)
     if n_planes:
+        from pyspark import StorageLevel
+
         from .similarity import hyperplane_bucket
 
-        a = a.withColumn("__bkt", hyperplane_bucket("__va", n_planes, dim))
-        b = b.withColumn("__bkt", hyperplane_bucket("__vb", n_planes, dim))
+        # Bucket the corpus ONCE and self-join the persisted result:
+        # without the persist each join side re-scans the source and
+        # re-evaluates the n_planes×dim projection — at 100 TB that's
+        # double the read and double the bucket compute. Fan small
+        # single-file inputs out first so the projection parallelizes.
+        src = emb
+        target = emb.sparkSession.sparkContext.defaultParallelism * 2
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+        bucketed = src.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            hyperplane_bucket(vec_col, n_planes, dim).alias("__bkt"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        a = bucketed.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bkt"
+        )
+        b = bucketed.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bkt"
+        )
         pairs = a.join(b, "__bkt").filter(F.col("id_a") < F.col("id_b"))
     else:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        # The pair comparison is compute-bound and inherits the (often
+        # single-file) input partitioning — a cross join of 1×1 partitions
+        # runs the whole O(n²) scoring on one core. Fan the probe side out.
+        target = emb.sparkSession.sparkContext.defaultParallelism * 2
+        if a.rdd.getNumPartitions() < target:
+            a = a.repartition(target)
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
