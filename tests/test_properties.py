@@ -63,3 +63,26 @@ def test_incremental_contract(spark, rows, split):
     )
     wm2 = watermark(new_state, "ts")
     assert wm is None or (wm2 is not None and wm2 >= wm)
+
+
+@given(
+    pcm=st.binary(min_size=0, max_size=2048),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=2),
+    width=st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_container_roundtrip_property(pcm, rate, channels, width):
+    """Any payload round-trips the RIFF builder/parser with frame math
+    intact: n_samples = len(pcm) // (channels * width), duration is
+    integer ms at the declared rate (pure-Python codec — no Spark)."""
+    from cs_tutorial_reporting_spark.multimodal.wav import decode_wav, wav_bytes
+
+    feats = decode_wav(wav_bytes(pcm, sample_rate=rate, channels=channels, sampwidth=width))
+    n_frames = len(pcm) // (channels * width)
+    assert feats["sample_rate"] == rate
+    assert feats["n_channels"] == channels
+    assert feats["bits"] == width * 8
+    assert feats["n_samples"] == n_frames
+    assert feats["duration_ms"] == n_frames * 1000 // rate
+    assert feats["first_sample"] == (pcm[0] if pcm else -1)
