@@ -90,6 +90,22 @@ def quality_score(col: Column) -> Column:
     return F.floor(score * 10000 + F.lit(0.5)) / 10000
 
 
+def repetition_ratio(col: Column, sep_regex: str = r"\.") -> Column:
+    """Duplicate-segment fraction in [0,1]: 1 − distinct/total over the
+    text split on ``sep_regex`` (sentence periods by default; pass
+    ``"\\n"`` for the Gopher duplicate-line rule). High values mark
+    boilerplate/spam for corpus filtering. Pure array expression — no
+    explode, no shuffle."""
+    segs = F.filter(
+        F.transform(F.split(col, sep_regex, -1), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(segs)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(segs)) / n.cast("double")
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form every dedup/fingerprint family hashes:
     lower-cased, ALL whitespace runs (spaces/tabs/newlines) collapsed to

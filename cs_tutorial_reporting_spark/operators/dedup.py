@@ -340,6 +340,43 @@ def embedding_near_dup_pairs(
     )
 
 
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    ``n``-gram with a benchmark/eval corpus (the standard guard against
+    test-set leakage into training data). Returns the distinct
+    ``id_col`` values of contaminated documents.
+
+    Scale design: the benchmark side is tiny relative to the corpus —
+    its distinct gram HASHES (60-bit, not the gram strings) broadcast;
+    the corpus side explodes to (doc_id, gram_hash) pairs and
+    left-semi joins, so the only wide dataflow is a map + broadcast
+    probe, no shuffle of document text. False-positive rate from
+    60-bit hashing is negligible (~2⁻⁶⁰ per pair)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(F.col(bench_text_col), n)).alias("__g")
+        )
+        .select(hash60(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    ).select(id_col, hash60(F.col("__g")).alias("__gh"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "__gh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

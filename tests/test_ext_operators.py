@@ -458,3 +458,59 @@ def test_connected_components_long_path_graph(spark):
     assert len(got) == 1 and got[0].cluster_id == 0 and got[0]["count"] == 1000
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(edges, max_iter=3)
+
+
+def test_flag_contaminated_ngram_overlap(spark):
+    """Decontamination: docs sharing any word 4-gram with the benchmark
+    are flagged; near-misses (3-gram overlap only) are not."""
+    from cs_tutorial_reporting_spark.operators.dedup import flag_contaminated
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated document about spark plans"),
+            (3, "prefix words then the quick brown fox appears here"),
+            (4, "quick brown fox trigram only overlap here today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [("eval question: the quick brown fox jumps into view",)], "text string"
+    )
+    flagged = sorted(
+        r.doc_id for r in flag_contaminated(docs, bench, n=4).collect()
+    )
+    assert flagged == [1, 3]
+    # the broadcast probe plan: no shuffle of document text
+    from tests.test_plans import plan_text
+
+    p = plan_text(flag_contaminated(docs, bench, n=4))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now. buy now. buy now. buy now."),
+            (2, "first sentence. second sentence. third sentence."),
+            (3, ""),
+            (4, "line a\nline a\nline b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (round(r.sent, 4), round(r.line, 4))
+        for r in df.select(
+            "doc_id",
+            repetition_ratio(F.col("text")).alias("sent"),
+            repetition_ratio(F.col("text"), "\n").alias("line"),
+        ).collect()
+    }
+    assert got[1][0] == 0.75          # 4 segments, 1 distinct
+    assert got[2][0] == 0.0           # all distinct
+    assert got[3] == (0.0, 0.0)       # empty text
+    assert got[4][1] == round(1 - 2 / 3, 4)  # duplicate line rule
