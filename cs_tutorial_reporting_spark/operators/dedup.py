@@ -285,6 +285,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 0,
     dim: int = 64,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold). Brute-force all-pairs when ``n_planes=0``; otherwise
@@ -292,18 +293,29 @@ def embedding_near_dup_pairs(
     (2^n_planes of them — see similarity.hyperplane_bucket) — the
     100 TB path. ``dim`` must match the embedding width: the hyperplane
     constants are generated per dimension and a mismatch zips against
-    NULLs."""
+    NULLs.
+
+    ``max_bucket`` mirrors the minhash guard: near-dup corpora are by
+    definition duplicate-heavy, and identical vectors ALWAYS share a
+    bucket, so a boilerplate cluster of m copies would otherwise emit
+    m²/2 pairs inside one bucket (AQE skew-split rebalances the work
+    but cannot shrink the pair count). Buckets above the cap are
+    dropped BEFORE the self-join — same trade the minhash path makes:
+    a degenerate all-identical cluster needs exact dedup, not pairwise
+    scoring."""
     from ..functions.vectors import cosine
 
     if n_planes:
-        from pyspark import StorageLevel
-
         from .similarity import hyperplane_bucket
 
-        # Bucket the corpus ONCE and self-join the persisted result:
-        # without the persist each join side re-scans the source and
-        # re-evaluates the n_planes×dim projection — at 100 TB that's
-        # double the read and double the bucket compute. Fan small
+        # Bucket the corpus ONCE and self-join the materialized result:
+        # otherwise each join side re-scans the source and re-evaluates
+        # the n_planes×dim projection — at 100 TB that's double the read
+        # and double the bucket compute. localCheckpoint (not persist):
+        # same MEMORY_AND_DISK storage, but the blocks are reclaimed by
+        # the ContextCleaner when the RDD is garbage collected, so
+        # repeated calls (bench loops, long sessions) don't accumulate
+        # CacheManager entries that nothing ever unpersists. Fan small
         # single-file inputs out first so the projection parallelizes.
         src = emb
         target = emb.sparkSession.sparkContext.defaultParallelism * 2
@@ -313,7 +325,18 @@ def embedding_near_dup_pairs(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             hyperplane_bucket(vec_col, n_planes, dim).alias("__bkt"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
+        if max_bucket is not None:
+            # ≤ 2^n_planes rows by construction — broadcastable at any
+            # corpus size; the semi-join prunes oversized buckets from
+            # BOTH sides before any pair expands.
+            ok = (
+                bucketed.groupBy("__bkt")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= max_bucket)
+                .select("__bkt")
+            )
+            bucketed = bucketed.join(F.broadcast(ok), "__bkt", "left_semi")
         a = bucketed.select(
             F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bkt"
         )

@@ -396,9 +396,12 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.45)
 
 
-def _near_dup_lsh_oracle(n_planes: int, dim: int, threshold: float) -> str:
+def _near_dup_lsh_oracle(
+    n_planes: int, dim: int, threshold: float, max_bucket: int = _MAX_BUCKET
+) -> str:
     """DuckDB replication of the LSH-bucketed near-dup pair pipeline
-    (same deterministic hyperplanes as the Spark side)."""
+    (same deterministic hyperplanes as the Spark side), including the
+    ``max_bucket`` degenerate-bucket guard."""
     from .operators.similarity import hyperplane_bucket_duckdb_sql
 
     bkt = hyperplane_bucket_duckdb_sql("embedding", n_planes, dim)
@@ -408,7 +411,12 @@ def _near_dup_lsh_oracle(n_planes: int, dim: int, threshold: float) -> str:
         UNION ALL
         SELECT vec_id + 100000, embedding FROM embeddings
     ),
-    b AS (SELECT vec_id, embedding, {bkt} AS bkt FROM corpus)
+    b0 AS (SELECT vec_id, embedding, {bkt} AS bkt FROM corpus),
+    ok AS (
+        -- mirror of embedding_near_dup_pairs' max_bucket guard
+        SELECT bkt FROM b0 GROUP BY bkt HAVING count(*) <= {max_bucket}
+    ),
+    b AS (SELECT b0.* FROM b0 JOIN ok USING (bkt))
     SELECT id_a, id_b, cos FROM (
         SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -439,7 +447,9 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionByName(
         e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    return embedding_near_dup_pairs(corpus, threshold=0.45, n_planes=8, dim=64)
+    return embedding_near_dup_pairs(
+        corpus, threshold=0.45, n_planes=8, dim=64, max_bucket=_MAX_BUCKET
+    )
 
 
 _CC_ORACLE = f"""

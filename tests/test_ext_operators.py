@@ -514,3 +514,32 @@ def test_repetition_ratio_flags_boilerplate(spark):
     assert got[2][0] == 0.0           # all distinct
     assert got[3] == (0.0, 0.0)       # empty text
     assert got[4][1] == round(1 - 2 / 3, 4)  # duplicate line rule
+
+
+def test_embedding_near_dup_lsh_caps_degenerate_buckets(spark, emb):
+    """1,000 copies of one vector share a bucket by construction —
+    499,500 candidate pairs inside it. The max_bucket guard must drop
+    that bucket (same trade as the minhash guard) while pairs in
+    normal-sized buckets still come through, and the plan must stay
+    cartesian-free."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    v = emb.orderBy("vec_id").select("embedding").first()[0]
+    w = emb.orderBy(F.col("vec_id").desc()).select("embedding").first()[0]
+    rows = [(i, v) for i in range(1000)] + [(2000, w), (2001, w)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(
+        df, threshold=0.95, n_planes=8, dim=64, max_bucket=100
+    )
+    pairs = [(r.id_a, r.id_b) for r in out.collect()]
+    # every pair of the degenerate cluster is suppressed
+    assert not [p for p in pairs if p[0] < 1000 and p[1] < 1000]
+    # the identical pair living in a small bucket is still found
+    assert (2000, 2001) in pairs
+    from tests.test_plans import plan_text
+
+    p = plan_text(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
