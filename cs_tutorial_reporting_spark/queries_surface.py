@@ -35,29 +35,32 @@ from .queries import register, t
     """,
 )
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles + sample stddev per group. All
-    three quantiles come from ONE percentile buffer (array form — one
-    sort per group, not three), interpolated over integer CENTS (exact
-    in double) so both engines produce bit-identical midpoints —
-    interpolating raw doubles can land a half-cent boundary on
-    differently-associated floats and flip round(·, 2) (seen at
-    sf0.001)."""
+    """EXACT interpolated percentiles + sample stddev per group, via the
+    two-pass rank operator (operators/percentile.py): histogram on
+    (group, cents) then a rank walk over distinct values — aggregation
+    state is O(distinct values), not O(group), so a 3-value group key
+    cannot concentrate the table into three percentile buffers at 100×
+    scale. Percentiles interpolate over integer CENTS (exact in double)
+    so both engines produce bit-identical midpoints — interpolating raw
+    doubles can land a half-cent boundary on differently-associated
+    floats and flip round(·, 2) (seen at sf0.001). The answer (and the
+    oracle) is unchanged from the single-pass ``F.percentile`` form."""
+    from .operators.percentile import grouped_exact_percentiles
+
     li = t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    qs = F.percentile(cents, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            qs.alias("__qs"),
-            F.stddev_samp("l_extendedprice").alias("__sd"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("__qs", 1) / 100, 2).alias("p25"),
-            F.round(F.element_at("__qs", 2) / 100, 2).alias("p50"),
-            F.round(F.element_at("__qs", 3) / 100, 2).alias("p75"),
-            F.round("__sd", 2).alias("sd"),
-        )
+    qs = grouped_exact_percentiles(
+        li, "l_returnflag", cents, {"__p25": 0.25, "__p50": 0.5, "__p75": 0.75}
+    )
+    sd = li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_extendedprice").alias("__sd")
+    )
+    return qs.join(F.broadcast(sd), "l_returnflag").select(
+        "l_returnflag",
+        F.round(F.col("__p25") / 100, 2).alias("p25"),
+        F.round(F.col("__p50") / 100, 2).alias("p50"),
+        F.round(F.col("__p75") / 100, 2).alias("p75"),
+        F.round("__sd", 2).alias("sd"),
     )
 
 

@@ -121,3 +121,35 @@ def test_null_if_empty(spark):
     assert (out[1].a, out[1].b) == ("x", "")  # only column a mapped
     out_all = null_if_empty(df).collect()
     assert out_all[1].b is None  # no-args → all string cols
+
+
+def test_grouped_exact_percentiles_matches_percentile_buffer(spark):
+    """The two-pass rank operator is EXACT: bit-identical to Spark's
+    single-pass F.percentile on tie-heavy, odd/even-sized, and
+    single-value groups (the shapes where interpolation corner cases
+    live)."""
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.percentile import (
+        grouped_exact_percentiles,
+    )
+
+    rows = (
+        [("a", v) for v in [1, 1, 2, 2, 2, 9, 100, 100]]      # ties, even
+        + [("b", v) for v in [5, 3, 8, 1, 7]]                  # odd
+        + [("c", v) for v in [42]]                             # single
+        + [("d", v) for v in range(1000)]                      # dense
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+    got = {
+        r["g"]: [r[n] for n in ps]
+        for r in grouped_exact_percentiles(df, "g", F.col("v"), ps).collect()
+    }
+    want = {
+        r["g"]: list(r["qs"])
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in ps.values()])).alias("qs"))
+        .collect()
+    }
+    assert got == want
