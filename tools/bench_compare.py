@@ -1,12 +1,16 @@
-"""Per-query bench regression report vs the previous round.
+"""Per-query bench regression report vs the best-ever recorded time.
 
     python tools/bench_compare.py [new_bench.json] [old_bench.json]
 
 ``new`` defaults to running ``bench.py`` fresh; ``old`` defaults to the
-latest ``BENCH_r*.json`` in the repo root. Flags any query >1.5× slower
-than the previous round (exit 1) so a perf regression is as loud as a
-correctness one. Queries present on only one side are listed but never
-flagged (new/renamed queries have no baseline).
+per-query BEST across every ``BENCH_r*.json`` in the repo root (latest
+round's total is still shown for context). Comparing against best-ever
+— not just the previous round — stops slow drift from compounding:
+three rounds of +30% each stay under a 1.5× per-round gate but trip a
+best-ever gate at round two. Flags any query >1.5× slower (exit 1) so
+a perf regression is as loud as a correctness one. Queries present on
+only one side are listed but never flagged (new/renamed queries have
+no baseline).
 """
 
 from __future__ import annotations
@@ -23,18 +27,29 @@ FLAG_RATIO = 1.5
 
 
 def _load_old(path: str | None) -> dict:
-    if path is None:
-        rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-        if not rounds:
-            raise SystemExit("no BENCH_r*.json baseline found")
-        path = rounds[-1]
-    with open(path) as f:
-        doc = json.load(f)
-    # driver files wrap the parsed line under "parsed"
-    payload = doc.get("parsed", doc)
-    print(f"baseline: {os.path.basename(path)} "
-          f"(total {payload['value']}s at sf{payload['sf']})")
-    return payload
+    if path is not None:
+        with open(path) as f:
+            doc = json.load(f)
+        payload = doc.get("parsed", doc)
+        print(f"baseline: {os.path.basename(path)} "
+              f"(total {payload['value']}s at sf{payload['sf']})")
+        return payload
+    rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not rounds:
+        raise SystemExit("no BENCH_r*.json baseline found")
+    # per-query best across every recorded round (see module docstring)
+    best: dict[str, float] = {}
+    payload = None
+    for p in rounds:
+        with open(p) as f:
+            doc = json.load(f)
+        payload = doc.get("parsed", doc)
+        for q, sec in payload["queries"].items():
+            if q not in best or sec < best[q]:
+                best[q] = sec
+    print(f"baseline: best-ever across {len(rounds)} rounds "
+          f"(latest total {payload['value']}s at sf{payload['sf']})")
+    return {**payload, "queries": best, "value": round(sum(best.values()), 3)}
 
 
 def _load_new(path: str | None) -> dict:
