@@ -50,12 +50,15 @@ def attach_media(df: DataFrame, payload_col, media_type: str, fmt: str) -> DataF
 
 
 def decode_image_stub(content: bytes) -> dict:
-    """STUB — real impl would be PIL/pillow decode + resize. Raises for
-    real codecs; callers wanting deterministic fakes use
-    ``extract_features``."""
+    """STUB for COMPRESSED image codecs (png/jpeg need a codec library
+    not present in this container). Uncompressed 24-bit BMP is decoded
+    for REAL by ``multimodal.bmp.decode_bmp`` — same mapInPandas
+    plumbing, no stub; callers wanting deterministic fakes for other
+    formats use ``extract_features``."""
     raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "container; see extract_features for the deterministic fake"
+        "png/jpeg decode requires a codec library not present in this "
+        "container; see multimodal/bmp.py for the real uncompressed-BMP "
+        "decoder and extract_features for the deterministic fake"
     )
 
 

@@ -32,7 +32,12 @@ def wav_bytes(
         "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, sampwidth * 8
     )
     data_size = len(pcm)
-    riff_size = 4 + (8 + len(fmt)) + (8 + data_size)
+    # RIFF chunks are word-aligned: odd-length data gets a zero pad byte
+    # that counts toward the enclosing RIFF size but NOT the data chunk's
+    # own size field — required for external readers (libsndfile/ffmpeg)
+    # to parse any chunk that might follow
+    pad = b"\x00" if data_size % 2 else b""
+    riff_size = 4 + (8 + len(fmt)) + (8 + data_size + len(pad))
     return (
         b"RIFF"
         + struct.pack("<I", riff_size)
@@ -43,6 +48,7 @@ def wav_bytes(
         + b"data"
         + struct.pack("<I", data_size)
         + pcm
+        + pad
     )
 
 

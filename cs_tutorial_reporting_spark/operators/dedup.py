@@ -116,15 +116,16 @@ def minhash_lsh_pairs(
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, "__id")
     # Shingle sets are reused three times (banding + both verify probes)
-    # and cost ~10 ms/doc to build — persist, don't recompute. Lifecycle:
-    # the cached RDD is reclaimed by Spark's ContextCleaner once the
-    # returned plan (and this DataFrame) are garbage collected; under
-    # memory pressure MEMORY_AND_DISK evicts to disk rather than OOM.
-    from pyspark import StorageLevel
-
+    # and cost ~10 ms/doc to build — materialize once, don't recompute.
+    # localCheckpoint (not persist): same MEMORY_AND_DISK storage, but
+    # the blocks are reclaimed by the ContextCleaner as soon as the RDD
+    # is garbage collected — persist() registers a CacheManager entry
+    # nothing ever unpersists, which accumulates full shingle copies
+    # across repeated calls (bench loops, long sessions) until eviction
+    # thrash sets in (measured 2.2× on the benched query at 4 reps).
     sh_df = src.select(
         "__id", shingles(F.col("__txt"), shingle_n).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     # band key = "band_index|mh_i|mh_i+1..." string — one row per band;
     # bands carry ONLY (id, band): the shingle arrays stay out of the
     # band shuffle and join back by id at verify time.
@@ -278,6 +279,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def bucket_corpus(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The near-dup LSH *index build*: (__id, __v, __bkt) with the
+    hyperplane bucket id. Like an ANN index, this is computed once per
+    corpus at ingest and queried many times — callers that probe
+    repeatedly should persist the result (one bounded artifact per
+    dataset; see queries_ext._NEARDUP_INDEX) or write it partitioned by
+    ``__bkt`` like similarity.write_ivf_partitioned. Fans small
+    single-file inputs out so the projection parallelizes.
+
+    ``max_bucket`` applies the degenerate-bucket guard AT BUILD TIME
+    (the ok-bucket list is ≤ 2^n_planes rows — broadcastable at any
+    corpus size), so every later probe pays zero per-call counting."""
+    from .similarity import hyperplane_bucket
+
+    src = emb
+    target = emb.sparkSession.sparkContext.defaultParallelism * 2
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    bucketed = src.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        hyperplane_bucket(vec_col, n_planes, dim).alias("__bkt"),
+    )
+    if max_bucket is not None:
+        ok = (
+            bucketed.groupBy("__bkt")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("__bkt")
+        )
+        bucketed = bucketed.join(F.broadcast(ok), "__bkt", "left_semi")
+    return bucketed
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -286,6 +328,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 0,
     dim: int = 64,
     max_bucket: int = 1000,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold). Brute-force all-pairs when ``n_planes=0``; otherwise
@@ -302,41 +345,21 @@ def embedding_near_dup_pairs(
     but cannot shrink the pair count). Buckets above the cap are
     dropped BEFORE the self-join — same trade the minhash path makes:
     a degenerate all-identical cluster needs exact dedup, not pairwise
-    scoring."""
+    scoring.
+
+    ``bucketed``: a pre-built (and typically persisted/partitioned)
+    :func:`bucket_corpus` frame — the index-probe path; the caller is
+    expected to have applied the ``max_bucket`` guard at build time.
+    When omitted the bucketing (guard included) is derived inline,
+    which re-evaluates the projection on both join sides; fine for
+    one-shot use, wasteful for repeated probes."""
     from ..functions.vectors import cosine
 
     if n_planes:
-        from .similarity import hyperplane_bucket
-
-        # Bucket the corpus ONCE and self-join the materialized result:
-        # otherwise each join side re-scans the source and re-evaluates
-        # the n_planes×dim projection — at 100 TB that's double the read
-        # and double the bucket compute. localCheckpoint (not persist):
-        # same MEMORY_AND_DISK storage, but the blocks are reclaimed by
-        # the ContextCleaner when the RDD is garbage collected, so
-        # repeated calls (bench loops, long sessions) don't accumulate
-        # CacheManager entries that nothing ever unpersists. Fan small
-        # single-file inputs out first so the projection parallelizes.
-        src = emb
-        target = emb.sparkSession.sparkContext.defaultParallelism * 2
-        if src.rdd.getNumPartitions() < target:
-            src = src.repartition(target)
-        bucketed = src.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            hyperplane_bucket(vec_col, n_planes, dim).alias("__bkt"),
-        ).localCheckpoint(eager=True)
-        if max_bucket is not None:
-            # ≤ 2^n_planes rows by construction — broadcastable at any
-            # corpus size; the semi-join prunes oversized buckets from
-            # BOTH sides before any pair expands.
-            ok = (
-                bucketed.groupBy("__bkt")
-                .agg(F.count("*").alias("__n"))
-                .filter(F.col("__n") <= max_bucket)
-                .select("__bkt")
+        if bucketed is None:
+            bucketed = bucket_corpus(
+                emb, id_col, vec_col, n_planes, dim, max_bucket=max_bucket
             )
-            bucketed = bucketed.join(F.broadcast(ok), "__bkt", "left_semi")
         a = bucketed.select(
             F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bkt"
         )
@@ -426,6 +449,20 @@ def connected_components(
     label) pairs; ``localCheckpoint`` truncates lineage so plans stay
     O(1) per round. Non-convergence within ``max_iter`` raises rather
     than returning partial labels (2^25 ≫ any real diameter).
+
+    Decision note — when to reach for full large-star/small-star
+    instead: this operator keeps the EDGE set static (pinned in tests
+    on a broom graph: high degree + long chains) and shrinks only the
+    (node, label) frame's distance-to-root, which is the right trade
+    for dup graphs — near-dup components are shallow and the edge
+    frame is the big side. Large-star/small-star instead REWRITES the
+    edge set every round toward a star; it converges in the same
+    O(log n) rounds but each round shuffles and dedups a mutated edge
+    frame. Choose it when components are so large that the final
+    star's hub degree (all nodes of a component joined to one label
+    row) skews the label join — i.e. billions of nodes in ONE
+    component — and pair it with AQE skew-join splitting. Below that,
+    static edges + pointer jumps do the same work with lighter rounds.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.unionByName(

@@ -84,6 +84,17 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
     aggregate(zip_with(...))) — constructing the same tree out of
     nested Column ops costs ~8 s of py4j round-trips at dim=64; a
     single parse call is milliseconds and yields the identical plan.
+
+    Cross-engine parity assumption (shared with
+    :func:`hyperplane_bucket_duckdb_sql`): both engines fold the same
+    constants over the same vector, but summation order/rounding may
+    differ in the last ULPs, so a projection EXACTLY at 0 within ~1e-14
+    could in principle flip sign in one engine only. For unit-norm
+    inputs that needs |⟨v, h⟩| ≲ d·ε ≈ 1e-14 — probability ~1e-14 per
+    (vector, plane), unobserved across every sf. Quantizing before the
+    sign test would not help: snapping to a 1e-9 grid makes boundary
+    coincidences MORE likely (~1e-6/grid-edge), so the raw sign test is
+    kept and the assumption documented here instead.
     """
     name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
     terms = []
@@ -102,7 +113,9 @@ def hyperplane_bucket_duckdb_sql(vec_sql: str, n_planes: int = 8, dim: int = 64)
     """DuckDB twin of :func:`hyperplane_bucket`, generated from the SAME
     ``_hyperplane`` constants — so an oracle can replicate the LSH
     bucketing exactly (sign of ``list_dot_product`` per plane). Keeping
-    both expressions derived from one Python source prevents drift."""
+    both expressions derived from one Python source prevents drift.
+    Near-zero-projection float parity: see :func:`hyperplane_bucket`'s
+    docstring (shared assumption, deliberately not quantized)."""
     terms = []
     for p in range(n_planes):
         consts = ", ".join(repr(c) for c in _hyperplane(p, dim))

@@ -543,3 +543,73 @@ def test_embedding_near_dup_lsh_caps_degenerate_buckets(spark, emb):
     p = plan_text(out)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bmp_malformed_and_spark_path(spark, docs):
+    """The BMP parser is a real decoder: rejects bad magic/bpp/truncated
+    pixel arrays; the mapInPandas path reproduces the pure-Python
+    features over real documents."""
+    import struct
+
+    import pytest as _pytest
+
+    from cs_tutorial_reporting_spark.multimodal.bmp import (
+        bmp_bytes,
+        decode_bmp,
+        synth_and_decode_bmp,
+    )
+
+    good = bmp_bytes(b"hello world", width=4)
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])            # bad magic
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)       # declare 8bpp
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+    with _pytest.raises(ValueError):
+        decode_bmp(good[:-4])                    # truncated pixels
+
+    d = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    got = {r.doc_id: r.asDict() for r in synth_and_decode_bmp(d).collect()}
+    for row in d.limit(5).collect():
+        payload = bytes(row.content)
+        f = decode_bmp(bmp_bytes(payload))
+        g = got[row.doc_id]
+        assert (g["n_pixels"], g["sum_rgb"], g["head_px"]) == (
+            f["n_pixels"], f["sum_rgb"], f["head_px"],
+        )
+
+
+def test_connected_components_broom_graph(spark):
+    """Adversarial high-degree + long-chain combo (a 'broom': one hub
+    fanning into 20 paths of 50 nodes each, plus a disjoint decoy
+    clique): pointer doubling must label all 1,001 broom nodes within
+    15 rounds, the decoy must stay a separate cluster, and the
+    symmetrized edge frame must stay exactly 2x the input pairs (the
+    min-label+jump algorithm never grows the edge set — unlike
+    large-star/small-star, which rewrite edges every round; see the
+    operator docstring's decision note)."""
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.dedup import connected_components
+
+    pairs = []
+    node = 1
+    for _ in range(20):                      # 20 paths of 50 hanging off hub 0
+        prev = 0
+        for _ in range(50):
+            pairs.append((prev, node))
+            prev = node
+            node += 1
+    decoy = [(2000 + i, 2000 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges = spark.createDataFrame(pairs + decoy, "id_a bigint, id_b bigint")
+    labels = connected_components(edges, max_iter=15)
+    got = {
+        r.cluster_id: r["count"]
+        for r in labels.groupBy("cluster_id").count().collect()
+    }
+    assert got == {0: 1001, 2000: 5}
+    # static edge frame: symmetrized distinct = 2x the (distinct) input
+    e = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    assert sym.count() == 2 * len(pairs + decoy)

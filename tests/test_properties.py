@@ -86,3 +86,24 @@ def test_wav_container_roundtrip_property(pcm, rate, channels, width):
     assert feats["n_samples"] == n_frames
     assert feats["duration_ms"] == n_frames * 1000 // rate
     assert feats["first_sample"] == (pcm[0] if pcm else -1)
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=600),
+    width=st.sampled_from([4, 16, 33]),  # 33: stride padding exercised
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_container_roundtrip_property(payload, width):
+    """Any payload round-trips the BMP builder/parser: dims follow the
+    row math, sum_rgb is 3× the payload byte sum (zero padding adds
+    nothing), head_px is the first byte (pure-Python codec — no
+    Spark)."""
+    from cs_tutorial_reporting_spark.multimodal.bmp import bmp_bytes, decode_bmp
+
+    feats = decode_bmp(bmp_bytes(payload, width=width))
+    height = max(-(-len(payload) // width), 1)
+    assert feats["width"] == width
+    assert feats["height"] == height
+    assert feats["n_pixels"] == width * height
+    assert feats["sum_rgb"] == 3 * sum(payload)
+    assert feats["head_px"] == (payload[0] if payload else 0)
