@@ -981,6 +981,10 @@ _DEMOTED_TAIL: list[str] = [
     "deterministic_sample",     # [r2 ✓] hash-mod ⊂ doc_fingerprint (promoted)
     "dedup_fuzzy_keepmin",      # [r1+r2 ✓] ⊂ minhash (bench) + CC pytest
     "join_left_outer",          # [r1+r2 ✓] outer-preserve ⊂ join_full_outer (promoted)
+    "composite_pk_dedup",       # [r1+r2 ✓] J1 composite ⊂ incremental_watermark_load
+    "range_join_value_buckets", # [r1+r2 ✓] interval join ⊂ asof_join_last_click (bench)
+    "corpus_quality_filter",    # [r1+r2 ✓] quality expr ⊂ doc_text_stats (bench)
+    "union_by_name_missing",    # [r2 ✓] schema-evolution union ⊂ set_ops (promoted)
 ]
 
 _CHECK_WINDOW = 50

@@ -1079,6 +1079,39 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_distinct",
+    oracle="""
+    SELECT count(*) AS n_pairs,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
+def streaming_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PK dedup (streaming/incremental.py): file-source stream
+    → dropDuplicatesWithinWatermark on (user_id, event_type) → append
+    memory sink, drained synchronously. The bounded replay arrives as
+    one micro-batch, so exactly one row per PK survives globally; the
+    returned aggregate touches only the PK columns (which row of a PK
+    group wins is engine-arbitrary, the key set is not), making the
+    batch DISTINCT the exact oracle."""
+    from .streaming.incremental import incremental_dedup_stream
+    from .streaming.sessions import read_event_stream, run_to_memory
+
+    name = "stream_dedup_gate"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    dd = incremental_dedup_stream(
+        stream, ["user_id", "event_type"], "ts", watermark="1 hour"
+    )
+    run_to_memory(dd, name, output_mode="append")
+    return spark.table(name).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("user_id").alias("sum_uid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -1212,6 +1245,114 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_quality"
             ),
         )
+    )
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    counts AS (
+        SELECT w, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM words GROUP BY w
+    )
+    SELECT term, token_id, n_occurrences, n_docs FROM (
+        SELECT w AS term,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC, w)
+                    AS BIGINT) AS token_id,
+               n_occurrences, n_docs
+        FROM counts
+    ) WHERE token_id <= 200
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-200 vocabulary build (operators/tfidf.py):
+    token ids by (occurrences DESC, term ASC) — the tokenizer-training /
+    frequency-cutoff primitive; the ranked set stays broadcastable for
+    downstream token-id joins."""
+    from .operators.tfidf import build_vocab
+
+    d = t(spark, sf_dir, "documents")
+    out = build_vocab(d, top_n=200)
+    return out.withColumn("token_id", F.col("token_id").cast("bigint"))
+
+
+@register(
+    "tfidf_top_terms",
+    bench=True,
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    tc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(cnt) AS len FROM tc GROUP BY 1),
+    dfreq AS (SELECT w, count(*) AS df FROM tc GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tc.doc_id, tc.w AS term,
+               (CAST(tc.cnt AS DOUBLE) / CAST(dl.len AS DOUBLE))
+               * (CAST(n.n + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS s
+        FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, term, floor(s * 1e6 + 0.5) / 1e6 AS score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY s DESC, term
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/tfidf.py). The
+    smoothed idf is the ratio (N+1)/(df+1) — deliberately log-free so
+    every arithmetic op is IEEE-correctly-rounded and therefore
+    bit-identical across engines (libm ln is only ~1-ulp and could flip
+    a rounded boundary); monotone in df, so rankings match ln-idf."""
+    from .operators.tfidf import tfidf_top_terms
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+#: per-language keep-thresholds (percent of the hash ring) for the
+#: stratified sample — downsample the majority language, keep most of
+#: the rare ones: the standard corpus rebalancing move
+_STRATA = [("en", 30), ("de", 60), ("fr", 60), ("es", 60), ("zh", 90)]
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT d.lang, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+    FROM documents d
+    JOIN (VALUES {", ".join(f"('{lg}', {th})" for lg, th in _STRATA)})
+         AS r(lang, keep_pct)
+      ON d.lang = r.lang
+    WHERE {HASH60_SQL.format(x="concat('strat|', CAST(d.doc_id AS VARCHAR))")}
+          % 100 < r.keep_pct
+    GROUP BY d.lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    applied via seeded hash-mod on the key (auditable and stable across
+    runs/partitionings/engines, unlike rand()); the rate table joins in
+    as a broadcast dimension. The corpus-rebalancing primitive."""
+    from .functions.text import hash60
+
+    d = t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(_STRATA, "lang string, keep_pct int")
+    bucket = (
+        hash60(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))) % 100
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_pct"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("sum_ids"))
     )
 
 

@@ -613,3 +613,44 @@ def test_connected_components_broom_graph(spark):
     e = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     assert sym.count() == 2 * len(pairs + decoy)
+
+
+def test_tfidf_and_vocab_known_corpus(spark):
+    """Hand-checkable TF-IDF: a term appearing in one doc outranks the
+    corpus-wide term; vocabulary ids follow (count DESC, term ASC)."""
+    from cs_tutorial_reporting_spark.operators.tfidf import (
+        build_vocab,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha common common"),
+            (2, "beta common"),
+            (3, "common gamma gamma gamma"),
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = {r.term: (r.token_id, r.n_occurrences, r.n_docs)
+             for r in build_vocab(docs).collect()}
+    assert vocab["common"] == (1, 4, 3)      # most frequent → id 1
+    assert vocab["gamma"] == (2, 3, 1)
+    # alpha/beta tie on count 1 → lexicographic id order
+    assert vocab["alpha"][0] < vocab["beta"][0]
+
+    top = {r.doc_id: r.term
+           for r in tfidf_top_terms(docs, k=1).collect()}
+    # the doc-exclusive term always beats 'common' (df=3)
+    assert top == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
+def test_stratified_sample_rates(spark, docs):
+    """Stratified hash-mod sampling keeps ~keep_pct per language and is
+    exactly reproducible call-to-call."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    a = sorted(map(tuple, QUERIES["stratified_sample"].fn(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, QUERIES["stratified_sample"].fn(spark, SF_SMOKE).collect()))
+    assert a == b and len(a) > 0

@@ -22,6 +22,12 @@ SF = "/root/testdata/sf0.001"
 #: only the declared exactness baseline (broadcast query side, O(Q·N)).
 EXEMPT_QUADRATIC = {"similarity_topk_bruteforce"}
 
+#: benched queries allowed EXACTLY ONE BroadcastNestedLoopJoin whose
+#: build side is a 1-row aggregate (a scalar joined into every row —
+#: O(n), not quadratic; the no-driver-collect way to use a global
+#: count/avg in a distributed expression).
+SCALAR_BROADCAST = {"tfidf_top_terms"}
+
 #: benched queries not plan-audited here: the returned DataFrame is a
 #: memory-sink table scan (the streaming plan is asserted in
 #: test_ext_operators/test_scale_layout streaming tests).
@@ -78,6 +84,12 @@ def test_no_cartesian_product_in_any_benched_plan(spark):
             continue
         p = plan_text(q.fn(spark, SF))
         if name in EXEMPT_QUADRATIC:
+            continue
+        if name in SCALAR_BROADCAST:
+            # one 1-row scalar join is fine; a second one (or a real
+            # cartesian) is a regression
+            if p.count("BroadcastNestedLoopJoin") > 1 or "CartesianProduct" in p:
+                bad[name] = p
             continue
         if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
             bad[name] = p
