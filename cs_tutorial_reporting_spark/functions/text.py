@@ -106,6 +106,31 @@ def repetition_ratio(col: Column, sep_regex: str = r"\.") -> Column:
     )
 
 
+#: PII patterns kept to syntax with identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB): character classes, bounded repetition —
+#: no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "<EMAIL>": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "<PHONE>": r"\d{3}-\d{3}-\d{4}",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Training-corpus PII scrub: replace email addresses and
+    NNN-NNN-NNNN phone numbers with typed placeholder tokens. A pure
+    regexp_replace chain — no shuffle, pipelines into the scan; the
+    pattern table is the single source for engine and oracle."""
+    out = col
+    for token, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, F.lit(pat), F.lit(token))
+    return out
+
+
+def pii_count(col: Column, token: str) -> Column:
+    """# of matches of one PII pattern (pre-scrub audit metric)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[token])).cast("bigint")
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form every dedup/fingerprint family hashes:
     lower-cased, ALL whitespace runs (spaces/tabs/newlines) collapsed to

@@ -985,6 +985,7 @@ _DEMOTED_TAIL: list[str] = [
     "range_join_value_buckets", # [r1+r2 ✓] interval join ⊂ asof_join_last_click (bench)
     "corpus_quality_filter",    # [r1+r2 ✓] quality expr ⊂ doc_text_stats (bench)
     "union_by_name_missing",    # [r2 ✓] schema-evolution union ⊂ set_ops (promoted)
+    "explode_lateral_shingles", # [r2 ✓] unnest ⊂ flag_contaminated_docs, minhash
 ]
 
 _CHECK_WINDOW = 50

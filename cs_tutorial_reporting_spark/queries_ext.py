@@ -1079,6 +1079,58 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII-scrub query: the synthetic corpus contains no real PII, so the
+#: query PLANTS deterministic emails/phones per document (both engines
+#: build the identical contaminated string), scrubs, and md5s the
+#: result — the hash only matches if every replacement is identical.
+_PII_PLANT_SQL = (
+    "concat(substr(text, 1, 100), ' reach user', CAST(doc_id AS VARCHAR), "
+    "'@mail.example.com or 555-123-', lpad(CAST(doc_id % 10000 AS VARCHAR), "
+    "4, '0'), ' now')"
+)
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(planted,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(planted, '\\d{{3}}-\\d{{3}}-\\d{{4}}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(planted,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                '<EMAIL>', 'g'),
+                '\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g')) AS scrub_md5
+    FROM (SELECT doc_id, {_PII_PLANT_SQL} AS planted FROM documents)
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py redact_pii): plant a
+    deterministic email + phone into each document, count matches, and
+    scrub to typed placeholders; the md5 of the scrubbed text is the
+    oracle's witness that every replacement landed identically. Pattern
+    syntax is restricted to the Java-regex ∩ RE2 common subset."""
+    from .functions.text import pii_count, redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 100),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    return d.select(
+        "doc_id",
+        pii_count(planted, "<EMAIL>").alias("n_emails"),
+        pii_count(planted, "<PHONE>").alias("n_phones"),
+        F.md5(redact_pii(planted)).alias("scrub_md5"),
+    )
+
+
 @register(
     "streaming_dedup_distinct",
     oracle="""

@@ -654,3 +654,31 @@ def test_stratified_sample_rates(spark, docs):
     a = sorted(map(tuple, QUERIES["stratified_sample"].fn(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, QUERIES["stratified_sample"].fn(spark, SF_SMOKE).collect()))
     assert a == b and len(a) > 0
+
+
+def test_redact_pii_known_strings(spark):
+    from cs_tutorial_reporting_spark.functions.text import (
+        pii_count,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c%d@sub.example.co or call 415-555-1234 twice"),
+            (2, "no pii here, just 12-34 and name at example dot com"),
+            (3, "two mails x@y.io z@w.ai and 000-000-0000"),
+        ],
+        "id bigint, s string",
+    )
+    got = {
+        r.id: (r.out, r.ne, r.np)
+        for r in df.select(
+            "id",
+            redact_pii(F.col("s")).alias("out"),
+            pii_count(F.col("s"), "<EMAIL>").alias("ne"),
+            pii_count(F.col("s"), "<PHONE>").alias("np"),
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> or call <PHONE> twice", 1, 1)
+    assert got[2] == ("no pii here, just 12-34 and name at example dot com", 0, 0)
+    assert got[3] == ("two mails <EMAIL> <EMAIL> and <PHONE>", 2, 1)
