@@ -1,0 +1,87 @@
+"""Corpus n-gram language-model scoring ([EXT] training-data pipeline:
+flag documents whose token sequences the corpus has never seen —
+machine-generated noise, OCR damage, wrong-language shards).
+
+A self-trained bigram model: count every adjacent token pair across the
+corpus, then score each document by the fraction of its bigrams that
+are corpus-rare (count ≤ ``rare_threshold``). The novelty ratio is a
+rational of two integers, so — unlike a log-likelihood — it is
+bit-identical across engines and oracle-checkable. (A true perplexity
+differs only by pushing the joined counts through ``ln``; the plumbing
+below is the whole distributed cost either way.)
+
+Scale design: tokenization and bigram construction are pure array
+expressions (no explode until the model build needs one); the model is
+a (gram, count) aggregate — one hash shuffle over (doc · tokens) rows;
+scoring joins the exploded grams back to the model on the gram key. At
+100 TB the model side is itself large, so NO broadcast hint — Catalyst
+picks sort-merge vs broadcast from stats. All JVM-side; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bind_once
+from ..functions.text import normalize_text
+
+
+def bigram_array(col: Column) -> Column:
+    """array<string> of ``"tok_i tok_{i+1}"`` pairs over the normalized
+    whitespace tokenization; empty for documents of fewer than two
+    tokens (guarded — Spark's ``sequence(1, 0)`` would count DOWN)."""
+
+    def _pairs(ts: Column) -> Column:
+        n = F.size(ts)
+        return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+            F.zip_with(
+                F.slice(ts, 1, n - 1),
+                F.slice(ts, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        )
+
+    return bind_once(F.split(normalize_text(col), " "), _pairs)
+
+
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(gram, cnt) corpus bigram counts — the trained model."""
+    grams = docs.select(
+        F.explode(bigram_array(F.col(text_col))).alias("gram")
+    )
+    return grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+
+
+def novelty_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_threshold: int = 2,
+) -> DataFrame:
+    """Per-document novelty: (doc_id, n_bigrams, n_rare, novelty) where
+    ``novelty = n_rare / n_bigrams`` rounded by the portable
+    ``floor(x·10⁴ + ½)/10⁴`` sequence. Self-scoring means every gram
+    hits the model (count ≥ 1), so the join is inner and lossless."""
+    model = bigram_model(docs, text_col)
+    flat = docs.select(
+        F.col(id_col), F.explode(bigram_array(F.col(text_col))).alias("gram")
+    )
+    rare = F.when(F.col("cnt") <= rare_threshold, F.lit(1)).otherwise(F.lit(0))
+    scored = (
+        flat.join(model, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+        )
+    )
+    novelty = (
+        F.floor(
+            F.col("n_rare") / F.col("n_bigrams") * 10000 + F.lit(0.5)
+        )
+        / 10000
+    )
+    return scored.select(
+        id_col, "n_bigrams", "n_rare", novelty.alias("novelty")
+    )

@@ -1,0 +1,468 @@
+"""Adapted TPC-H analytic shapes (Q7, Q8, Q10, Q14, Q18, Q19, Q21, Q22
+and a Q2-style correlated-min) over the driver's star schema.
+
+The generated tables lack ``partsupp``, ``l_shipmode``,
+``l_commitdate``/``l_receiptdate`` and ``c_phone``, so each classic
+query keeps its PLAN shape — the join graph, subquery structure, and
+aggregate pattern Catalyst must optimize — with predicates re-expressed
+over existing columns (noted per query). The point of this module is
+breadth of *optimizer surface*: multi-way joins with broadcastable
+dims, disjunctive pushdown, correlated scalar/EXISTS subqueries,
+HAVING over grouped facts, and deterministic top-k — each shape a user
+of the reference's warehouse tables would run downstream.
+
+Float discipline (module contract, queries.py:9): every floating-point
+aggregate is rounded on BOTH sides; ratios divide ALREADY-ROUNDED sums
+(identical doubles in either engine) and re-round via the portable
+``floor(x * 10^k + 0.5) / 10^k`` sequence. ``l_quantity`` is integral
+doubles, so quantity sums are exact and comparable pre-round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register, t
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev():
+    # built lazily — Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q7_nation_pair_revenue",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.{_REV_SQL}), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey   = l.l_orderkey
+    JOIN customer c  ON c.c_custkey    = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey    = l.l_suppkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume by year. The two
+    nation dims are filtered to the pair BEFORE touching the facts, so
+    supplier/customer shrink via broadcast joins and the disjunctive
+    pair predicate runs on two short string columns — the fact table
+    never carries rows outside the two nations. At 100 TB the only big
+    shuffle is lineitem⋈orders on orderkey."""
+    pair = ("NATION_1", "NATION_2")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END), 2) AS nation_volume,
+           round(sum(volume), 2) AS total_volume,
+           floor(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                ELSE 0 END), 2)
+                 / round(sum(volume), 2) * 10000 + 0.5) / 10000 AS mkt_share
+    FROM (
+        SELECT CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+               {_REV_SQL} AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON o.o_orderkey   = l.l_orderkey
+        JOIN customer c  ON c.c_custkey    = o.o_custkey
+        JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+        JOIN region r    ON r.r_regionkey  = cn.n_regionkey
+        JOIN supplier s  ON s.s_suppkey    = l.l_suppkey
+        JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's market
+    per year. The market side prunes customers to one region through
+    two broadcast dims; the share divides two already-rounded sums
+    (identical doubles cross-engine) and re-rounds with the portable
+    floor sequence. Conditional aggregation — not a second scan — keeps
+    it one pass over the joined facts."""
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    agg = vol.groupBy("o_year").agg(
+        F.round(F.sum(target), 2).alias("nation_volume"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+    share = F.floor(
+        F.col("nation_volume") / F.col("total_volume") * 10000 + F.lit(0.5)
+    ) / 10000
+    return agg.select(
+        "o_year", "nation_volume", "total_volume", share.alias("mkt_share")
+    )
+
+
+@register(
+    "q10_returned_item_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.{_REV_SQL}), 2) AS revenue,
+           round(max(c.c_acctbal), 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON o.o_custkey    = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey   = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey  = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    The returnflag filter is pushed to the lineitem scan; the agg
+    shuffles on custkey; ordering is on the ROUNDED revenue with a
+    custkey tiebreak so the limit boundary is deterministic in both
+    engines. Global top-k = TakeOrderedAndProject, no full sort."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    oracle=f"""
+    SELECT promo_revenue, total_revenue,
+           floor(promo_revenue / total_revenue * 10000 + 0.5) / 10000
+               AS promo_share
+    FROM (
+        SELECT round(sum(CASE WHEN p.p_type = 'PROMO' THEN l.{_REV_SQL}
+                              ELSE 0 END), 2) AS promo_revenue,
+               round(sum(l.{_REV_SQL}), 2) AS total_revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share over a one-year window
+    (p_type = 'PROMO' stands in for the reference schema's
+    ``PROMO%%`` prefix class). Part is broadcast; the year range is
+    pushed to the scan; one conditional aggregate — the ratio divides
+    the two rounded sums."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    agg = joined.agg(
+        F.round(F.sum(promo), 2).alias("promo_revenue"),
+        F.round(F.sum(_rev()), 2).alias("total_revenue"),
+    )
+    share = F.floor(
+        F.col("promo_revenue") / F.col("total_revenue") * 10000 + F.lit(0.5)
+    ) / 10000
+    return agg.select(
+        "promo_revenue", "total_revenue", share.alias("promo_share")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(big.sum_qty, 2) AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 200
+    ) big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed very large orders. The
+    HAVING runs on the grouped fact BEFORE any dimension join, so only
+    qualifying orderkeys (a tiny set) reach the orders/customer joins —
+    the right order at 100 TB. ``l_quantity`` is integral doubles, so
+    the >200 threshold compares exact sums in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > 200)
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("__sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT count(*) AS n_lines,
+           round(sum(l.{_REV_SQL}), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three-way disjunction mixing build-side (brand,
+    size) and probe-side (quantity) predicates. Catalyst extracts the
+    common ``p_brand IN (...)`` / quantity-range conjuncts and pushes
+    them below the broadcast join, so the fact scan skips rows no
+    disjunct can accept — the shape exists to verify predicate
+    extraction keeps working over a broadcast hash join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#3") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#12") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#21") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(_rev()), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q21_sole_supplier_orders",
+    oracle="""
+    SELECT n.n_name AS supp_nation, count(*) AS n_orders
+    FROM (
+        SELECT l_orderkey, min(l_suppkey) AS the_supp
+        FROM lineitem GROUP BY l_orderkey
+        HAVING count(*) >= 2 AND count(DISTINCT l_suppkey) = 1
+    ) solo
+    JOIN orders o   ON o.o_orderkey = solo.l_orderkey
+                   AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey   = solo.the_supp
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY supp_nation
+    """,
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-supplier variant — the classic needs
+    l_receiptdate): finished multi-line orders served entirely by ONE
+    supplier, counted by that supplier's nation. Q21's correlated
+    EXISTS/NOT-EXISTS pair collapses to a single grouped pass over
+    lineitem (count lines, count distinct suppliers) — one shuffle on
+    orderkey instead of two self-joins, the formulation that survives
+    100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    solo = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("the_supp"),
+            F.count("*").alias("__n_lines"),
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+        )
+        .filter((F.col("__n_lines") >= 2) & (F.col("__n_supp") == 1))
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    return (
+        solo.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("the_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q22_dormant_balances",
+    oracle="""
+    SELECT CAST(c.c_custkey % 10 AS BIGINT) AS cntrycode,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT round(avg(c_acctbal), 2) FROM customer
+            WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+    GROUP BY cntrycode
+    """,
+)
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (no c_phone: country code is custkey mod 10;
+    'no orders in 7 years' becomes 'no urgent orders'): well-funded
+    customers the urgent-order pipeline never reached. Scalar-subquery
+    threshold stays in the plan as a 1-row broadcast; the threshold is
+    ROUNDED before comparing so both engines cut on the identical
+    double (a raw avg differs in final ULPs across partial-agg
+    orders). NOT EXISTS is a broadcast anti-join on the filtered
+    orders side."""
+    c = t(spark, sf_dir, "customer")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("__thresh"))
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__thresh"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "correlated_min_subquery",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_cheapest,
+           round(min(p.p_retailprice), 2) AS min_price
+    FROM part p
+    WHERE p.p_retailprice = (
+            SELECT min(p2.p_retailprice) FROM part p2
+            WHERE p2.p_brand = p.p_brand
+          )
+    GROUP BY p_brand
+    """,
+)
+def correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: retail price stands in for supply
+    cost): rows matching their group's correlated minimum. The
+    correlated scalar subquery de-correlates to a grouped-min dim
+    (one row per brand) broadcast back onto the scan — no window sort,
+    no per-row subquery. Equality compares stored doubles (a pure
+    selection, no arithmetic), so it is exact in both engines."""
+    p = t(spark, sf_dir, "part")
+    brand_min = p.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("__min_price")
+    )
+    return (
+        p.join(F.broadcast(brand_min), "p_brand")
+        .filter(F.col("p_retailprice") == F.col("__min_price"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_cheapest"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        )
+    )

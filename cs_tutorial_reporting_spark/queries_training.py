@@ -1,0 +1,135 @@
+"""Registrations for the round-3 training-data-pipeline operators
+([EXT] north star): corpus bigram-LM novelty scoring, token-window
+chunking with chunk-level duplication stats, and int8 embedding
+quantization with a reconstruction-error audit.
+
+Oracle notes: novelty and chunking emit integer counts plus rationals
+of integers (portable floor-round) — bit-exact cross-engine; the
+quantization audit's only order-sensitive float is the self-dot, which
+reuses the fold ⇄ ``list_dot_product`` parity the similarity queries
+already hash-match at round-6 (operators/similarity.py:179).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import register, t
+from .queries_ext import HASH60_SQL, NORM_SQL
+
+_TOKS = f"string_split({NORM_SQL.format(col='text')}, ' ')"
+
+
+@register(
+    "ngram_novelty_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS ts FROM documents
+    ), flat AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        FROM toks
+    ), model AS (
+        SELECT gram, count(*) AS cnt FROM flat GROUP BY gram
+    )
+    SELECT f.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN m.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           floor(CAST(sum(CASE WHEN m.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS novelty
+    FROM flat f JOIN model m USING (gram)
+    GROUP BY f.doc_id
+    """,
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM novelty per document (operators/
+    ngram_lm.py): fraction of a document's bigrams that are corpus-rare
+    — the integer-exact stand-in for perplexity filtering."""
+    from .operators.ngram_lm import novelty_scores
+
+    return novelty_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_chunking_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, {_TOKS} AS ts FROM documents
+    ), chunks AS (
+        SELECT source, doc_id,
+               unnest(list_transform(
+                   range(0, CAST(greatest(ceil(len(ts) / 64.0), 1) AS BIGINT)),
+                   i -> {HASH60_SQL.format(
+                       x="array_to_string(ts[i * 64 + 1 : i * 64 + 64], ' ')")}
+               )) AS chunk_hash
+        FROM toks
+    ), per_kind AS (
+        SELECT source, chunk_hash,
+               count(*) AS n, count(DISTINCT doc_id) AS nd
+        FROM chunks GROUP BY source, chunk_hash
+    ), docs_per AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs
+        FROM documents GROUP BY source
+    )
+    SELECT d.source, d.n_docs,
+           CAST(sum(k.n) AS BIGINT) AS n_chunks,
+           count(*) AS n_chunk_kinds,
+           CAST(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_doc_kinds
+    FROM per_kind k JOIN docs_per d USING (source)
+    GROUP BY d.source, d.n_docs
+    """,
+)
+def doc_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token training-shard chunking + chunk-level duplication per
+    source (operators/chunking.py): how many context-window chunks the
+    corpus yields, and how many chunk kinds recur across documents —
+    what document-level dedup cannot see."""
+    from .operators.chunking import chunking_stats
+
+    return chunking_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, v,
+               CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127 END AS scale
+        FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) AS amax
+            FROM embeddings
+        )
+    ), q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                           AS BIGINT)) AS qa
+        FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(len(list_filter(qa, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
+           CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT)
+               AS int_dot,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(qa[i] * scale - v[i]))), 6) AS max_abs_err,
+           round(CASE WHEN list_dot_product(v, v) = 0 THEN 0.0
+                      ELSE abs(CAST(list_sum(list_transform(qa, x -> x * x))
+                                    AS DOUBLE) * scale * scale
+                               - list_dot_product(v, v))
+                           / list_dot_product(v, v) END, 6) AS rel_err
+    FROM q
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit over the embedding corpus
+    (operators/quantize.py): per-vector scale, saturation count, exact
+    quantized self-dot, worst per-lane reconstruction error, and
+    relative self-dot error."""
+    from .operators.quantize import quantization_report
+
+    return quantization_report(t(spark, sf_dir, "embeddings"))

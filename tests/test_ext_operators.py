@@ -682,3 +682,92 @@ def test_redact_pii_known_strings(spark):
     assert got[1] == ("mail <EMAIL> or call <PHONE> twice", 1, 1)
     assert got[2] == ("no pii here, just 12-34 and name at example dot com", 0, 0)
     assert got[3] == ("two mails <EMAIL> <EMAIL> and <PHONE>", 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# round-3 training-pipeline operators: bigram novelty, chunking, int8
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_novelty_hand_computed(spark):
+    """3-doc corpus with one repeated sentence: the repeated docs share
+    every bigram (count ≥ 2 ⇒ rare at threshold 1... checked at
+    threshold 1 so 'rare' = globally unique bigrams only)."""
+    from cs_tutorial_reporting_spark.operators.ngram_lm import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "a completely different sentence here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_rare)
+        for r in novelty_scores(docs, rare_threshold=1).collect()
+    }
+    # docs 1/2: 5 bigrams each, every one occurs twice -> none rare
+    assert got[1] == (5, 0) and got[2] == (5, 0)
+    # doc 3: 4 bigrams, all unique -> all rare
+    assert got[3] == (4, 4)
+
+
+def test_bigram_single_token_doc_yields_no_bigrams(spark):
+    """A 1-token document must contribute zero bigrams (the unguarded
+    sequence(1, 0) would count DOWN and fabricate pairs)."""
+    from cs_tutorial_reporting_spark.operators.ngram_lm import bigram_array
+
+    df = spark.createDataFrame([("word",), ("two words",)], "text string")
+    rows = df.select(bigram_array(F.col("text")).alias("b")).collect()
+    assert rows[0].b == [] and rows[1].b == ["two words"]
+
+
+def test_chunking_partial_tail_kept(spark):
+    """A 130-token document at 64-token chunks yields 3 chunks (64 + 64
+    + 2-token tail) — the tail must not be dropped."""
+    from cs_tutorial_reporting_spark.operators.chunking import chunk_hashes
+
+    text = " ".join(f"tok{i}" for i in range(130))
+    df = spark.createDataFrame([(text,)], "text string")
+    (row,) = df.select(F.size(chunk_hashes(F.col("text"))).alias("n")).collect()
+    assert row.n == 3
+
+
+def test_chunking_stats_cross_doc_duplicates(spark):
+    """Two docs sharing their (single-chunk) text produce one cross-doc
+    chunk kind; a third distinct doc produces none."""
+    from cs_tutorial_reporting_spark.operators.chunking import chunking_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared boilerplate text", "web"),
+            (2, "shared boilerplate text", "web"),
+            (3, "unique document body", "web"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    (row,) = chunking_stats(docs).collect()
+    assert (row.n_docs, row.n_chunks, row.n_chunk_kinds, row.n_cross_doc_kinds) == (
+        3,
+        3,
+        2,
+        1,
+    )
+
+
+def test_int8_quantize_zero_vector_and_saturation(spark):
+    """Zero vectors quantize to all-zero with zero error; the max-|v|
+    lane always saturates to exactly ±127."""
+    from cs_tutorial_reporting_spark.operators.quantize import quantization_report
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantization_report(emb).collect()}
+    assert got[1].int_dot == 0 and got[1].rel_err == 0.0 and got[1].n_sat == 0
+    # scale = 2/127; q = [64, -127, 32] (floor(x/s + .5))
+    assert got[2].n_sat == 1
+    assert got[2].int_dot == 64 * 64 + 127 * 127 + 32 * 32
+    assert got[2].rel_err < 0.01  # ~0.2% reconstruction error on the self-dot

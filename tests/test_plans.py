@@ -235,3 +235,82 @@ def test_ivf_partitioned_layout_prunes_and_matches_inline(spark, tmp_path):
     # arrive as a post-scan join-only condition
     pf = p.split("PartitionFilters:")[1].split("\n")[0]
     assert "__cell" in pf and ("dynamicpruning" in pf or "isnotnull" in pf), pf
+
+
+def test_q18_having_filters_before_dimension_joins(spark):
+    """Q18's HAVING must reduce the grouped fact BEFORE orders/customer
+    join in — the filter sits between the aggregate and the joins, so
+    only qualifying orderkeys (a tiny set) are ever joined. A plan that
+    joins first carries the whole fact table through two joins."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    df = QUERIES["q18_large_volume_orders"].fn(spark, SF)
+    p = plan_text(df, "formatted")
+    assert "CartesianProduct" not in p
+    # the >200 filter must appear over the aggregate output, not be lost
+    assert "200" in p, p
+
+
+def test_q19_disjunction_partial_pushdown(spark):
+    """Q19's common conjuncts extracted from the 3-way disjunction must
+    reach the scans: quantity range on lineitem, brand set on part."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    p = plan_text(QUERIES["q19_disjunctive_predicates"].fn(spark, SF), "formatted")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    pushed = [
+        ln.split("PushedFilters")[1] for ln in p.splitlines() if "PushedFilters" in ln
+    ]
+    assert any("l_quantity" in s for s in pushed), p
+    assert any("p_brand" in s for s in pushed), p
+
+
+def test_q7_nation_pair_all_dims_broadcast(spark):
+    """Q7: supplier/customer/nation joins broadcast; the only hash
+    shuffle pair is the lineitem⋈orders fact join (+ final agg)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    p = plan_text(QUERIES["q7_nation_pair_revenue"].fn(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_new_tpch_and_training_plans_are_not_quadratic(spark):
+    """None of the round-3 additions may contain a cartesian or an
+    unbounded nested-loop join (q22/q14's 1-row scalar broadcast is the
+    allowed O(n) scalar-join shape)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    names = [
+        "q8_market_share",
+        "q10_returned_item_revenue",
+        "q14_promo_revenue_ratio",
+        "q21_sole_supplier_orders",
+        "q22_dormant_balances",
+        "correlated_min_subquery",
+        "ngram_novelty_scores",
+        "doc_chunking_stats",
+        "embedding_int8_quantize",
+    ]
+    bad = {}
+    for name in names:
+        p = plan_text(QUERIES[name].fn(spark, SF))
+        if "CartesianProduct" in p:
+            bad[name] = "cartesian"
+        # a single 1-row scalar broadcast join is allowed (q22 threshold)
+        elif p.count("BroadcastNestedLoopJoin") > 1:
+            bad[name] = "nested-loop"
+    assert not bad, bad
+
+
+def test_quantize_and_chunking_have_no_python_stages(spark):
+    """The quantization audit and chunking stats are pure JVM array
+    expressions — no BatchEvalPython / ArrowEvalPython / mapInPandas
+    stage may appear (a Python stage here means someone rewrote the
+    array math as a UDF — the 10-100x slow path)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    for name in ("embedding_int8_quantize", "doc_chunking_stats", "ngram_novelty_scores"):
+        p = plan_text(QUERIES[name].fn(spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in p, f"{name}: {marker} in plan"
