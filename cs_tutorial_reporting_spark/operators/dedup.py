@@ -504,3 +504,59 @@ def connected_components(
         if not changed:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 20,
+    max_postings: int = 50,
+) -> DataFrame:
+    """Containment/plagiarism candidate pairs via shared winnowing
+    fingerprints: (id_a, id_b, n_shared) with id_a < id_b, for pairs
+    sharing ≥ ``min_shared`` fingerprints (each shared fingerprint
+    witnesses a shared ≥ k+w-1 = 11-char run — functions/text.py:157).
+
+    Complements MinHash: Jaccard dilutes when a small document is
+    CONTAINED in a large one, but the contained span's fingerprints
+    still match exactly.
+
+    Scale shape (mirrors minhash_lsh_pairs): the posting list carries
+    only (id, fp) 16-byte rows; one shuffle groups each fingerprint's
+    posting, the ``max_postings`` cap drops stop-gram postings (shared
+    boilerplate) BEFORE the in-row quadratic pair expansion, and a
+    second shuffle counts per pair. No self-join, no cartesian.
+    """
+    from ..functions.text import winnow_fingerprints
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, "__id")
+    flat = src.select(
+        "__id", F.explode(winnow_fingerprints(F.col("__txt"))).alias("__fp")
+    )
+    postings = (
+        flat.groupBy("__fp")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_postings))
+    )
+    ids = F.col("__ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -17,11 +17,10 @@ from pyspark.sql import functions as F
 from .functions.text import LANG_MARKERS
 from .queries import register, t
 
-# -- shared SQL fragments (DuckDB dialect), kept adjacent to constants ----
-
-NORM_SQL = r"trim(lower(regexp_replace({col}, '\s+', ' ', 'g')))"
-HASH60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
-WORDS_SQL = f"string_split({NORM_SQL.format(col='text')}, ' ')"
+# -- shared SQL fragments (DuckDB dialect) — single-sourced in the leaf
+# module duck_sql.py so sibling queries_* modules can import them
+# without a cycle through queries.py; re-exported here for back-compat
+from .duck_sql import HASH60_SQL, NORM_SQL, WORDS_SQL  # noqa: F401
 
 
 def _shingles_n_sql(n: int) -> str:
@@ -157,28 +156,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
-_WINNOW_K, _WINNOW_W = 8, 4
-
-# fingerprint sets are EXPLODED to (doc_id, fp) rows: the driver's
-# pandas canonicalizer cannot hash array cells, and rows are what a
-# fingerprint-index join consumes anyway
-_WINNOW_SQL = f"""
-    SELECT doc_id, unnest(fps) AS fp
-    FROM (
-        SELECT doc_id, list_distinct(
-            list_transform(range(0, greatest(len(grams) - {_WINNOW_W - 1}, 1)),
-                           j -> list_min(grams[j + 1 : j + {_WINNOW_W}]))
-        ) AS fps
-        FROM (
-            SELECT doc_id,
-                   list_transform(
-                       range(0, greatest(length(norm) - {_WINNOW_K - 1}, 1)),
-                       i -> {HASH60_SQL.format(x=f"substr(norm, i + 1, {_WINNOW_K})")}
-                   ) AS grams
-            FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
-        )
-    )
-"""
+from .duck_sql import WINNOW_SQL as _WINNOW_SQL  # noqa: E402
+from .duck_sql import WINNOW_K as _WINNOW_K  # noqa: E402
+from .duck_sql import WINNOW_W as _WINNOW_W  # noqa: E402
 
 
 # not a bench query: the result is every fingerprint of every doc, so

@@ -14,8 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .duck_sql import HASH60_SQL, NORM_SQL, WINNOW_SQL
 from .queries import register, t
-from .queries_ext import HASH60_SQL, NORM_SQL
 
 _TOKS = f"string_split({NORM_SQL.format(col='text')}, ' ')"
 
@@ -133,3 +133,30 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quantize import quantization_report
 
     return quantization_report(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "winnow_containment_pairs",
+    oracle=f"""
+    WITH flat AS ({WINNOW_SQL}),
+    keep AS (
+        SELECT fp FROM flat GROUP BY fp
+        HAVING count(*) >= 2 AND count(*) <= 50
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM flat f JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    HAVING count(*) >= 20
+    """,
+)
+def winnow_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment candidates over shared winnowing fingerprints
+    (operators/dedup.py::winnow_containment_pairs) — catches a small
+    document pasted INTO a larger one, where set-Jaccard (minhash)
+    dilutes below threshold."""
+    from .operators.dedup import winnow_containment_pairs
+
+    return winnow_containment_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )

@@ -120,6 +120,140 @@ def compact_partitioned(
     return results
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    return_stats: bool = False,
+) -> dict[str, int] | None:
+    """SCD-1 MERGE into a FLAT parquet table: change rows REPLACE
+    target rows with the same key, unmatched change rows INSERT, and —
+    when ``delete_col`` names a boolean column — flagged rows DELETE
+    their key instead. The lakehouse-format-free equivalent of Delta's
+    ``MERGE INTO`` (copy-on-write): the surviving target rows are the
+    key anti-join, the new table is ``(target ▷ change_keys) ∪
+    upserts``, and the rewrite swaps in with :func:`compact`'s
+    rename-aside crash-safety (at every instant ``path`` or the aside
+    holds a complete copy; a previous crash is recovered on entry).
+
+    One anti-join (broadcast when the change-key set is small — the
+    size-gated ``dedup_against``) + one rewrite of the table; no
+    driver-side row handling. For big partitioned tables use
+    :func:`merge_upsert_partitioned`, which rewrites ONLY the leaves
+    the changes touch.
+
+    ``return_stats`` adds a pre-swap pass counting
+    {updated, inserted, deleted} (three cheap key-join counts).
+    """
+    import os
+    import shutil
+
+    from ..operators.incremental import dedup_against
+
+    path = path.rstrip("/")
+    parent, base = os.path.split(path)
+    tmp = os.path.join(parent, f".{base}__merging")
+    old = os.path.join(parent, f".{base}__old")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete rewrite — original intact
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # swap completed; cleanup interrupted
+        else:
+            os.rename(old, path)  # crash between the two renames
+
+    target = spark.read.parquet(path)
+    upserts = changes
+    if delete_col is not None:
+        from pyspark.sql import functions as F
+
+        upserts = changes.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    missing = set(target.columns) - set(upserts.columns)
+    if missing:
+        raise ValueError(f"merge_upsert: changes missing columns {sorted(missing)}")
+    change_keys = changes.select(*keys).distinct()
+    survivors = dedup_against(target, change_keys, keys)
+    merged = survivors.unionByName(upserts.select(*target.columns))
+
+    stats: dict[str, int] | None = None
+    if return_stats:
+        matched = changes.join(target.select(*keys).distinct(), keys, "left_semi")
+        if delete_col is not None:
+            from pyspark.sql import functions as F
+
+            flag = F.coalesce(F.col(delete_col), F.lit(False))
+            stats = {
+                "deleted": matched.filter(flag).count(),
+                "updated": matched.filter(~flag).count(),
+                "inserted": changes.filter(~flag)
+                .join(target.select(*keys).distinct(), keys, "left_anti")
+                .count(),
+            }
+        else:
+            stats = {
+                "deleted": 0,
+                "updated": matched.count(),
+                "inserted": changes.join(
+                    target.select(*keys).distinct(), keys, "left_anti"
+                ).count(),
+            }
+
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return stats
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    part_col: str,
+    delete_col: str | None = None,
+) -> dict[str, str]:
+    """MERGE into a ``partitionBy(part_col)`` layout, rewriting ONLY
+    the leaves whose partition value appears in ``changes`` — untouched
+    leaves keep their files byte-identical, which is what makes MERGE
+    affordable at 100 TB (a day's changes touch a handful of date
+    partitions, not the table). New partition values create new leaves.
+
+    Constraint (same as every copy-on-write merge without a global key
+    index): ``part_col`` must be immutable per key — a change row is
+    routed to ITS partition value and cannot find the key under any
+    other. Returns {partition value: 'merged' | 'created'}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    vals = [
+        r[0] for r in changes.select(part_col).distinct().collect()
+    ]  # affected partitions only — a small driver list by construction
+    results: dict[str, str] = {}
+    for v in sorted(vals, key=str):
+        leaf = os.path.join(path.rstrip("/"), f"{part_col}={v}")
+        ch = changes.filter(F.col(part_col) == F.lit(v)).drop(part_col)
+        if delete_col is not None:
+            inserts = ch.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        else:
+            inserts = ch
+        if not os.path.isdir(leaf):
+            inserts.write.parquet(leaf)
+            results[str(v)] = "created"
+        else:
+            merge_upsert(spark, leaf, ch, keys, delete_col=delete_col)
+            results[str(v)] = "merged"
+    return results
+
+
 def write_sorted(
     df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
 ) -> None:

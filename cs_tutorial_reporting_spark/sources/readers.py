@@ -180,3 +180,10 @@ def read_jdbc_table(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning work exactly as
+    for parquet (Catalyst emits the same PushedFilters / ReadSchema);
+    pinned in tests/test_scale_layout.py."""
+    return spark.read.orc(path)

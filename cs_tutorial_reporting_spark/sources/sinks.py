@@ -90,3 +90,14 @@ def write_jdbc_append(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_orc(df: DataFrame, path: str, *partition_cols: str) -> str:
+    """K3 alternate format — ORC (native Spark datasource; same
+    vectorized reader + min/max skipping story as parquet, the format
+    Hive-lineage warehouses expect). Partitioning optional."""
+    out = df.write.mode("overwrite")
+    if partition_cols:
+        out = out.partitionBy(*partition_cols)
+    out.orc(path)
+    return path

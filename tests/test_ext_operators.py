@@ -771,3 +771,31 @@ def test_int8_quantize_zero_vector_and_saturation(spark):
     assert got[2].n_sat == 1
     assert got[2].int_dot == 64 * 64 + 127 * 127 + 32 * 32
     assert got[2].rel_err < 0.01  # ~0.2% reconstruction error on the self-dot
+
+
+def test_winnow_containment_detects_contained_span(spark):
+    """A short document pasted into a long one shares its fingerprints
+    even though set-Jaccard is tiny; a pathological corpus (60 copies
+    of the same text) exceeds max_postings and is dropped BEFORE pair
+    expansion (60 copies -> 0 pairs, not 1770)."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+
+    contained = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"w{i}x w{i}y w{i}z" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, contained), (2, filler + " " + contained + " " + filler)],
+        "doc_id bigint, text string",
+    )
+    pairs = winnow_containment_pairs(docs, "text", "doc_id", min_shared=5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].n_shared >= 5
+
+    boiler = spark.createDataFrame(
+        [(i, contained) for i in range(60)], "doc_id bigint, text string"
+    )
+    assert (
+        winnow_containment_pairs(boiler, "text", "doc_id", max_postings=50).count()
+        == 0
+    )

@@ -226,3 +226,121 @@ def test_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) >= 3
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint → a range predicate prunes whole files
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (copy-on-write, format-free)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    from cs_tutorial_reporting_spark.sources.maintenance import merge_upsert
+
+    out = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, name string, v double",
+    ).write.parquet(out)
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 21.0, False),   # update
+            (4, "d", 40.0, False),   # insert
+            (3, "c", 30.0, True),    # delete
+            (9, "x", 0.0, True),     # delete of absent key -> no-op
+        ],
+        "id bigint, name string, v double, is_deleted boolean",
+    )
+    stats = merge_upsert(
+        spark, out, changes, ["id"], delete_col="is_deleted", return_stats=True
+    )
+    assert stats == {"updated": 1, "inserted": 1, "deleted": 1}
+    got = {
+        r.id: (r.name, r.v)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("B", 21.0), 4: ("d", 40.0)}
+    # idempotence: re-applying the same change set converges
+    merge_upsert(spark, out, changes, ["id"], delete_col="is_deleted")
+    assert {
+        r.id: (r.name, r.v) for r in spark.read.parquet(out).collect()
+    } == got
+
+
+def test_merge_upsert_crash_recovery(spark, tmp_path):
+    """Simulate dying between the two renames: the aside copy must be
+    restored on the next merge, then the merge applied exactly once."""
+    import os
+
+    from cs_tutorial_reporting_spark.sources.maintenance import merge_upsert
+
+    out = str(tmp_path / "tgt")
+    spark.range(10).write.parquet(out)
+    os.rename(out, str(tmp_path / ".tgt__old"))  # crashed mid-swap
+    changes = spark.range(10, 12)  # two inserts
+    merge_upsert(spark, out, changes, ["id"])
+    assert spark.read.parquet(out).count() == 12
+
+
+def test_merge_partitioned_rewrites_only_touched_leaves(spark, tmp_path):
+    import os
+
+    from cs_tutorial_reporting_spark.sources.maintenance import (
+        merge_upsert_partitioned,
+    )
+
+    out = str(tmp_path / "ptab")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id bigint, p bigint, v double"
+    )
+    df.write.partitionBy("p").parquet(out)
+    untouched = os.path.join(out, "p=2")
+    before = sorted(os.listdir(untouched))
+    before_mtime = max(
+        os.path.getmtime(os.path.join(untouched, f)) for f in before
+    )
+
+    changes = spark.createDataFrame(
+        [(0, 0, 99.0, False), (100, 1, 1.0, False), (200, 5, 5.0, False)],
+        "id bigint, p bigint, v double, is_deleted boolean",
+    )
+    res = merge_upsert_partitioned(
+        spark, out, changes, ["id"], "p", delete_col="is_deleted"
+    )
+    assert res == {"0": "merged", "1": "merged", "5": "created"}
+    # leaf p=2 untouched byte-for-byte
+    assert sorted(os.listdir(untouched)) == before
+    assert (
+        max(os.path.getmtime(os.path.join(untouched, f)) for f in before)
+        == before_mtime
+    )
+    after = spark.read.parquet(out)
+    assert after.count() == 32
+    assert after.filter((F.col("p") == 0) & (F.col("id") == 0)).collect()[0].v == 99.0
+    assert after.filter(F.col("p") == 5).count() == 1
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC source parity: round-trip preserves values and the scan
+    carries pushed filters + pruned columns like parquet."""
+    import contextlib
+    import io
+
+    from cs_tutorial_reporting_spark.sources.readers import read_orc_table
+    from cs_tutorial_reporting_spark.sources.sinks import write_orc
+
+    src = load_table(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc_table(spark, out)
+    assert back.count() == src.count()
+    q = back.filter(F.col("o_orderkey") < 100).select("o_orderkey", "o_orderstatus")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "PushedFilters" in p and "o_orderkey" in p.split("PushedFilters")[1].split("\n")[0]
+    assert "o_totalprice" not in p  # column pruning reached the ORC scan
+    # partitioned variant round-trips with partition pruning available
+    write_orc(src.withColumn("yr", F.year("o_orderdate")), str(tmp_path / "orc_p"), "yr")
+    part = spark.read.orc(str(tmp_path / "orc_p"))
+    assert part.count() == src.count()
