@@ -1004,10 +1004,10 @@ _DEMOTED_TAIL: list[str] = [
     "constraint_check_report",  # [r2 ✓] K4 report — row held, semantics pytest-pinned
     "grouped_trend_slope",      # [r2 ✓] applyInPandas ⊂ multimodal decode plumbing
     "multimodal_wav_decode",    # [r2 ✓] mapInPandas decode ⊂ multimodal_bmp_decode
-    # registered straight to the tail (window full of never-checked
-    # shapes): locally oracle-verified; rotates up in a later round
-    "winnow_containment_pairs", # posting-list pairs ⊂ minhash_lsh_dedup_pairs
-                                # (bench) + doc_winnow_fingerprints [r1+r2 ✓]
+    # round-4 rotation: winnow_containment_pairs promoted (the one
+    # registered query with no driver row after r3); [r3 ✓] shapes
+    # demoted to free its slot and the round-4 newcomers' slots
+    "scalar_math_functions",    # [r3 ✓] pure scalar exprs ⊂ conditional/date shapes
 ]
 
 _CHECK_WINDOW = 50

@@ -21,21 +21,34 @@ from ..schemas import EVENTS
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events layout. ns-timestamp parquet is
-    read as int64 and floored to µs, matching the batch reader."""
+    """File-source stream over the events layout.
+
+    Timestamp-unit-aware like the batch reader (``sources/readers.py``):
+    the parquet footer is peeked once on the driver — only when ``ts`` is
+    physically TIMESTAMP(NANOS) is it read as int64 and floored to µs;
+    µs/ms-unit files stream straight through as ``TimestampType``.
+    """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    from ..sources.readers import _ns_timestamp_cols
+
+    ts_is_ns = "ts" in _ns_timestamp_cols(path)
+    ts_type = "bigint" if ts_is_ns else "timestamp"
+    if ts_is_ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        f"event_id bigint, ts {ts_type}, user_id bigint, "
+        "event_type string, value double, props string"
+    )
     reader = spark.readStream.schema(raw_schema)
     if os.path.isfile(path):
         # file-source streams need a directory; narrow with a glob filter
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        *[f.name for f in EVENTS.fields]
-    )
+    if ts_is_ns:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.select(*[f.name for f in EVENTS.fields])
 
 
 def windowed_rollup(

@@ -155,6 +155,58 @@ def test_airflow_rest_source_through_ep2_pipeline(spark, tmp_path):
     assert got_ids.isdisjoint(first_ids) and got_ids
 
 
+def test_timestamp_unit_drift_batch_and_stream(spark, tmp_path):
+    """Unit-drift regression (round-3 lesson): the driver testdata has
+    stored ``events.ts`` as TIMESTAMP(NANOS) in r1-r2 and TIMESTAMP(MICROS)
+    since r3. Materialize the SAME events in both physical units and
+    assert byte-identical results from BOTH ``load_table`` (batch) and
+    ``read_event_stream`` (streaming) on each — nothing may assume a unit
+    again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs_tutorial_reporting_spark.sources.readers import load_table
+    from cs_tutorial_reporting_spark.streaming.sessions import (
+        read_event_stream,
+        run_to_memory,
+    )
+
+    base_us = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_700_003_600_000_001]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"]),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    results = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        mult = 1000 if unit == "ns" else 1
+        ts = pa.array([t * mult for t in base_us], pa.timestamp(unit))
+        tbl = pa.table({**cols, "ts": ts}).select(
+            ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+
+        batch = load_table(spark, str(d), "events")
+        assert dict(batch.dtypes)["ts"] == "timestamp"
+        batch_rows = sorted(batch.collect(), key=lambda r: r.event_id)
+
+        stream = read_event_stream(spark, str(d / "events.parquet"))
+        name = f"unit_drift_{unit}"
+        run_to_memory(stream, name, output_mode="append")
+        stream_rows = sorted(
+            spark.table(name).collect(), key=lambda r: r.event_id
+        )
+        assert batch_rows == stream_rows  # batch/stream parity per unit
+        results[unit] = batch_rows
+
+    assert results["ns"] == results["us"]  # physical unit must not leak
+    assert results["us"][1].ts.microsecond == 456789  # µs precision kept
+
+
 def test_airflow_rest_http_helpers():
     """HTTP-branch unit pieces (no network): snake_case payload keys and
     page-URL construction match the Airflow REST v1 wire format."""

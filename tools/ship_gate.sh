@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Ship gate — run as the LAST step before a round ends (round-3 lesson:
+# a testdata refresh shipped a red streaming source because the final
+# commits skipped these). Fails loudly on the first red surface.
+#
+#   bash tools/ship_gate.sh            # oracle gate at sf0.01 + pytest + bench drift
+#   FULL=1 bash tools/ship_gate.sh     # also re-run the oracle gate at sf0.001 + sf0.1
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== ship gate 1/3: oracle gate (full registry) =="
+python tools/check_oracle.py /root/testdata/sf0.01
+if [[ "${FULL:-0}" == "1" ]]; then
+  python tools/check_oracle.py /root/testdata/sf0.001
+  python tools/check_oracle.py /root/testdata/sf0.1
+fi
+
+echo "== ship gate 2/3: pytest =="
+python -m pytest tests/ -q
+
+echo "== ship gate 3/3: bench drift vs best recorded round =="
+python tools/bench_compare.py
+
+echo "SHIP GATE GREEN"
