@@ -63,8 +63,14 @@ def decode_image_stub(content: bytes) -> dict:
 
 
 def frame_sample_stub(content: bytes, every_ms: int) -> list[bytes]:
-    """STUB — real impl: ffmpeg keyframe sampling."""
-    raise NotImplementedError("video frame sampling requires ffmpeg")
+    """STUB for COMPRESSED video codecs (mp4/h264 need ffmpeg, not
+    present in this container). Uncompressed AVI is decoded and
+    frame-sampled for REAL by ``multimodal.avi.decode_avi`` — same
+    mapInPandas plumbing, real RIFF chunk walk, no stub."""
+    raise NotImplementedError(
+        "compressed video sampling requires ffmpeg; see multimodal/avi.py "
+        "for the real uncompressed-AVI frame sampler"
+    )
 
 
 FEATURE_SCHEMA = (

@@ -1008,6 +1008,7 @@ _DEMOTED_TAIL: list[str] = [
     # registered query with no driver row after r3); [r3 ✓] shapes
     # demoted to free its slot and the round-4 newcomers' slots
     "scalar_math_functions",    # [r3 ✓] pure scalar exprs ⊂ conditional/date shapes
+    "conditional_case_coalesce",  # [r3 ✓] CASE/coalesce ⊂ q19 predicates (in window)
 ]
 
 _CHECK_WINDOW = 50

@@ -1245,6 +1245,53 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_avi_frames",
+    oracle="""
+    SELECT doc_id,
+           8 AS width,
+           8 AS height,
+           CAST(greatest((octet_length(encode(text)) + 63) // 64, 1)
+                AS INTEGER) AS n_frames,
+           CAST(greatest((octet_length(encode(text)) + 63) // 64, 1) * 100
+                AS BIGINT) AS duration_ms,
+           CAST((greatest((octet_length(encode(text)) + 63) // 64, 1) + 1) // 2
+                AS INTEGER) AS n_sampled,
+           -- sampled frames = even frame indices; frame k holds payload
+           -- bytes [k*64, (k+1)*64). CAST: list_sum → HUGEINT otherwise
+           CAST(3 * coalesce(list_sum(list_transform(
+                   range(0, CAST(octet_length(encode(text)) AS BIGINT)),
+                   i -> CASE WHEN (i // 64) % 2 = 0 THEN
+                             CAST(concat('0x', substr(hex(encode(text)),
+                                                      CAST(i * 2 + 1 AS INTEGER),
+                                                      2))
+                                  AS BIGINT)
+                        ELSE 0 END)), 0) AS BIGINT) AS sum_rgb_sampled,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                     ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                               AS INTEGER)
+                END AS INTEGER) AS head_px
+    FROM documents
+    """,
+)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling (no ffmpeg stub): each
+    document's bytes become the grayscale DIB frames of an actual
+    uncompressed AVI (RIFF hdrl/movi, 'vids'/'DIB ', 8×8 @ 10 fps),
+    which the pure-Python chunk walker in multimodal/avi.py parses back
+    and samples every 200 ms (= every 2nd frame) inside one Arrow
+    mapInPandas pass. The decoded stats (dims / frame count / duration /
+    sampled-pixel sum / first sampled pixel) are pure functions of the
+    payload, so the oracle checks decode + sampling without parsing AVI
+    itself."""
+    from .multimodal.avi import synth_and_decode_avi
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_decode_avi(d, payload_col="content", id_col="doc_id")
+
+
+@register(
     "corpus_quality_filter",
     oracle=f"""
     SELECT lang, count(*) AS n_kept,

@@ -799,3 +799,99 @@ def test_winnow_containment_detects_contained_span(spark):
         winnow_containment_pairs(boiler, "text", "doc_id", max_postings=50).count()
         == 0
     )
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """The one streaming behavior the oracle gate structurally can't
+    see: append-mode late-data DROP. Three micro-batches via three
+    files + maxFilesPerTrigger=1. Batch 1 puts three events in
+    [10:00,11:00) plus a 13:30 event that advances the watermark to
+    11:30 (> window end). Batch 2's on-time 14:00 event triggers the
+    eviction: [10:00,11:00) is emitted with n=3 and its state dropped.
+    Batch 3 replays a LATE 10:40 event (window end < watermark, state
+    gone) - it must vanish, where a batch agg would count 4. (The late
+    row must arrive AFTER the eviction batch: a late row landing in the
+    same trigger that evicts the window is still included - that is
+    Spark's documented append-mode semantics, not a bug.)"""
+    import time
+
+    from cs_tutorial_reporting_spark.streaming.sessions import (
+        run_to_memory,
+        windowed_rollup,
+    )
+
+    def write(path, *ts_strs):
+        rows = [(i, t, 1, "a", 10.0, "{}") for i, t in enumerate(ts_strs)]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, s string, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).select(
+            "event_id", F.to_timestamp("s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    src = str(tmp_path / "late_src")
+    write(src, "2024-01-01 10:05:00", "2024-01-01 10:15:00",
+          "2024-01-01 10:25:00", "2024-01-01 13:30:00")
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    write(src, "2024-01-01 14:00:00")
+    time.sleep(1.1)
+    write(src, "2024-01-01 10:40:00")  # late: below the 11:30 watermark
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory(windowed_rollup(stream), "late_out", output_mode="append")
+    emitted = [
+        (r.n, r.sum_value)
+        for r in spark.table("late_out").collect()
+        if r.window_start.isoformat() == "2024-01-01T10:00:00"
+    ]
+    # exactly one emission, late 10:40 row NOT counted; batch semantics
+    # over the same six rows would give (4, 40.0)
+    assert emitted == [(3, 30.0)]
+
+
+def test_avi_malformed_and_spark_path(spark, docs):
+    """The AVI parser is a real decoder: rejects bad magic, truncated
+    RIFF bodies, and frame-count mismatches; the mapInPandas path
+    reproduces the pure-Python features over real documents."""
+    import struct
+
+    import pytest as _pytest
+
+    from cs_tutorial_reporting_spark.multimodal.avi import (
+        avi_bytes,
+        decode_avi,
+        synth_and_decode_avi,
+    )
+
+    good = avi_bytes(b"hello world, this is more than one frame" * 4)
+    with _pytest.raises(ValueError):
+        decode_avi(b"XXXX" + good[4:])               # bad RIFF magic
+    with _pytest.raises(ValueError):
+        decode_avi(good[:8] + b"WAVE" + good[12:])   # wrong form type
+    with _pytest.raises(ValueError):
+        decode_avi(good[:-20])                       # truncated RIFF
+    lying = bytearray(good)
+    # avih dwTotalFrames lives 24 bytes into the avih body: RIFF(12) +
+    # LIST hdr(12) + 'avih'+size(8) + 4 fields(16)
+    struct.pack_into("<I", lying, 12 + 12 + 8 + 16, 99)
+    with _pytest.raises(ValueError):
+        decode_avi(bytes(lying))                     # frame-count mismatch
+
+    d = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    got = {r.doc_id: r.asDict() for r in synth_and_decode_avi(d).collect()}
+    for row in d.limit(5).collect():
+        payload = bytes(row.content)
+        f = decode_avi(avi_bytes(payload))
+        g = got[row.doc_id]
+        assert (g["n_frames"], g["n_sampled"], g["sum_rgb_sampled"], g["head_px"]) == (
+            f["n_frames"], f["n_sampled"], f["sum_rgb_sampled"], f["head_px"],
+        )

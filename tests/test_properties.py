@@ -107,3 +107,31 @@ def test_bmp_container_roundtrip_property(payload, width):
     assert feats["n_pixels"] == width * height
     assert feats["sum_rgb"] == 3 * sum(payload)
     assert feats["head_px"] == (payload[0] if payload else 0)
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=600),
+    fps=st.sampled_from([5, 10, 25]),
+    every_ms=st.sampled_from([100, 200, 500]),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_container_roundtrip_property(payload, fps, every_ms):
+    """Any payload round-trips the AVI builder/parser with frame math
+    intact: 64 payload bytes per 8x8 frame, duration follows fps, the
+    sampling grid takes every max(every_ms*fps//1000, 1)-th frame, and
+    the sampled pixel sum is 3x the byte sum of exactly the sampled
+    frames' payload slices (pure-Python codec - no Spark)."""
+    from cs_tutorial_reporting_spark.multimodal.avi import avi_bytes, decode_avi
+
+    feats = decode_avi(avi_bytes(payload, fps=fps), every_ms=every_ms)
+    n_frames = max(-(-len(payload) // 64), 1)
+    step = max(every_ms * 1000 // (1_000_000 // fps), 1)
+    sampled = range(0, n_frames, step)
+    assert feats["width"] == 8 and feats["height"] == 8
+    assert feats["n_frames"] == n_frames
+    assert feats["duration_ms"] == n_frames * (1_000_000 // fps) // 1000
+    assert feats["n_sampled"] == len(sampled)
+    assert feats["sum_rgb_sampled"] == 3 * sum(
+        sum(payload[k * 64 : (k + 1) * 64]) for k in sampled
+    )
+    assert feats["head_px"] == (payload[0] if payload else 0)
