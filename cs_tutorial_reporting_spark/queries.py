@@ -1009,6 +1009,7 @@ _DEMOTED_TAIL: list[str] = [
     # demoted to free its slot and the round-4 newcomers' slots
     "scalar_math_functions",    # [r3 ✓] pure scalar exprs ⊂ conditional/date shapes
     "conditional_case_coalesce",  # [r3 ✓] CASE/coalesce ⊂ q19 predicates (in window)
+    "date_parts_spectrum",      # [r3 ✓] X1-X3 ⊂ scalar_date_functions family [r1+r2 ✓]
 ]
 
 _CHECK_WINDOW = 50

@@ -160,3 +160,50 @@ def winnow_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_containment_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@register(
+    "sequence_packing_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id, doc_id % 4 AS shard,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    ), layout AS (
+        SELECT source, shard, n_tokens,
+               (cum - n_tokens) // 512 AS first_seq,
+               greatest((cum - 1) // 512, (cum - n_tokens) // 512) AS last_seq
+        FROM packed
+    )
+    SELECT source, shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_sequences,
+           CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddling,
+           floor(CAST(sum(n_tokens) AS DOUBLE)
+                 / (ceil(sum(n_tokens) / 512.0) * 512) * 10000) / 10000
+               AS fill_ratio
+    FROM layout GROUP BY source, shard
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining concat-and-chunk layout (operators/packing.py): docs
+    are deterministically sharded (doc_id % 4) per source, each shard's
+    token stream is cut every 512 tokens, and the report gives per-shard
+    sequence counts, boundary-straddling docs, and fill ratio — the
+    sample-packing primitive of every LLM data pipeline, as one window
+    cumsum with no Python in the plan."""
+    from .functions.text import whitespace_token_count
+    from .operators.packing import pack_sequences, packing_summary
+
+    d = t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, whitespace_token_count(d["text"]), max_tokens=512, n_shards=4
+    )
+    return packing_summary(packed, max_tokens=512)

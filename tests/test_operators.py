@@ -153,3 +153,42 @@ def test_grouped_exact_percentiles_matches_percentile_buffer(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sequence_packing_layout_and_plan(spark):
+    """Hand-computed concat-and-chunk layout (max_tokens=10, 1 shard):
+    cumulative prefix sums place doc 3 (tokens 4,5,3 -> cum 4,9,12)
+    across the 10-token boundary; empty docs occupy no tokens and never
+    straddle. The plan must stay JVM-only (window cumsum, no Python)."""
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.packing import (
+        pack_sequences,
+        packing_summary,
+    )
+
+    rows = [(1, "s", 4), (2, "s", 5), (3, "s", 3), (4, "s", 0), (6, "t", 25)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, nt int")
+    packed = pack_sequences(
+        df, F.col("nt"), max_tokens=10, n_shards=1
+    )
+    got = {r.doc_id: r for r in packed.collect()}
+    assert (got[1].first_seq, got[1].last_seq, got[1].straddles) == (0, 0, False)
+    assert (got[2].first_seq, got[2].last_seq, got[2].straddles) == (0, 0, False)
+    # doc 3: start_offset 9, last token at offset 11 -> seqs 0..1
+    assert (got[3].first_seq, got[3].last_seq, got[3].straddles) == (0, 1, True)
+    # doc 4: empty, start==cum==12 -> pinned to first_seq, no straddle
+    assert (got[4].first_seq, got[4].last_seq, got[4].straddles) == (1, 1, False)
+    # doc 6 alone in source t: 25 tokens -> seqs 0..2
+    assert (got[6].first_seq, got[6].last_seq, got[6].straddles) == (0, 2, True)
+
+    summary = {
+        r.source: r for r in packing_summary(packed, max_tokens=10).collect()
+    }
+    assert (summary["s"].n_docs, summary["s"].total_tokens,
+            summary["s"].n_sequences, summary["s"].n_straddling) == (4, 12, 2, 1)
+    assert summary["s"].fill_ratio == 0.6  # 12 / (2*10)
+    assert (summary["t"].n_sequences, summary["t"].n_straddling) == (3, 1)
+
+    plan = packing_summary(packed, max_tokens=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
