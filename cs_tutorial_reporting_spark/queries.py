@@ -1010,6 +1010,7 @@ _DEMOTED_TAIL: list[str] = [
     "scalar_math_functions",    # [r3 ✓] pure scalar exprs ⊂ conditional/date shapes
     "conditional_case_coalesce",  # [r3 ✓] CASE/coalesce ⊂ q19 predicates (in window)
     "date_parts_spectrum",      # [r3 ✓] X1-X3 ⊂ scalar_date_functions family [r1+r2 ✓]
+    "having_filter_groups",     # [r3 ✓] HAVING ⊂ grouping_sets_sql + q18 (in window)
 ]
 
 _CHECK_WINDOW = 50

@@ -1475,3 +1475,34 @@ def grouped_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     out = grouped_ols_slope(e, min_points=5)
     return out.select("user_id", F.round("slope", 4).alias("slope"), "n")
+
+
+@register(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           epoch_ms(c.ts) - epoch_ms(v.ts) AS gap_ms
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (streaming/joins.py): live view and
+    click streams joined on user within a 30-minute horizon, watermarks
+    bounding the buffered state on both sides. Inner joins emit
+    eagerly, so the bounded-replay drain materializes exactly the batch
+    interval join — the oracle checks the full matched-pair set."""
+    from .streaming.joins import attribution_join
+    from .streaming.sessions import read_event_stream, run_to_memory
+
+    name = "stream_attr_gate"
+    views = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    clicks = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    run_to_memory(attribution_join(views, clicks), name, output_mode="append")
+    return spark.table(name)

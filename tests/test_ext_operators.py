@@ -895,3 +895,47 @@ def test_avi_malformed_and_spark_path(spark, docs):
         assert (g["n_frames"], g["n_sampled"], g["sum_rgb_sampled"], g["head_px"]) == (
             f["n_frames"], f["n_sampled"], f["sum_rgb_sampled"], f["head_px"],
         )
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream inner join == batch interval join on the same
+    bounded input (inner joins emit eagerly, so the drain is total),
+    and the physical plan is the stateful symmetric-hash join operator
+    with watermark state cleanup - not a buffered batch join."""
+    from cs_tutorial_reporting_spark.streaming.joins import attribution_join
+    from cs_tutorial_reporting_spark.streaming.sessions import (
+        read_event_stream,
+        run_to_memory,
+    )
+
+    path = f"{SF_SMOKE}/events.parquet"
+    views = read_event_stream(spark, path).filter(F.col("event_type") == "view")
+    clicks = read_event_stream(spark, path).filter(F.col("event_type") == "click")
+    run_to_memory(attribution_join(views, clicks), "ss_join_out", "append")
+    got = {
+        (r.view_id, r.click_id, r.gap_ms)
+        for r in spark.table("ss_join_out").collect()
+    }
+
+    e = load_table(spark, SF_SMOKE, "events")
+    v = e.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("vts"), "user_id"
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts"),
+        F.col("user_id").alias("cu"),
+    )
+    want = {
+        (r.view_id, r.click_id, r.gap_ms)
+        for r in v.join(
+            c,
+            F.expr("user_id = cu AND cts >= vts "
+                   "AND cts <= vts + interval 30 minutes"),
+        )
+        .select(
+            "view_id", "click_id",
+            (F.unix_millis("cts") - F.unix_millis("vts")).alias("gap_ms"),
+        )
+        .collect()
+    }
+    assert got == want and got  # non-empty and identical
