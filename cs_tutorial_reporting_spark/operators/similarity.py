@@ -358,3 +358,166 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain scale path
+# ---------------------------------------------------------------------------
+
+
+def build_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the vector is split into ``m``
+    subspaces of ``dim/m`` dims; subspace ``j``'s codebook is the j-th
+    slice of the ``ks`` seed vectors with smallest md5(id) — the same
+    seeded sample rule as the IVF coarse quantizer, so the build is
+    reproducible cluster-wide and SQL-expressible for the oracle.
+    Driver-side state is ks×dim floats (build once, query many)."""
+    sub = dim // m
+    seeds = (
+        emb.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(ks)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in seeds]
+    return [
+        [v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)
+    ]
+
+
+def _pq_codes_expr(vec_name: str, codebooks: list[list[list[float]]]):
+    """array<bigint> of per-subspace nearest-code ids (1-based): for
+    each subspace, argmin over the codebook of the L2 distance
+    ``const(||c||²) − 2·⟨v_sub, c⟩`` (the ||v_sub||² term is constant
+    per row and drops out of the argmin). One F.expr parse — the py4j
+    economy rationale of hyperplane_bucket applies m×ks-fold here."""
+    sub = len(codebooks[0][0])
+    per_j = []
+    for j, cb in enumerate(codebooks):
+        sl = f"slice({vec_name}, {j * sub + 1}, {sub})"
+        dists = ", ".join(
+            f"({sum(c * c for c in cent)!r}D - 2.0D * {_dot_sql(sl, cent)})"
+            for cent in cb
+        )
+        arr = f"array({dists})"
+        per_j.append(
+            f"CAST(array_position({arr}, array_min({arr})) AS BIGINT)"
+        )
+    return F.expr("array(" + ", ".join(per_j) + ")")
+
+
+def _pq_lut_expr(vec_name: str, codebooks: list[list[list[float]]]):
+    """Per-query ADC lookup table: array<array<double>> where
+    lut[j][c] = ⟨q_sub_j, codebook[j][c]⟩ — computed once per query,
+    broadcast with it; scoring a corpus vector is then m array lookups
+    instead of a dim-wide dot product."""
+    sub = len(codebooks[0][0])
+    rows = []
+    for j, cb in enumerate(codebooks):
+        sl = f"slice({vec_name}, {j * sub + 1}, {sub})"
+        rows.append(
+            "array(" + ", ".join(_dot_sql(sl, cent) for cent in cb) + ")"
+        )
+    return F.expr("array(" + ", ".join(rows) + ")")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress the corpus to (id, codes): m small ints per vector —
+    m bytes against dim×4 for float32 (32× at the 64-dim/8-subspace
+    default). At 100 TB the encoded table is what lives hot; the float
+    vectors stay in cold storage for optional exact re-ranking."""
+    return emb.select(
+        F.col(id_col), _pq_codes_expr(vec_col, codebooks).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    corpus is scanned in compressed form (codes only), each query
+    carries its LUT, and the approximate dot is the sum of m table
+    lookups — ``zip_with(codes, lut) → element_at`` — entirely JVM
+    expressions. Exactness oracle is ``brute_force_topk``; composes
+    with IVF (encode within probed cells) for the full IVF-PQ layout."""
+    from pyspark.sql.window import Window
+
+    if codebooks is None:
+        codebooks = build_pq_codebooks(emb, m, ks, id_col, vec_col)
+    e = pq_encode(emb, codebooks, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col), _pq_lut_expr(query_vec_col, codebooks).alias("lut")
+    )
+    score = F.expr(
+        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, CAST(c AS INT))), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def refine_pq_codebooks(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means refinement of the seed codebooks (the PQ
+    twin of the IVF Lloyd step): assign every vector's subspace slice
+    to its nearest code, replace each code with the mean of its
+    assignees. Each iteration is one encode pass plus m small
+    aggregations; codes with no assignees keep their seed. Like the
+    IVF Lloyd variant, the refined build is distribution-dependent, so
+    its quality is pinned by recall tests rather than the SQL oracle."""
+    sub = len(codebooks[0][0])
+    for _ in range(iters):
+        codes = emb.select(
+            F.col(vec_col).alias("__v"),
+            _pq_codes_expr(vec_col, codebooks).alias("__codes"),
+        ).localCheckpoint()
+        new = []
+        for j, cb in enumerate(codebooks):
+            means = (
+                codes.groupBy(F.element_at("__codes", j + 1).alias("__c"))
+                .agg(
+                    *[
+                        F.avg(F.col("__v").getItem(j * sub + d)).alias(f"m{d}")
+                        for d in range(sub)
+                    ]
+                )
+                .collect()
+            )
+            cbj = list(cb)
+            for r in means:
+                cbj[int(r["__c"]) - 1] = [float(r[f"m{d}"]) for d in range(sub)]
+            new.append(cbj)
+        codebooks = new
+    return codebooks

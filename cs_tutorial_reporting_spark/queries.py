@@ -1011,6 +1011,9 @@ _DEMOTED_TAIL: list[str] = [
     "conditional_case_coalesce",  # [r3 ✓] CASE/coalesce ⊂ q19 predicates (in window)
     "date_parts_spectrum",      # [r3 ✓] X1-X3 ⊂ scalar_date_functions family [r1+r2 ✓]
     "having_filter_groups",     # [r3 ✓] HAVING ⊂ grouping_sets_sql + q18 (in window)
+    "set_ops",                  # [r3 ✓] UNION/INTERSECT/EXCEPT ⊂ union_by_name [r2 ✓]
+    "window_running_total",     # [r3 ✓] cumsum window ⊂ sequence_packing_stats (in window)
+    "window_lag_gap",           # [r3 ✓] lag window ⊂ asof/sessionization (bench)
 ]
 
 _CHECK_WINDOW = 50

@@ -1506,3 +1506,155 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(attribution_join(views, clicks), name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "zorder_curve_keys",
+    oracle="""
+    SELECT event_id,
+           user_id % 64 AS x,
+           abs(CAST(floor(value) AS BIGINT)) % 64 AS y,
+           -- definitional bit interleave (the Spark side uses the
+           -- shift-and-mask cascade; same function, different algorithm)
+           CAST(list_sum(list_transform(range(0, 6),
+               k -> (((user_id % 64) >> k) & 1) * (CAST(1 AS BIGINT) << (2 * k))
+                  + (((abs(CAST(floor(value) AS BIGINT)) % 64) >> k) & 1)
+                    * (CAST(1 AS BIGINT) << (2 * k + 1))
+           )) AS BIGINT) AS zkey
+    FROM events
+    """,
+)
+def zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-curve key computation (sources/maintenance.py
+    zorder_value): interleaves two bounded dimensions into the
+    clustering key that write_zordered sorts by — multi-dimension
+    min/max file skipping from one physical copy. The Spark cascade is
+    pure bitwise codegen; the oracle recomputes the key from the bit
+    definition, so the two algorithms cross-check each other."""
+    from .sources.maintenance import zorder_value
+
+    e = t(spark, sf_dir, "events")
+    x = F.col("user_id") % 64
+    y = F.abs(F.floor(F.col("value")).cast("bigint")) % 64
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_value([x, y]).alias("zkey"),
+    )
+
+
+@register(
+    "partition_skew_report",
+    oracle="""
+    WITH parts AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 32 AS partition_id,
+               user_id
+        FROM events
+    ), per AS (
+        SELECT partition_id, count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_keys
+        FROM parts GROUP BY partition_id
+    )
+    SELECT partition_id, n_rows, n_keys,
+           floor(CAST(n_rows AS DOUBLE) * 32
+                 / sum(n_rows) OVER () * 10000) / 10000 AS ratio_to_avg
+    FROM per
+    """,
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle pre-flight audit (operators/diagnostics.py): row count,
+    distinct keys, and load ratio per hash partition of the prospective
+    join/agg key — the measurement that decides between a plain
+    shuffle, salting, and AQE skew splitting before a 100 TB job runs.
+    Portable md5-hash partitioning keeps the report engine-reproducible."""
+    from .operators.diagnostics import partition_skew_report as skew
+
+    return skew(t(spark, sf_dir, "events"), "user_id", n_partitions=32)
+
+
+#: PQ codebooks per dataset — same build-once rationale as _IVF_CODEBOOKS
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+def _pq_topk_oracle(m: int, sub: int, ks: int, k: int, n_queries: int) -> str:
+    """DuckDB replication of the full PQ-ADC pipeline with the seed
+    codebooks: the same smallest-md5 seed rule as IVF, sliced into
+    subspaces; corpus codes = per-subspace L2 argmin (||c||² − 2⟨v,c⟩,
+    ties to the lowest code); scores = per-query LUT join summed over
+    subspaces. Everything is relational, so encode + ADC + ranking are
+    all hash-checked."""
+    return f"""
+    WITH seeds AS (
+        SELECT c, embedding FROM (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                       AS c,
+                   embedding
+            FROM embeddings
+        ) WHERE c <= {ks}
+    ),
+    cb AS (
+        SELECT j, c,
+               (s.embedding[j * {sub} + 1 : (j + 1) * {sub}])::DOUBLE[] AS sub
+        FROM seeds s CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+    ),
+    ecodes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT e.vec_id, cb.j, cb.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, cb.j
+                       ORDER BY list_dot_product(cb.sub, cb.sub)
+                              - 2 * list_dot_product(
+                                    (e.embedding[cb.j * {sub} + 1
+                                                 : (cb.j + 1) * {sub}])::DOUBLE[],
+                                    cb.sub) ASC,
+                                cb.c ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    qlut AS (
+        SELECT q0.vec_id AS query_id, cb.j, cb.c,
+               list_dot_product(
+                   (q0.embedding[cb.j * {sub} + 1 : (cb.j + 1) * {sub}])::DOUBLE[],
+                   cb.sub) AS d
+        FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q0
+        CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT ql.query_id, ec.vec_id, round(sum(ql.d), 6) AS score
+        FROM ecodes ec JOIN qlut ql ON ec.j = ql.j AND ec.code = ql.c
+        GROUP BY ql.query_id, ec.vec_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_pq", oracle=_pq_topk_oracle(8, 8, 16, 10, 5))
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_*): the
+    corpus is scanned as m=8 one-byte codes per vector (32× smaller
+    than float32), each query ships a lookup table, and the approximate
+    dot is m table lookups (ADC) — the compressed-domain complement of
+    the IVF partition-pruning path; the two compose into IVF-PQ. Seed
+    codebooks are SQL-expressible, so encode + ADC + ranking are fully
+    hash-checked; the Lloyd-refined variant's recall is pinned in
+    pytest."""
+    from .operators.similarity import build_pq_codebooks, pq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = build_pq_codebooks(e, m=8, ks=16, dim=64)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(e, q, k=10, codebooks=_PQ_CODEBOOKS[sf_dir])
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )

@@ -939,3 +939,39 @@ def test_stream_stream_join_matches_batch(spark):
         .collect()
     }
     assert got == want and got  # non-empty and identical
+
+
+def test_pq_encode_compression_and_recall(spark, emb):
+    """PQ encode emits m codes in [1, ks] per vector (the 32x
+    compressed representation); ADC self-hits rank first (a vector's
+    own codes maximize its LUT sums); one Lloyd refinement must not
+    hurt - and typically beats - seed-codebook recall."""
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        brute_force_topk,
+        build_pq_codebooks,
+        pq_encode,
+        pq_topk,
+        refine_pq_codebooks,
+    )
+
+    cb = build_pq_codebooks(emb, m=8, ks=16, dim=64)
+    codes = pq_encode(emb, cb).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(1 <= c <= 16 for r in codes for c in r.codes)
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(codebooks):
+        got = pq_topk(emb, q, k=5, codebooks=codebooks).collect()
+        assert {(r.query_id, r.vec_id) for r in got if r.rank == 1} == {
+            (i, i) for i in range(10)
+        }
+        return len({(r.query_id, r.vec_id) for r in got} & exact) / len(exact)
+
+    seed_recall = recall(cb)
+    refined_recall = recall(refine_pq_codebooks(emb, cb, iters=1))
+    assert seed_recall >= 0.2
+    assert refined_recall >= seed_recall - 0.05  # refinement never craters

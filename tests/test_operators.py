@@ -192,3 +192,27 @@ def test_sequence_packing_layout_and_plan(spark):
 
     plan = packing_summary(packed, max_tokens=10)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partition_skew_report_flags_hot_key(spark):
+    """A planted 10x-hot key must surface as a partition whose load
+    ratio is far above uniform, while a uniform id space stays near
+    1.0 everywhere - the pre-shuffle skew audit in one aggregation."""
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.diagnostics import (
+        partition_skew_report,
+    )
+
+    uniform = spark.range(3200).select(F.col("id").alias("k"))
+    flat = partition_skew_report(uniform, "k", n_partitions=8).collect()
+    assert len(flat) == 8
+    assert all(0.5 <= r.ratio_to_avg <= 1.5 for r in flat)
+
+    hot = uniform.unionByName(
+        spark.range(9 * 3200).select(F.lit(7).cast("bigint").alias("k"))
+    )
+    skewed = partition_skew_report(hot, "k", n_partitions=8).collect()
+    worst = max(skewed, key=lambda r: r.ratio_to_avg)
+    assert worst.ratio_to_avg > 5.0  # hot partition carries ~9x uniform
+    assert sum(r.n_rows for r in skewed) == 10 * 3200

@@ -344,3 +344,48 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     write_orc(src.withColumn("yr", F.year("o_orderdate")), str(tmp_path / "orc_p"), "yr")
     part = spark.read.orc(str(tmp_path / "orc_p"))
     assert part.count() == src.count()
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering vs lexicographic sort on a 64x64 uniform grid
+    split into 8 files: lex sort by (x, y) gives tight x ranges but
+    every file spans all of y, so a y-only predicate scans everything;
+    Z-curve files cover square-ish blocks, so BOTH single-dimension
+    predicates skip most files on parquet footer min/max alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.sources.maintenance import (
+        write_sorted,
+        write_zordered,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    lex, zed = str(tmp_path / "lex"), str(tmp_path / "zed")
+    write_sorted(grid, lex, ["x", "y"], n_files=8)
+    write_zordered(grid, zed, ["x", "y"], n_files=8)
+
+    def files_hit(path, col, lo, hi):
+        hit = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            if mx >= lo and mn <= hi:
+                hit += 1
+        return hit
+
+    # x predicate: both layouts prune (lex is optimal here)
+    assert files_hit(lex, "x", 8, 15) <= 2
+    assert files_hit(zed, "x", 8, 15) <= 4
+    # y predicate: lex spans all of y in every file - zero skipping;
+    # z-order confines y to block-sized ranges
+    assert files_hit(lex, "y", 0, 7) == 8
+    assert files_hit(zed, "y", 0, 7) <= 4
+    # correctness: the clustered copy still holds the full grid
+    assert spark.read.parquet(zed).count() == 64 * 64
