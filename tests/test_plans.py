@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 #: benched queries whose plan is ALLOWED a nested-loop/cartesian join —
-#: only the declared exactness baseline (broadcast query side, O(Q·N)).
-EXEMPT_QUADRATIC = {"similarity_topk_bruteforce"}
+#: the declared exactness baseline plus PQ-ADC, both deliberate
+#: broadcast-Q × corpus scans (O(Q·N)); PQ's N side is the compressed
+#: code table (m bytes/vector), which is exactly its scale story.
+EXEMPT_QUADRATIC = {"similarity_topk_bruteforce", "similarity_topk_pq"}
 
 #: benched queries allowed EXACTLY ONE BroadcastNestedLoopJoin whose
 #: build side is a 1-row aggregate (a scalar joined into every row —
