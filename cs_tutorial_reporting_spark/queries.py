@@ -1015,6 +1015,15 @@ _DEMOTED_TAIL: list[str] = [
     "window_running_total",     # [r3 ✓] cumsum window ⊂ sequence_packing_stats (in window)
     "window_lag_gap",           # [r3 ✓] lag window ⊂ asof/sessionization (bench)
     "grouping_sets_sql",        # [r3 ✓] GROUPING SETS ⊂ rollup/cube family [r1+r2 ✓]
+    # round-4 TPC-H widening: six new shapes (q4/q9/q12/q13/q16/q17)
+    # take the slots of six [r3 ✓] TPC-H rows — family reps q14/q18 and
+    # the newcomers stay in window
+    "q7_nation_pair_revenue",   # [r3 ✓] nation-pair joins ⊂ q9 (5-way graph, in window)
+    "q8_market_share",          # [r3 ✓] conditional ratio ⊂ q14 (in window)
+    "q10_returned_item_revenue",  # [r3 ✓] top-k revenue ⊂ q3 (bench)
+    "q19_disjunctive_predicates",  # [r3 ✓] disjunctive pushdown ⊂ q16 filters (in window)
+    "q21_sole_supplier_orders", # [r3 ✓] EXISTS/NOT-EXISTS ⊂ q4 (in window)
+    "q22_dormant_balances",     # [r3 ✓] anti+scalar subquery ⊂ q13/q17 (in window)
 ]
 
 _CHECK_WINDOW = 50

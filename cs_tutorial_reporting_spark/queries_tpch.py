@@ -1,5 +1,6 @@
-"""Adapted TPC-H analytic shapes (Q7, Q8, Q10, Q14, Q18, Q19, Q21, Q22
-and a Q2-style correlated-min) over the driver's star schema.
+"""Adapted TPC-H analytic shapes (Q4, Q7, Q8, Q9, Q10, Q12, Q13, Q14,
+Q16, Q17, Q18, Q19, Q21, Q22 and a Q2-style correlated-min) over the
+driver's star schema.
 
 The generated tables lack ``partsupp``, ``l_shipmode``,
 ``l_commitdate``/``l_receiptdate`` and ``c_phone``, so each classic
@@ -465,4 +466,230 @@ def correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_cheapest"),
             F.round(F.min("p_retailprice"), 2).alias("min_price"),
         )
+    )
+
+
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 10 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (no l_commitdate/l_receiptdate in this schema:
+    "late" = shipped >10 days after order date): per-priority count of
+    a year's orders having at least one late line. The EXISTS becomes a
+    LEFT SEMI join whose condition spans both sides — one orderkey
+    shuffle; the date window prunes orders at the scan."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 10 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT sn.n_name AS nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+               {_REV_SQL} - p.p_retailprice * l.l_quantity / 10 AS amount
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey    = l.l_partkey
+        JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE p.p_type IN ('ECONOMY', 'SMALL')
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp: supply cost stands in as
+    p_retailprice×qty/10): profit per supplier nation per year over a
+    part-type slice. The classic 5-way graph — facts join two
+    broadcastable dims (filtered part, supplier→nation) before the
+    single grouped aggregate; no orderkey shuffle is needed at all
+    since o_year comes from l_shipdate."""
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("ECONOMY", "SMALL")
+    ).select("p_partkey", "p_retailprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = _rev() - F.col("p_retailprice") * F.col("l_quantity") / 10
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for the absent
+    l_shipmode): per-status counts of high- vs low-priority orders
+    among a year's late-shipped lines. Conditional-sum pivot over one
+    orderkey join; the ship-date window pushes to the lineitem scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count histogram, with the
+    join-level filter (priority, standing in for the comment LIKE)
+    applied INSIDE the outer join so zero-order customers survive as
+    c_count=0. Two aggregations; the second groups a tiny histogram."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for the absent partsupp as
+    the part↔supplier relation; negative balance stands in for the
+    complaints LIKE): distinct suppliers per surviving (brand, type,
+    size). The NOT IN over a non-null key is a broadcast anti-join;
+    distinct-agg is the one shuffle."""
+    excluded = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = li.join(
+        F.broadcast(excluded),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return kept.groupBy(
+        "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
+    ).agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    ) cut ON cut.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#17' AND l.l_quantity < cut.qty_cut
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand — the correlated per-part avg subquery de-correlated into a
+    grouped aggregate joined back on partkey (Catalyst's own rewrite,
+    stated explicitly). l_quantity is integral doubles, so the 0.2×avg
+    threshold is the same double in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17").select(
+        "p_partkey"
+    )
+    cut = li.groupBy(F.col("l_partkey").alias("cut_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    small = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cut, F.col("l_partkey") == F.col("cut_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
     )

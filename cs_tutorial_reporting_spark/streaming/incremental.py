@@ -28,3 +28,54 @@ def incremental_dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         pk_cols
     )
+
+
+def run_merge_stream(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    ts_col: str | None = None,
+) -> None:
+    """Continuous MERGE load: drain a bounded stream through
+    ``foreachBatch``, each micro-batch SCD-1-upserting into the flat
+    parquet target (``sources.maintenance.merge_upsert``). Within a
+    batch the latest row per PK wins (by ``ts_col`` when given). The
+    checkpoint + idempotent-MERGE pair is the classic exactly-once
+    recipe: a replayed batch re-merges the same keys to the same values,
+    so restarts cannot double-apply. This is the reference's
+    incremental load (watermark → dedup → append) upgraded to UPSERT
+    semantics and run continuously — state lives in the target table
+    and the checkpoint, not on the executors."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..sources.maintenance import merge_upsert
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        if ts_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates(keys)
+        if not os.path.isdir(path):
+            batch_df.write.parquet(path)
+        else:
+            merge_upsert(batch_df.sparkSession, path, batch_df, keys)
+
+    q = (
+        stream.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

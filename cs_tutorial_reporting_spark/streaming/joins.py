@@ -26,11 +26,17 @@ def attribution_join(
     clicks: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: each click matches every view by the
-    same user in the preceding ``horizon``. Both inputs are streaming
+    """Stream-stream join: each click matches every view by the same
+    user in the preceding ``horizon``. Both inputs are streaming
     DataFrames with an event-time ``ts``; watermarks on BOTH sides plus
-    the two-sided time bound make the buffered state evictable."""
+    the two-sided time bound make the buffered state evictable.
+
+    ``how='inner'`` emits eagerly on match; ``how='left_outer'`` also
+    emits never-matched views null-padded — but only once the watermark
+    has closed their join window (the engine must be sure no click can
+    still arrive), so outer results trail the watermark by design."""
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("ts").alias("view_ts"),
@@ -48,7 +54,7 @@ def attribution_join(
                 AND click_ts >= view_ts
                 AND click_ts <= view_ts + interval {horizon}"""
         ),
-        "inner",
+        how,
     ).select(
         "view_id",
         "click_id",

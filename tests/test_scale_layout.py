@@ -389,3 +389,100 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert files_hit(zed, "y", 0, 7) <= 4
     # correctness: the clustered copy still holds the full grid
     assert spark.read.parquet(zed).count() == 64 * 64
+
+
+def test_streaming_merge_upsert_pipeline(spark, tmp_path):
+    """Continuous MERGE load (streaming/incremental.py run_merge_stream):
+    two micro-batches of user-state rows where batch 2 updates half the
+    keys and inserts new ones; the target must equal latest-per-key, and
+    re-running the drained stream against the same checkpoint must be a
+    no-op (exactly-once across restarts)."""
+    import time
+
+    from cs_tutorial_reporting_spark.streaming.incremental import (
+        run_merge_stream,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, balance double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    TS = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+    write([(1, TS("2024-01-01T10:00:00"), 10.0),
+           (2, TS("2024-01-01T10:00:00"), 20.0)])
+    time.sleep(1.1)
+    # batch 2: update user 2 (two versions - latest must win), insert 3
+    write([(2, TS("2024-01-01T11:00:00"), 25.0),
+           (2, TS("2024-01-01T12:00:00"), 29.0),
+           (3, TS("2024-01-01T11:30:00"), 30.0)])
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, balance double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_merge_stream(stream, target, ["user_id"], ckpt, ts_col="ts")
+
+    drain()
+    got = {r.user_id: r.balance for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 29.0, 3: 30.0}
+
+    drain()  # same checkpoint: fully processed source -> no-op
+    again = {r.user_id: r.balance for r in spark.read.parquet(target).collect()}
+    assert again == got
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: a view with no click inside the
+    horizon must still emit (null-padded) - but only after the
+    watermark passes its join window; an on-time matched view emits
+    eagerly. Forced micro-batches: batch 1 has one matchable view+click
+    and one never-matched view; batch 2 carries a far-future event on
+    EACH side - the global watermark is the MINIMUM across inputs, so a
+    stalled click stream would hold every unmatched view in state
+    forever (verified: with only the view side advancing, nothing
+    flushes). With both sides advanced, the null row flushes."""
+    import time
+
+    from cs_tutorial_reporting_spark.streaming.joins import attribution_join
+    from cs_tutorial_reporting_spark.streaming.sessions import run_to_memory
+
+    src = str(tmp_path / "lo_src")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    TS = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+    write([(1, TS("2024-01-01T10:00:00"), 1, "view"),
+           (2, TS("2024-01-01T10:10:00"), 1, "click"),
+           (3, TS("2024-01-01T10:00:00"), 2, "view")])  # never clicked
+    time.sleep(1.1)
+    # watermark drivers on BOTH sides (distinct users: no cross-match)
+    write([(9, TS("2024-01-02T00:00:00"), 3, "view"),
+           (10, TS("2024-01-02T00:00:00"), 4, "click")])
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    views = stream().filter(F.col("event_type") == "view")
+    clicks = stream().filter(F.col("event_type") == "click")
+    joined = attribution_join(views, clicks, how="left_outer")
+    run_to_memory(joined, "lo_out", "append")
+    rows = {(r.view_id, r.click_id) for r in spark.table("lo_out").collect()}
+    assert (1, 2) in rows          # matched pair emitted
+    assert (3, None) in rows       # unmatched view flushed null-padded
