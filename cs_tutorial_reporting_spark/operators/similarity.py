@@ -525,3 +525,69 @@ def refine_pq_codebooks(
             new.append(cbj)
         codebooks = new
     return codebooks
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The composed IVF-PQ layout — the standard billion-vector ANN
+    shape: the IVF coarse quantizer prunes the corpus to the probed
+    cells (partition pruning at ingest-partitioned scale), and within
+    them scoring runs on PQ codes via ADC (m lookups per candidate, no
+    float vectors touched). Each corpus vector carries (cell, codes) —
+    both computed once at ingest; a query ships (probe cells, LUT).
+    This variant quantizes raw vectors (IVF-Flat-PQ); the classic
+    residual refinement (encode v − centroid) would improve recall at
+    the cost of per-cell codebooks. Exactness oracle: brute_force_topk;
+    relational oracle: same seed rule as ivf_topk + pq_topk."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = build_ivf_centroids(emb, 16, id_col, vec_col, lloyd_iters=0)
+    if codebooks is None:
+        codebooks = build_pq_codebooks(emb, 8, 16, id_col, vec_col)
+    e_dots = _centroid_dots(vec_col, centroids)
+    e = emb.select(
+        F.col(id_col),
+        F.array_position(e_dots, F.array_max(e_dots)).alias("__cell"),
+        _pq_codes_expr(vec_col, codebooks).alias("codes"),
+    )
+    q_dots = _centroid_dots(query_vec_col, centroids)
+    probe_arr = F.slice(
+        F.array_sort(
+            F.zip_with(
+                q_dots,
+                F.sequence(F.lit(1), F.lit(len(centroids))),
+                lambda d, i: F.struct((-d).alias("nd"), i.cast("long").alias("c")),
+            )
+        ),
+        1,
+        n_probes,
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        _pq_lut_expr(query_vec_col, codebooks).alias("lut"),
+        F.explode(F.transform(probe_arr, lambda s: s.getField("c"))).alias("__cell"),
+    )
+    score = F.expr(
+        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, CAST(c AS INT))), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = e.join(F.broadcast(q), "__cell").select(
+        F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

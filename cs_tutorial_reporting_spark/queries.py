@@ -1024,6 +1024,10 @@ _DEMOTED_TAIL: list[str] = [
     "q19_disjunctive_predicates",  # [r3 ✓] disjunctive pushdown ⊂ q16 filters (in window)
     "q21_sole_supplier_orders", # [r3 ✓] EXISTS/NOT-EXISTS ⊂ q4 (in window)
     "q22_dormant_balances",     # [r3 ✓] anti+scalar subquery ⊂ q13/q17 (in window)
+    "q18_large_volume_orders",  # [r3 ✓] HAVING-over-facts ⊂ q4/q16 newcomers
+    "q14_promo_revenue_ratio",  # [r3 ✓] conditional ratio ⊂ q8 family [r3 ✓]
+    "correlated_min_subquery",  # [r3 ✓] de-correlated scalar ⊂ q17 newcomer
+    "doc_repetition_ratio",     # [r3 ✓] array exprs ⊂ doc_text_stats (bench)
 ]
 
 _CHECK_WINDOW = 50

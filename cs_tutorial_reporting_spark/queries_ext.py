@@ -1674,3 +1674,130 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+def _ivfpq_topk_oracle(
+    n_centroids: int, n_probes: int, m: int, sub: int, ks: int, k: int,
+    n_queries: int,
+) -> str:
+    """DuckDB replication of the composed IVF-PQ pipeline: the IVF cell
+    CTEs from _ivf_topk_oracle fused with the PQ code/LUT CTEs from
+    _pq_topk_oracle (same smallest-md5 seed set feeds both the
+    centroids and the sliced codebooks); candidates = probed cells,
+    scores = ADC sums."""
+    return f"""
+    WITH seeds AS (
+        SELECT c, embedding FROM (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                       AS c,
+                   embedding
+            FROM embeddings
+        ) WHERE c <= {max(n_centroids, ks)}
+    ),
+    ed AS (
+        SELECT e.vec_id, s.c,
+               list_dot_product(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS d
+        FROM embeddings e CROSS JOIN (SELECT * FROM seeds WHERE c <= {n_centroids}) s
+    ),
+    e_cell AS (
+        SELECT vec_id, c AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d DESC, c
+            ) AS rn FROM ed
+        ) WHERE rn = 1
+    ),
+    cb AS (
+        SELECT j, c,
+               (s.embedding[j * {sub} + 1 : (j + 1) * {sub}])::DOUBLE[] AS sub
+        FROM (SELECT * FROM seeds WHERE c <= {ks}) s
+        CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+    ),
+    ecodes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT e.vec_id, cb.j, cb.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, cb.j
+                       ORDER BY list_dot_product(cb.sub, cb.sub)
+                              - 2 * list_dot_product(
+                                    (e.embedding[cb.j * {sub} + 1
+                                                 : (cb.j + 1) * {sub}])::DOUBLE[],
+                                    cb.sub) ASC,
+                                cb.c ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT q0.vec_id AS query_id, s.c,
+               list_dot_product(q0.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS d
+        FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q0
+        CROSS JOIN (SELECT * FROM seeds WHERE c <= {n_centroids}) s
+    ),
+    qp AS (
+        SELECT query_id, c AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d DESC, c
+            ) AS rn FROM qd
+        ) WHERE rn <= {n_probes}
+    ),
+    qlut AS (
+        SELECT q0.vec_id AS query_id, cb.j, cb.c,
+               list_dot_product(
+                   (q0.embedding[cb.j * {sub} + 1 : (cb.j + 1) * {sub}])::DOUBLE[],
+                   cb.sub) AS d
+        FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q0
+        CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT qp.query_id, ec.vec_id, round(sum(ql.d), 6) AS score
+        FROM e_cell e
+        JOIN qp     ON e.cell = qp.cell
+        JOIN ecodes ec ON ec.vec_id = e.vec_id
+        JOIN qlut ql ON ql.query_id = qp.query_id
+                    AND ql.j = ec.j AND ql.c = ec.code
+        GROUP BY qp.query_id, ec.vec_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_topk_ivfpq",
+    oracle=_ivfpq_topk_oracle(16, 4, 8, 8, 16, 10, 5),
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index (operators/similarity.py ivfpq_topk) —
+    the standard billion-vector layout: IVF cells prune the corpus to
+    n_probes/n_centroids of the data (partition pruning at ingest-
+    partitioned scale), and candidates are scored on PQ codes via ADC
+    (m lookups each; float vectors never touched at query time). One
+    seed set feeds both quantizers, so the full compose is replicated
+    relationally in the oracle."""
+    from .operators.similarity import (
+        build_ivf_centroids,
+        build_pq_codebooks,
+        ivfpq_topk,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CODEBOOKS:
+        _IVF_CODEBOOKS[sf_dir] = build_ivf_centroids(
+            e, n_centroids=16, dim=64, lloyd_iters=0
+        )
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = build_pq_codebooks(e, m=8, ks=16, dim=64)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(
+        e, q, k=10, n_probes=4,
+        centroids=_IVF_CODEBOOKS[sf_dir], codebooks=_PQ_CODEBOOKS[sf_dir],
+    )
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )

@@ -1,6 +1,6 @@
-"""Adapted TPC-H analytic shapes (Q4, Q7, Q8, Q9, Q10, Q12, Q13, Q14,
-Q16, Q17, Q18, Q19, Q21, Q22 and a Q2-style correlated-min) over the
-driver's star schema.
+"""Adapted TPC-H analytic shapes (Q4, Q7-Q22 except the pure-partsupp
+Q2-as-written, plus a Q2-style correlated-min; 17 shapes total) over
+the driver's star schema.
 
 The generated tables lack ``partsupp``, ``l_shipmode``,
 ``l_commitdate``/``l_receiptdate`` and ``c_phone``, so each classic
@@ -693,3 +693,112 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small.agg(
         F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
     )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    SELECT l_partkey, round(sum({_REV_SQL}), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING round(sum({_REV_SQL}), 2) > (
+        SELECT round(sum({_REV_SQL}), 2) * 0.002 FROM lineitem
+    )
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem revenue stands in for the absent
+    partsupp stock value): parts whose revenue exceeds a fixed fraction
+    of the GLOBAL total — a grouped aggregate filtered against a scalar
+    aggregate of the same table. The scalar side is a 1-row broadcast
+    (no driver collect); both sums round before the comparison so the
+    threshold is the same double in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(_rev()), 2).alias("part_value")
+    )
+    total = li.agg((F.round(F.sum(_rev()), 2) * 0.002).alias("__cut"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__cut"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum({_REV_SQL}), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top-revenue supplier(s) — a
+    grouped revenue view consumed twice (per-supplier rows and its own
+    max) then equality-joined back to the dim. The view is
+    localCheckpoint-free: Catalyst re-uses the exchange; the max is a
+    1-row broadcast. Revenue rounds before the max/equality so the
+    comparison is exact cross-engine."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev()), 2).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__top"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__top"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    oracle="""
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+        )
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 400
+    )
+    AND s.s_acctbal > 0
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (lineitem stands in for partsupp availability):
+    suppliers who moved >400 units of PROMO-type parts — a nested IN
+    chain (supplier ← grouped-HAVING lineitem ← part filter) that
+    Catalyst executes as two semi joins; the part filter broadcasts
+    into the fact scan before any shuffle."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 400)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    return s.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
