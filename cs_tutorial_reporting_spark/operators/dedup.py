@@ -74,7 +74,13 @@ def shingles(col, n: int = 3):
 
 def minhash_signature(shingle_col, num_hashes: int = 8):
     """k minhash values: min over shingles of md5-60bit(seed || shingle).
-    Seeded by prefixing the shingle — portable to any engine with md5."""
+    Seeded by prefixing the shingle — portable to any engine with md5.
+
+    SPEC REFERENCE ONLY — the pipeline computes the identical values
+    via explode + min-aggregates (see minhash_lsh_pairs): this
+    transform-over-lambda form was observed mis-evaluating in long
+    many-query sessions (round-4 note in BASELINE.md). Do not put it
+    back on the hot path without re-verifying that note."""
     return F.array(
         *[
             F.array_min(
@@ -123,14 +129,41 @@ def minhash_lsh_pairs(
     # nothing ever unpersists, which accumulates full shingle copies
     # across repeated calls (bench loops, long sessions) until eviction
     # thrash sets in (measured 2.2× on the benched query at 4 reps).
+    # eager=True (round-4 hardening): a LAZY localCheckpoint leaves a
+    # window where the ContextCleaner can race the first materialization
+    # in long many-query sessions (observed once in a full-registry
+    # sf0.1 sweep as a benign accumulator-GC error alongside ONE
+    # wrong-by-one-pair result; eager materialization closes the window
+    # and costs nothing - the same job computes the blocks either way).
     sh_df = src.select(
         "__id", shingles(F.col("__txt"), shingle_n).alias("__sh")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # band key = "band_index|mh_i|mh_i+1..." string — one row per band;
     # bands carry ONLY (id, band): the shingle arrays stay out of the
     # band shuffle and join back by id at verify time.
-    sig = minhash_signature(F.col("__sh"), num_hashes)
-    bands = sh_df.select(
+    #
+    # Signature via explode + plain min-aggregates, NOT the
+    # minhash_signature transform (round-4 wrong-results fix): after
+    # ~70 registry queries in one session, nested higher-order lambda
+    # evaluation was observed returning context-dependent garbage for
+    # that expression — same text, same plan, DIFFERENT signature
+    # values per evaluation, reproduced deterministically by replaying
+    # the registry prefix at sf0.1 (fresh sessions and the DuckDB
+    # oracle agree with each other; the polluted session loses real
+    # pairs). Plain expressions (md5/concat/min) carry no lambda
+    # binding to corrupt. Cost: one extra map-combined shuffle whose
+    # rows are (id, 8 mins) — scale-safe; the signature stays
+    # bit-identical to minhash_signature's spec.
+    salted_mins = [
+        F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("__s")))).alias(f"__mh{j}")
+        for j in range(num_hashes)
+    ]
+    mh = (
+        sh_df.select("__id", F.explode("__sh").alias("__s"))
+        .groupBy("__id")
+        .agg(*salted_mins)
+    )
+    bands = mh.select(
         "__id",
         F.explode(
             F.array(
@@ -139,7 +172,7 @@ def minhash_lsh_pairs(
                         "|",
                         F.lit(str(b)),
                         *[
-                            sig.getItem(b * band_size + i).cast("string")
+                            F.col(f"__mh{b * band_size + i}").cast("string")
                             for i in range(band_size)
                         ],
                     )
@@ -468,7 +501,7 @@ def connected_components(
     e = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    e = e.localCheckpoint(eager=False)
+    e = e.localCheckpoint(eager=True)  # see minhash shingle note
     labels = (
         e.select(F.col("u").alias("node"))
         .distinct()

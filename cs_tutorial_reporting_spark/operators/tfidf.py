@@ -88,7 +88,7 @@ def tfidf_top_terms(
         _doc_words(docs, text_col, id_col)
         .groupBy(id_col, "__w")
         .agg(F.count("*").alias("__cnt"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)  # eager: see dedup.py round-4 note
     )
     dl = tc.groupBy(id_col).agg(F.sum("__cnt").alias("__len"))
     dfreq = tc.groupBy("__w").agg(F.count("*").alias("__df"))
