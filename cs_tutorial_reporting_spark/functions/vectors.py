@@ -39,6 +39,111 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_fixed_sql(a_name: str, b_name: str, dim: int) -> str:
+    """Lambda-free SQL text for Σ aᵢ·bᵢ at a FIXED dimension: an
+    unrolled, left-associated ``+``-chain of
+    ``CAST(element_at(a,i) AS DOUBLE) * CAST(element_at(b,i) AS DOUBLE)``
+    terms. Bit-identical to :func:`dot` (the fold is also
+    left-associated and the IEEE add chain is the same), but carries
+    ZERO higher-order lambda bindings — the construct Spark was observed
+    mis-evaluating after ~70 distinct plans in one long JVM session
+    (BASELINE.md round-4 note).
+
+    Cost note (BASELINE.md round-5): the unrolled chain evaluates
+    3-10× slower than the HOF fold on corpus-scale columns (the wide
+    expression defeats whole-stage codegen), so hot paths use the
+    Arrow-vectorized :func:`dot_arrow` / :func:`cosine_arrow` instead;
+    this form remains for narrow/query-side columns where its
+    bit-exactness with the sequential fold matters more than speed."""
+    return (
+        "("
+        + " + ".join(
+            f"(CAST(element_at({a_name}, {i}) AS DOUBLE)"
+            f" * CAST(element_at({b_name}, {i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def dot_fixed(a_name: str, b_name: str, dim: int) -> Column:
+    """Column form of :func:`dot_fixed_sql` (one F.expr parse)."""
+    return F.expr(dot_fixed_sql(a_name, b_name, dim))
+
+
+def cosine_fixed(a_name: str, b_name: str, dim: int) -> Column:
+    """Lambda-free cosine at fixed dim: unrolled dot / (‖a‖·‖b‖), with
+    the norms unrolled the same way (left-associated Σ vᵢ² matches the
+    :func:`norm` fold bit-for-bit)."""
+    num = dot_fixed_sql(a_name, b_name, dim)
+    na = dot_fixed_sql(a_name, a_name, dim)
+    nb = dot_fixed_sql(b_name, b_name, dim)
+    return F.expr(f"{num} / (sqrt({na}) * sqrt({nb}))")
+
+
+def dot_flat(a_name: str, b_name: str, dim: int) -> Column:
+    """Σ aᵢ·bᵢ as a SINGLE-LEVEL fold over an index sequence:
+    ``aggregate(sequence(1, dim), 0.0, (acc, i) -> acc + a[i]·b[i])``.
+    Bit-identical to :func:`dot` (same left-associated order, verified
+    over real data), evaluates at HOF-loop speed, and carries exactly
+    ONE non-nested lambda — no ``zip_with``-inside-``aggregate``
+    binding, which is the construct class proven to mis-evaluate in
+    long many-plan sessions (BASELINE.md round-4 note; the failing
+    cases all nested one lambda's body inside another's). The round-5
+    measurements (BASELINE.md) showed the two fully-lambda-free
+    alternatives are not viable on pair-scoring paths: unrolled
+    ``element_at`` chains cost ~1.7 s of Catalyst analysis per build
+    plus 3-10× interpreted eval, and Arrow UDFs pay ~0.5-1 s fixed
+    Python-stage overhead per query at harness scale. The residual
+    single-level risk is mechanized away by
+    tests/test_long_session.py, which replays an 80-plan prefix and
+    oracle-checks every ANN flagship in the polluted session."""
+    return F.expr(
+        f"aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + CAST(element_at({a_name}, i) AS DOUBLE)"
+        f" * CAST(element_at({b_name}, i) AS DOUBLE))"
+    )
+
+
+def cosine_flat(a_name: str, b_name: str, dim: int) -> Column:
+    """Single-level-fold cosine (see :func:`dot_flat`): three flat
+    folds, ``dot/(√Σa²·√Σb²)`` — bit-identical to :func:`cosine`."""
+    return dot_flat(a_name, b_name, dim) / (
+        F.sqrt(dot_flat(a_name, a_name, dim))
+        * F.sqrt(dot_flat(b_name, b_name, dim))
+    )
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized pair dot product: one NumPy row-wise
+    multiply-sum per batch in the Python worker — zero JVM lambda
+    bindings (BASELINE.md round-4 note) at vectorized speed
+    (BASELINE.md round-5 note). Summation is NumPy's pairwise order,
+    not the sequential fold — differences live below the round-6
+    comparison grid for unit-norm 64-dim inputs (boundary-flip
+    probability ~1e-10 per value; same documented assumption class as
+    the hyperplane sign test)."""
+    return dot_pandas()(a, b)
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized pair cosine (see :func:`dot_arrow`)."""
+
+    @F.pandas_udf("double")
+    def _cos(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        if not len(s1):
+            return pd.Series([], dtype="float64")
+        lhs = np.stack(s1.to_numpy()).astype("float64")
+        rhs = np.stack(s2.to_numpy()).astype("float64")
+        num = (lhs * rhs).sum(axis=1)
+        den = np.sqrt((lhs * lhs).sum(axis=1)) * np.sqrt(
+            (rhs * rhs).sum(axis=1)
+        )
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
 def dot_pandas() -> "Column":
     """Arrow-vectorized alternative to :func:`dot` — a ``pandas_udf``
     whose batches are NumPy-stacked and reduced with one vectorized

@@ -386,7 +386,7 @@ def embedding_near_dup_pairs(
     When omitted the bucketing (guard included) is derived inline,
     which re-evaluates the projection on both join sides; fine for
     one-shot use, wasteful for repeated probes."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_flat
 
     if n_planes:
         if bucketed is None:
@@ -412,7 +412,9 @@ def embedding_near_dup_pairs(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
-            "cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            # single-level flat fold — no nested lambda binding
+            # (BASELINE.md round-4/round-5 notes)
+            "cos", F.round(cosine_flat("__va", "__vb", dim), 6)
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -87,13 +87,18 @@ def packing_summary(
             F.sum("n_tokens").alias("total_tokens"),
             F.ceil(F.sum("n_tokens") / max_tokens).alias("n_sequences"),
             F.sum(F.col("straddles").cast("bigint")).alias("n_straddling"),
-            (
+            # a shard of only empty docs packs zero sequences: 0/0 is
+            # NaN in Spark but NULL in SQL engines — pin it to NULL so
+            # the oracle gate holds on degenerate data (mirrored in the
+            # sequence_packing_stats oracle)
+            F.when(
+                F.sum("n_tokens") > 0,
                 F.floor(
                     F.sum("n_tokens")
                     / (F.ceil(F.sum("n_tokens") / max_tokens) * max_tokens)
                     * 10000
                 )
-                / 10000
+                / 10000,
             ).alias("fill_ratio"),
         )
     )

@@ -20,10 +20,13 @@ loops entirely.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, cosine_flat, dot, dot_flat
 
 
 def brute_force_topk(
@@ -35,21 +38,33 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     assume_normalized: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     Returns (query_id, vec_id, cos, rank), rank 1..k, deterministic
     tie-break on vec_id. ``assume_normalized`` switches cosine → dot
     (the driver embeddings are L2-normalized; saves two norms per pair).
+    Pass ``dim`` to score via the single-level flat folds
+    (``vectors.dot_flat``/``cosine_flat`` — no nested lambda binding;
+    see the BASELINE.md round-4 and round-5 notes) — every fixed-dim
+    caller should; omitting it keeps the dimension-agnostic nested
+    JVM fold.
     """
     from pyspark.sql.window import Window
 
-    sim_fn = dot if assume_normalized else cosine
+    if dim is not None:
+        sim = (dot_flat if assume_normalized else cosine_flat)(
+            vec_col, query_vec_col, dim
+        )
+    else:
+        sim_fn = dot if assume_normalized else cosine
+        sim = sim_fn(F.col(vec_col), F.col(query_vec_col))
     pairs = emb.crossJoin(F.broadcast(queries))
     scored = pairs.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(sim_fn(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+        F.round(sim, 6).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
@@ -80,10 +95,15 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
     """LSH bucket id from the sign pattern of ``n_planes`` fixed random
     hyperplane projections (bit b set ⇔ ⟨v, h_b⟩ ≥ 0).
 
-    Built as ONE ``F.expr`` SQL string (projection via
-    aggregate(zip_with(...))) — constructing the same tree out of
-    nested Column ops costs ~8 s of py4j round-trips at dim=64; a
-    single parse call is milliseconds and yields the identical plan.
+    Arrow-vectorized (pandas_udf): each batch is one NumPy
+    ``(n×d) @ (d×p)`` matmul + a sign/bit-pack — evaluated in the
+    Python worker, so it carries ZERO JVM higher-order-lambda bindings
+    (the construct proven to mis-evaluate in long many-plan sessions,
+    BASELINE.md round-4 note) and none of the interpreted-expression
+    cost of the unrolled ``element_at`` chain alternative (measured
+    3-10× slower than this on corpus-wide columns — BASELINE.md
+    round-5 note). At 100 TB this is the standard form: the projection
+    is compute-dense and batches stream through Arrow.
 
     Cross-engine parity assumption (shared with
     :func:`hyperplane_bucket_duckdb_sql`): both engines fold the same
@@ -96,17 +116,19 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64):
     coincidences MORE likely (~1e-6/grid-edge), so the raw sign test is
     kept and the assumption documented here instead.
     """
-    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
-    terms = []
-    for p in range(n_planes):
-        consts = ", ".join(f"{c!r}D" for c in _hyperplane(p, dim))
-        proj = (
-            f"aggregate(zip_with({name}, array({consts}), "
-            "(x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        )
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2**p}L ELSE 0L END)")
-    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    H = np.array(
+        [_hyperplane(p, dim) for p in range(n_planes)], dtype="float64"
+    ).T  # d×p
+    pw = (np.int64(1) << np.arange(n_planes, dtype="int64")).astype("int64")
+
+    @F.pandas_udf("long")
+    def _bkt(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        proj = np.stack(v.to_numpy()).astype("float64") @ H
+        return pd.Series(((proj >= 0.0) @ pw).astype("int64"))
+
+    return _bkt(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def hyperplane_bucket_duckdb_sql(vec_sql: str, n_planes: int = 8, dim: int = 64) -> str:
@@ -135,6 +157,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's hyperplane
     bucket — or a Hamming-≤1 neighbor of it (multi-probe) — are scored.
@@ -143,12 +166,22 @@ def lsh_topk(
     join — at 100 TB this is the difference between O(N·Q) and
     O(N·Q·probes/2^planes). Default probes = n_planes+1 (the bucket
     plus every single-bit flip: vectors near a hyperplane land on
-    either side, so probing flipped buckets recovers most of the loss)."""
+    either side, so probing flipped buckets recovers most of the loss).
+
+    ``bucketed``: a pre-bucketed (and typically persisted) corpus frame
+    — ``emb`` plus a ``__bkt`` column from :func:`hyperplane_bucket`
+    with the SAME (n_planes, dim). Like the IVF layout and the
+    near-dup index, an LSH index is built once at ingest and probed
+    many times; passing it skips re-projecting the corpus per query."""
     from pyspark.sql.window import Window
 
     if n_probes is None:
         n_probes = n_planes + 1
-    e = emb.withColumn("__bkt", hyperplane_bucket(vec_col, n_planes, dim))
+    e = (
+        bucketed
+        if bucketed is not None
+        else emb.withColumn("__bkt", hyperplane_bucket(vec_col, n_planes, dim))
+    )
     q0 = queries.withColumn(
         "__bkt0", hyperplane_bucket(query_vec_col, n_planes, dim)
     )
@@ -161,7 +194,7 @@ def lsh_topk(
     scored = e.join(F.broadcast(q), "__bkt").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(dot(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+        F.round(dot_flat(vec_col, query_vec_col, dim), 6).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
@@ -176,21 +209,50 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _dot_sql(vec_name: str, consts: list[float]) -> str:
-    arr = ", ".join(f"{c!r}D" for c in consts)
-    return (
-        f"aggregate(zip_with({vec_name}, array({arr}), "
-        "(x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-    )
+def _nearest_cell_udf(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment: one batch matmul
+    ``(n×d) @ (d×k)`` + argmax (first max on ties — the same rule as
+    ``array_position(dots, array_max(dots))`` and the oracle's
+    ``ORDER BY d DESC, c``). Returns a 1-based cell id column factory.
+    Corpus-side twin of the query-side ``_probe_cells`` SQL: the corpus
+    is millions of rows (vectorize through Arrow), the probe side is a
+    handful of queries (keep relational so partition pruning sees it)."""
+    C = np.array(centroids, dtype="float64").T  # d×k
+
+    @F.pandas_udf("long")
+    def _cell(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        dots = np.stack(v.to_numpy()).astype("float64") @ C
+        return pd.Series(dots.argmax(axis=1).astype("int64") + 1)
+
+    return _cell
 
 
-def _centroid_dots(vec_name: str, centroids: list[list[float]]):
-    """array<double> of ⟨vec, c_i⟩ for every centroid — one F.expr parse
-    (same py4j-economy rationale as hyperplane_bucket)."""
-    return F.expr(
-        "array(" + ", ".join(_dot_sql(vec_name, c) for c in centroids) + ")"
-    )
+def _probe_cells_udf(centroids: list[list[float]], n_probes: int):
+    """array<bigint> of the ``n_probes`` nearest-centroid cell ids
+    (1-based), by descending ⟨vec, cᵢ⟩ with index tie-break
+    (``np.lexsort`` keys (idx, −dot) — the oracle's ``ORDER BY d DESC,
+    c``). Arrow-vectorized like ``_nearest_cell_udf``; the query side
+    is a handful of rows, but keeping the column UDF-built (rather than
+    a k×d unrolled SQL expression) matters for DRIVER time — Catalyst
+    analysis of the unrolled tree measured ~1.7 s per query build
+    (BASELINE.md round-5 note), dwarfing execution."""
+    C = np.array(centroids, dtype="float64").T  # d×k
+
+    @F.pandas_udf("array<long>")
+    def _probes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        dots = np.stack(v.to_numpy()).astype("float64") @ C
+        out = []
+        idx = np.arange(dots.shape[1], dtype="int64")
+        for row in dots:
+            order = np.lexsort((idx, -row))[:n_probes]
+            out.append((order + 1).astype("int64"))
+        return pd.Series(out)
+
+    return _probes
 
 
 def build_ivf_centroids(
@@ -219,10 +281,9 @@ def build_ivf_centroids(
     )
     cents = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(lloyd_iters):
-        dots = _centroid_dots(vec_col, cents)
         assigned = emb.select(
             F.col(vec_col).alias("__v"),
-            F.array_position(dots, F.array_max(dots)).alias("__c"),
+            _nearest_cell_udf(cents)(F.col(vec_col)).alias("__c"),
         )
         means = (
             assigned.groupBy("__c")
@@ -251,9 +312,8 @@ def write_ivf_partitioned(
     lives partitioned by cell, a probe is *partition pruning* — the
     scan reads ``n_probes/n_centroids`` of the files and never touches
     the rest (asserted via PartitionFilters in tests/test_plans.py)."""
-    dots = _centroid_dots(vec_col, centroids)
     emb.select(
-        id_col, vec_col, F.array_position(dots, F.array_max(dots)).alias("__cell")
+        id_col, vec_col, _nearest_cell_udf(centroids)(F.col(vec_col)).alias("__cell")
     ).write.mode("overwrite").partitionBy("__cell").parquet(path)
 
 
@@ -277,27 +337,16 @@ def ivf_topk_pruned(
     from pyspark.sql.window import Window
 
     e = spark.read.parquet(path)
-    q_dots = _centroid_dots(query_vec_col, centroids)
-    probe_arr = F.slice(
-        F.array_sort(
-            F.zip_with(
-                q_dots,
-                F.sequence(F.lit(1), F.lit(len(centroids))),
-                lambda d, i: F.struct((-d).alias("nd"), i.cast("long").alias("c")),
-            )
-        ),
-        1,
-        n_probes,
-    )
+    dim = len(centroids[0])
     q = queries.select(
         query_id_col,
         query_vec_col,
-        F.explode(F.transform(probe_arr, lambda s: s.getField("c"))).alias("__cell"),
+        F.explode(_probe_cells_udf(centroids, n_probes)(F.col(query_vec_col))).alias("__cell"),
     )
     scored = e.join(F.broadcast(q), "__cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(dot(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+        F.round(dot_flat(vec_col, query_vec_col, dim), 6).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -328,33 +377,21 @@ def ivf_topk(
 
     if centroids is None:
         centroids = build_ivf_centroids(emb, n_centroids, id_col, vec_col)
-    e_dots = _centroid_dots(vec_col, centroids)
+    dim = len(centroids[0])
     e = emb.select(
-        id_col, vec_col, F.array_position(e_dots, F.array_max(e_dots)).alias("__cell")
+        id_col, vec_col, _nearest_cell_udf(centroids)(F.col(vec_col)).alias("__cell")
     )
-    q_dots = _centroid_dots(query_vec_col, centroids)
-    # probe cells = indices of the n_probes largest centroid dots:
-    # sort (−dot, index) structs, slice, project the index
-    probe_arr = F.slice(
-        F.array_sort(
-            F.zip_with(
-                q_dots,
-                F.sequence(F.lit(1), F.lit(len(centroids))),
-                lambda d, i: F.struct((-d).alias("nd"), i.cast("long").alias("c")),
-            )
-        ),
-        1,
-        n_probes,
-    )
+    # probe cells = indices of the n_probes largest centroid dots
+    # (lambda-free struct sort — see _probe_cells)
     q = queries.select(
         query_id_col,
         query_vec_col,
-        F.explode(F.transform(probe_arr, lambda s: s.getField("c"))).alias("__cell"),
+        F.explode(_probe_cells_udf(centroids, n_probes)(F.col(query_vec_col))).alias("__cell"),
     )
     scored = e.join(F.broadcast(q), "__cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(dot(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+        F.round(dot_flat(vec_col, query_vec_col, dim), 6).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -392,40 +429,79 @@ def build_pq_codebooks(
     ]
 
 
-def _pq_codes_expr(vec_name: str, codebooks: list[list[list[float]]]):
-    """array<bigint> of per-subspace nearest-code ids (1-based): for
-    each subspace, argmin over the codebook of the L2 distance
-    ``const(||c||²) − 2·⟨v_sub, c⟩`` (the ||v_sub||² term is constant
-    per row and drops out of the argmin). One F.expr parse — the py4j
-    economy rationale of hyperplane_bucket applies m×ks-fold here."""
+def _pq_codes_udf(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized PQ encoder: array<bigint> of per-subspace
+    nearest-code ids (1-based) — for each subspace ``j``, argmin over
+    the codebook of the L2 distance ``||c||² − 2·⟨v_sub, c⟩`` (the
+    ``||v_sub||²`` term is constant per row and drops out of the
+    argmin; ``||c||²`` is pre-folded sequentially in Python so the
+    constant matches the oracle's). One ``(n×sub) @ (sub×ks)`` matmul
+    per subspace per batch in the Python worker — the corpus-side
+    vectorized form (see ``hyperplane_bucket``'s rationale); argmin
+    takes the FIRST minimum on ties, the same rule as
+    ``array_position(arr, array_min(arr))`` and the oracle's
+    ``ORDER BY dist ASC, c ASC``."""
     sub = len(codebooks[0][0])
-    per_j = []
-    for j, cb in enumerate(codebooks):
-        sl = f"slice({vec_name}, {j * sub + 1}, {sub})"
-        dists = ", ".join(
-            f"({sum(c * c for c in cent)!r}D - 2.0D * {_dot_sql(sl, cent)})"
-            for cent in cb
-        )
-        arr = f"array({dists})"
-        per_j.append(
-            f"CAST(array_position({arr}, array_min({arr})) AS BIGINT)"
-        )
-    return F.expr("array(" + ", ".join(per_j) + ")")
+    m = len(codebooks)
+    mats = [np.array(cb, dtype="float64").T for cb in codebooks]  # sub×ks
+    norms = [
+        np.array([sum(c * c for c in cent) for cent in cb], dtype="float64")
+        for cb in codebooks
+    ]
+
+    @F.pandas_udf("array<long>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        M = np.stack(v.to_numpy()).astype("float64")
+        out = np.empty((len(M), m), dtype="int64")
+        for j in range(m):
+            d = norms[j] - 2.0 * (M[:, j * sub : (j + 1) * sub] @ mats[j])
+            out[:, j] = d.argmin(axis=1) + 1
+        return pd.Series(list(out))
+
+    return _codes
 
 
-def _pq_lut_expr(vec_name: str, codebooks: list[list[list[float]]]):
+def _pq_lut_udf(codebooks: list[list[list[float]]]):
     """Per-query ADC lookup table: array<array<double>> where
     lut[j][c] = ⟨q_sub_j, codebook[j][c]⟩ — computed once per query,
     broadcast with it; scoring a corpus vector is then m array lookups
-    instead of a dim-wide dot product."""
+    instead of a dim-wide dot product. Arrow-built for the same driver-
+    time reason as ``_probe_cells_udf`` (an unrolled m×ks×sub SQL tree
+    costs ~1.7 s of Catalyst analysis per build)."""
     sub = len(codebooks[0][0])
-    rows = []
-    for j, cb in enumerate(codebooks):
-        sl = f"slice({vec_name}, {j * sub + 1}, {sub})"
-        rows.append(
-            "array(" + ", ".join(_dot_sql(sl, cent) for cent in cb) + ")"
+    m = len(codebooks)
+    mats = [np.array(cb, dtype="float64").T for cb in codebooks]  # sub×ks
+
+    @F.pandas_udf("array<array<double>>")
+    def _lut(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        M = np.stack(v.to_numpy()).astype("float64")
+        out = []
+        for row in M:
+            out.append(
+                [list(row[j * sub : (j + 1) * sub] @ mats[j]) for j in range(m)]
+            )
+        return pd.Series(out)
+
+    return _lut
+
+
+def _adc_score(codes_name: str, lut_name: str, m: int):
+    """Lambda-free ADC score: Σⱼ lut[j][codes[j]] unrolled over the
+    ``m`` subspaces (left-associated, bit-identical to the
+    aggregate/zip_with fold it replaced — BASELINE.md round-4 note)."""
+    return F.expr(
+        "("
+        + " + ".join(
+            f"element_at(element_at({lut_name}, {j}),"
+            f" CAST(element_at({codes_name}, {j}) AS INT))"
+            for j in range(1, m + 1)
         )
-    return F.expr("array(" + ", ".join(rows) + ")")
+        + ")"
+    )
 
 
 def pq_encode(
@@ -439,7 +515,7 @@ def pq_encode(
     default). At 100 TB the encoded table is what lives hot; the float
     vectors stay in cold storage for optional exact re-ranking."""
     return emb.select(
-        F.col(id_col), _pq_codes_expr(vec_col, codebooks).alias("codes")
+        F.col(id_col), _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes")
     )
 
 
@@ -471,12 +547,9 @@ def pq_topk(
         codebooks = build_pq_codebooks(emb, m, ks, id_col, vec_col)
     e = encoded if encoded is not None else pq_encode(emb, codebooks, id_col, vec_col)
     q = queries.select(
-        F.col(query_id_col), _pq_lut_expr(query_vec_col, codebooks).alias("lut")
+        F.col(query_id_col), _pq_lut_udf(codebooks)(F.col(query_vec_col)).alias("lut")
     )
-    score = F.expr(
-        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, CAST(c AS INT))), "
-        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-    )
+    score = _adc_score("codes", "lut", len(codebooks))
     scored = e.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("score")
     )
@@ -505,7 +578,7 @@ def refine_pq_codebooks(
     for _ in range(iters):
         codes = emb.select(
             F.col(vec_col).alias("__v"),
-            _pq_codes_expr(vec_col, codebooks).alias("__codes"),
+            _pq_codes_udf(codebooks)(F.col(vec_col)).alias("__codes"),
         ).localCheckpoint()
         new = []
         for j, cb in enumerate(codebooks):
@@ -555,33 +628,17 @@ def ivfpq_topk(
         centroids = build_ivf_centroids(emb, 16, id_col, vec_col, lloyd_iters=0)
     if codebooks is None:
         codebooks = build_pq_codebooks(emb, 8, 16, id_col, vec_col)
-    e_dots = _centroid_dots(vec_col, centroids)
     e = emb.select(
         F.col(id_col),
-        F.array_position(e_dots, F.array_max(e_dots)).alias("__cell"),
-        _pq_codes_expr(vec_col, codebooks).alias("codes"),
-    )
-    q_dots = _centroid_dots(query_vec_col, centroids)
-    probe_arr = F.slice(
-        F.array_sort(
-            F.zip_with(
-                q_dots,
-                F.sequence(F.lit(1), F.lit(len(centroids))),
-                lambda d, i: F.struct((-d).alias("nd"), i.cast("long").alias("c")),
-            )
-        ),
-        1,
-        n_probes,
+        _nearest_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
+        _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes"),
     )
     q = queries.select(
         F.col(query_id_col),
-        _pq_lut_expr(query_vec_col, codebooks).alias("lut"),
-        F.explode(F.transform(probe_arr, lambda s: s.getField("c"))).alias("__cell"),
+        _pq_lut_udf(codebooks)(F.col(query_vec_col)).alias("lut"),
+        F.explode(_probe_cells_udf(centroids, n_probes)(F.col(query_vec_col))).alias("__cell"),
     )
-    score = F.expr(
-        "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, CAST(c AS INT))), "
-        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-    )
+    score = _adc_score("codes", "lut", len(codebooks))
     scored = e.join(F.broadcast(q), "__cell").select(
         F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("score")
     )

@@ -953,6 +953,16 @@ from . import queries_training  # noqa: E402,F401
 #: never-driver-checked r1/r2 tail entries and demoted shapes that
 #: already hold green rows in BOTH CORRECTNESS_r01 and _r02 (marked
 #: [r1+r2 ✓] — demotion loses them nothing; their rows exist).
+#:
+#: STANDING ROTATION POLICY (round 5): each round, (a) any query whose
+#: operator code changed since its last driver row is re-windowed — a
+#: stale green row attests code that no longer exists; (b) after that,
+#: the OLDEST remaining rows rotate in, displacing non-bench shapes
+#: whose code is unchanged since their latest green row. Bench queries
+#: never demote (enforced below). Round 5 promoted the fifteen oldest
+#: r1/r2 rows (dedup_fuzzy_keepmin first — its minhash dependency was
+#: rewritten in round 4 AFTER its last driver row) and demoted fifteen
+#: [r4 ✓] non-bench shapes with untouched code.
 _DEMOTED_TAIL: list[str] = [
     # never-promoted structural subsets (each ⊂ a permanent-window rep)
     "dedup_anti_join",          # J1 ⊂ incremental_watermark_load, composite_pk_dedup
@@ -962,28 +972,15 @@ _DEMOTED_TAIL: list[str] = [
     "distinct_pairs",           # distinct ⊂ agg_distinct oracle shape
     "events_hourly_rollup",     # identical agg checked via streaming_hourly_rollup
     "ngram_jaccard_consecutive",  # verify math ⊂ minhash_lsh_dedup_pairs oracle
-    "embedding_near_dup_pairs",  # exact baseline of embedding_near_dup_lsh (checked)
     # round-3 rotation: [r1+r2 ✓] shapes making room for the promoted
     # ten (join_full_outer, set_ops, grouping_sets_sql,
     # scalar_math_functions, date_parts_spectrum, having_filter_groups,
     # conditional_case_coalesce, window_running_total, window_lag_gap,
     # doc_fingerprint) and the round-3 additions
-    "agg_distinct",             # [r1+r2 ✓] A2 ⊂ distinct shapes everywhere
-    "rollup_status_priority",   # [r1+r2 ✓] ⊂ grouping_sets_sql (promoted)
-    "cube_returnflag_linestatus",  # [r1+r2 ✓] ⊂ grouping_sets_sql (promoted)
-    "dedup_transitive_clusters",  # [r1+r2 ✓] CC ⊂ dedup_fuzzy_keepmin end-to-end
-    "limit_offset_pagination",  # [r1+r2 ✓] limit ⊂ q3 top-k (bench)
     "scalar_date_functions",    # [r1+r2 ✓] ⊂ date_parts_spectrum (promoted)
-    "scalar_string_functions",  # [r1+r2 ✓] ⊂ regexp_extract, string_agg
-    "multimodal_feature_extract",  # [r1+r2 ✓] ⊂ multimodal_wav_decode plumbing
     "pivot_status_by_priority", # [r1+r2 ✓] conditional agg ⊂ map_functions_scalar
-    "doc_lang_id",              # [r1+r2 ✓] marker counts ⊂ doc_text_stats (bench)
     "doc_winnow_fingerprints",  # [r1+r2 ✓] hash60 grams ⊂ doc_fingerprint (promoted)
-    "simhash_collision_groups", # [r1+r2 ✓] token-hash agg ⊂ minhash (bench)
     "deterministic_sample",     # [r2 ✓] hash-mod ⊂ doc_fingerprint (promoted)
-    "dedup_fuzzy_keepmin",      # [r1+r2 ✓] ⊂ minhash (bench) + CC pytest
-    "join_left_outer",          # [r1+r2 ✓] outer-preserve ⊂ join_full_outer (promoted)
-    "composite_pk_dedup",       # [r1+r2 ✓] J1 composite ⊂ incremental_watermark_load
     "range_join_value_buckets", # [r1+r2 ✓] interval join ⊂ asof_join_last_click (bench)
     "corpus_quality_filter",    # [r1+r2 ✓] quality expr ⊂ doc_text_stats (bench)
     "union_by_name_missing",    # [r2 ✓] schema-evolution union ⊂ set_ops (promoted)
@@ -1001,9 +998,7 @@ _DEMOTED_TAIL: list[str] = [
     "regexp_extract_part_colors",  # [r2 ✓] regex ⊂ pii_scrub_stats (in window)
     "null_safe_join_props",     # [r2 ✓] join-variant ⊂ join_full_outer (in window)
     "map_functions_scalar",     # [r2 ✓] map exprs ⊂ doc_lang_id family
-    "constraint_check_report",  # [r2 ✓] K4 report — row held, semantics pytest-pinned
     "grouped_trend_slope",      # [r2 ✓] applyInPandas ⊂ multimodal decode plumbing
-    "multimodal_wav_decode",    # [r2 ✓] mapInPandas decode ⊂ multimodal_bmp_decode
     # round-4 rotation: winnow_containment_pairs promoted (the one
     # registered query with no driver row after r3); [r3 ✓] shapes
     # demoted to free its slot and the round-4 newcomers' slots
@@ -1028,6 +1023,26 @@ _DEMOTED_TAIL: list[str] = [
     "q14_promo_revenue_ratio",  # [r3 ✓] conditional ratio ⊂ q8 family [r3 ✓]
     "correlated_min_subquery",  # [r3 ✓] de-correlated scalar ⊂ q17 newcomer
     "doc_repetition_ratio",     # [r3 ✓] array exprs ⊂ doc_text_stats (bench)
+    # round-5 rotation (standing policy above): fifteen [r4 ✓] non-bench
+    # shapes with code UNCHANGED since their r4 row step down so the
+    # fifteen oldest r1/r2 rows can re-attest — led by
+    # dedup_fuzzy_keepmin, whose minhash dependency was rewritten in r4
+    # after its last driver row
+    "join_full_outer",          # [r4 ✓] outer-preserve ⊂ join_left_outer (promoted)
+    "doc_fingerprint",          # [r4 ✓] hash60 grams ⊂ doc_winnow family, doc_text_stats (bench)
+    "flag_contaminated_docs",   # [r4 ✓] broadcast gram probe ⊂ minhash (bench)
+    "streaming_session_rollup", # [r4 ✓] session_window ⊂ sessionization_stats (bench)
+    "pii_scrub_stats",          # [r4 ✓] regexp scrub ⊂ doc_text_stats (bench)
+    "streaming_dedup_distinct", # [r4 ✓] dropDuplicates stream ⊂ streaming_hourly (bench)
+    "multimodal_bmp_decode",    # [r4 ✓] mapInPandas decode ⊂ multimodal_wav_decode (promoted)
+    "multimodal_avi_frames",    # [r4 ✓] RIFF walk ⊂ multimodal_wav_decode (promoted)
+    "vocab_top_terms",          # [r4 ✓] ordered agg ⊂ tfidf_top_terms (bench)
+    "stratified_sample",        # [r4 ✓] hash-mod sampling ⊂ deterministic_sample family
+    "zorder_curve_keys",        # [r4 ✓] Morton math ⊂ pytest file-skip proof (test_scale_layout)
+    "partition_skew_report",    # [r4 ✓] portable-hash ratios ⊂ skew_salted_agg (bench)
+    "q4_order_priority_check",  # [r4 ✓] EXISTS ⊂ q21 family; q16 (changed) in window
+    "q12_priority_by_linestatus",  # [r4 ✓] conditional agg ⊂ q1 (bench)
+    "q13_customer_order_distribution",  # [r4 ✓] outer-join histogram ⊂ join family
 ]
 
 _CHECK_WINDOW = 50

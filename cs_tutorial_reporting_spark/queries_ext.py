@@ -417,13 +417,15 @@ def _near_dup_lsh_oracle(
     """
 
 
-#: LSH-bucketed corpus per dataset — the near-dup INDEX artifact. Like
-#: _IVF_CODEBOOKS below: an index is built once and probed many times,
-#: so the bucketed frame is persisted deliberately, ONE bounded entry
-#: per sf_dir (this is intentional index lifetime, not the per-call
-#: persist leak ADVICE r2 flagged — repeated calls reuse this entry
-#: instead of stacking new cache copies).
-_NEARDUP_INDEX: dict[str, DataFrame] = {}
+#: LSH-bucketed corpus per (session, dataset) — the near-dup INDEX
+#: artifact. Like _IVF_CODEBOOKS below: an index is built once and
+#: probed many times, so the bucketed frame is persisted deliberately,
+#: ONE bounded entry per key (this is intentional index lifetime, not
+#: the per-call persist leak ADVICE r2 flagged — repeated calls reuse
+#: this entry instead of stacking new cache copies). Session-keyed
+#: because a persisted DataFrame is bound to the session that built it
+#: (the _PQ_ENCODED rationale — ADVICE r4).
+_NEARDUP_INDEX: dict[tuple[int, str], DataFrame] = {}
 
 
 @register(
@@ -445,17 +447,18 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.dedup import bucket_corpus, embedding_near_dup_pairs
 
-    if sf_dir not in _NEARDUP_INDEX:
+    key = (id(spark), sf_dir)
+    if key not in _NEARDUP_INDEX:
         e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         corpus = e.unionByName(
             e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
         )
-        _NEARDUP_INDEX[sf_dir] = bucket_corpus(
+        _NEARDUP_INDEX[key] = bucket_corpus(
             corpus, n_planes=8, dim=64, max_bucket=_MAX_BUCKET
         ).persist(StorageLevel.MEMORY_AND_DISK)
     return embedding_near_dup_pairs(
         None, threshold=0.45, n_planes=8, dim=64,
-        bucketed=_NEARDUP_INDEX[sf_dir],
+        bucketed=_NEARDUP_INDEX[key],
     )
 
 
@@ -615,7 +618,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = brute_force_topk(e, q, k=10)
+    out = brute_force_topk(e, q, k=10, dim=64)
     return out.select(
         "query_id", "vec_id", "cos", F.col("rank").cast("bigint").alias("rank")
     )
@@ -657,20 +660,36 @@ def _lsh_topk_oracle(n_planes: int, dim: int, k: int, n_queries: int) -> str:
     """
 
 
+#: bucketed LSH corpus per (session, sf_dir) — the index is built once
+#: at "ingest" and probed many times (the IVF-layout/near-dup-index
+#: rationale); session-keyed because a persisted DataFrame is bound to
+#: the session that built it (see _PQ_ENCODED)
+_LSH_INDEX: dict[tuple[int, str], DataFrame] = {}
+
+
 @register("similarity_topk_lsh", oracle=_lsh_topk_oracle(6, 64, 10, 5), bench=True)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH buckets with
     multi-probe — the 100 TB path. The hyperplanes are deterministic
     (seeded md5), so the DuckDB oracle replicates the identical
     pipeline and the result is fully hash-checked; recall vs brute
-    force is additionally pinned in tests/test_ext_operators.py."""
-    from .operators.similarity import lsh_topk
+    force is additionally pinned in tests/test_ext_operators.py. The
+    bucketed corpus is built once per dataset and persisted (the
+    index-build/probe split every ANN query here follows)."""
+    from pyspark import StorageLevel
+
+    from .operators.similarity import hyperplane_bucket, lsh_topk
 
     e = t(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    if key not in _LSH_INDEX:
+        _LSH_INDEX[key] = e.withColumn(
+            "__bkt", hyperplane_bucket("embedding", 6, 64)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_topk(e, q, k=10, n_planes=6)
+    out = lsh_topk(e, q, k=10, n_planes=6, bucketed=_LSH_INDEX[key])
     return out.select(
         "query_id", "vec_id", "cos", F.col("rank").cast("bigint").alias("rank")
     )
@@ -1494,7 +1513,18 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click streams joined on user within a 30-minute horizon, watermarks
     bounding the buffered state on both sides. Inner joins emit
     eagerly, so the bounded-replay drain materializes exactly the batch
-    interval join — the oracle checks the full matched-pair set."""
+    interval join — the oracle checks the full matched-pair set.
+
+    Oracle-equivalence assumption: the drain ingests each single-file
+    source in ONE micro-batch (``processAllAvailable`` with no
+    ``maxFilesPerTrigger``), so the 2-hour watermark never advances
+    between the arrival of a view and its matching click — state cannot
+    be evicted mid-replay and the streaming answer equals the batch
+    join exactly. If the events table ever ships as multiple files (or
+    a trigger cap is set), late matched pairs MAY legitimately drop per
+    streaming semantics (that behavior is pinned separately in
+    tests/test_ext_operators.py) and the gate drain would need a
+    watermark comfortably above the data's time span instead."""
     from .streaming.joins import attribution_join
     from .streaming.sessions import read_event_stream, run_to_memory
 
@@ -1581,8 +1611,28 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CODEBOOKS: dict[str, list] = {}
 
 #: PQ-encoded corpus per dataset (the compressed table an ingest
-#: pipeline materializes once; searches scan codes, not vectors)
-_PQ_ENCODED: dict[str, DataFrame] = {}
+#: pipeline materializes once; searches scan codes, not vectors).
+#: Unlike the codebook caches (plain driver-side float lists), this
+#: holds a localCheckpoint'ed DataFrame BOUND to the SparkSession that
+#: built it — so it is keyed by (session, sf_dir) and rebuilt when a
+#: new/restarted session runs the registry, instead of erroring against
+#: a stopped context (and the stale checkpoint's executor memory is
+#: reclaimed with its dead session).
+_PQ_ENCODED: dict[tuple[int, str], DataFrame] = {}
+
+
+def _pq_encoded_for(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    from .operators.similarity import pq_encode
+
+    # id(spark) cannot be recycled while its entry lives: the cached
+    # DataFrame keeps the session object referenced, so the address
+    # stays taken for exactly as long as the key exists
+    key = (id(spark), sf_dir)
+    if key not in _PQ_ENCODED:
+        # encode once per corpus (the ingest-time step), search many —
+        # localCheckpoint materializes the compressed table
+        _PQ_ENCODED[key] = pq_encode(e, _PQ_CODEBOOKS[sf_dir]).localCheckpoint()
+    return _PQ_ENCODED[key]
 
 
 def _pq_topk_oracle(m: int, sub: int, ks: int, k: int, n_queries: int) -> str:
@@ -1653,23 +1703,18 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks are SQL-expressible, so encode + ADC + ranking are fully
     hash-checked; the Lloyd-refined variant's recall is pinned in
     pytest."""
-    from .operators.similarity import build_pq_codebooks, pq_encode, pq_topk
+    from .operators.similarity import build_pq_codebooks, pq_topk
 
     e = t(spark, sf_dir, "embeddings")
     if sf_dir not in _PQ_CODEBOOKS:
         _PQ_CODEBOOKS[sf_dir] = build_pq_codebooks(e, m=8, ks=16, dim=64)
-    if sf_dir not in _PQ_ENCODED:
-        # encode once per corpus (the ingest-time step), search many —
-        # localCheckpoint materializes the compressed table
-        _PQ_ENCODED[sf_dir] = pq_encode(
-            e, _PQ_CODEBOOKS[sf_dir]
-        ).localCheckpoint()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = pq_topk(
         e, q, k=10,
-        codebooks=_PQ_CODEBOOKS[sf_dir], encoded=_PQ_ENCODED[sf_dir],
+        codebooks=_PQ_CODEBOOKS[sf_dir],
+        encoded=_pq_encoded_for(spark, sf_dir, e),
     )
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")

@@ -638,8 +638,11 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (lineitem stands in for the absent partsupp as
     the part↔supplier relation; negative balance stands in for the
     complaints LIKE): distinct suppliers per surviving (brand, type,
-    size). The NOT IN over a non-null key is a broadcast anti-join;
-    distinct-agg is the one shuffle."""
+    size). The oracle's NOT IN is implemented as a broadcast anti-join;
+    the two differ on NULL probe keys (NOT IN filters a NULL l_suppkey,
+    left_anti keeps it), so NULL probes are filtered explicitly first —
+    making the operators equivalent regardless of data, not just on the
+    non-null generated keys. Distinct-agg is the one shuffle."""
     excluded = t(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
@@ -648,7 +651,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "ECONOMY")
         & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
     ).select("p_partkey", "p_brand", "p_type", "p_size")
-    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        # NOT-IN semantics: a NULL probe key never passes the subquery
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     kept = li.join(
         F.broadcast(excluded),
         F.col("l_suppkey") == F.col("s_suppkey"),

@@ -189,9 +189,10 @@ def winnow_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_sequences,
            CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_straddling,
-           floor(CAST(sum(n_tokens) AS DOUBLE)
-                 / (ceil(sum(n_tokens) / 512.0) * 512) * 10000) / 10000
-               AS fill_ratio
+           CASE WHEN sum(n_tokens) > 0 THEN
+               floor(CAST(sum(n_tokens) AS DOUBLE)
+                     / (ceil(sum(n_tokens) / 512.0) * 512) * 10000) / 10000
+           ELSE NULL END AS fill_ratio
     FROM layout GROUP BY source, shard
     """,
 )

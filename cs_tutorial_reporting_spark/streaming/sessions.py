@@ -106,9 +106,21 @@ def run_to_memory(
     store per partition, so the right width tracks state volume, not
     core count — 32 partitions cost ~1.5× to 2.5× the wall of 8 on the
     harness data with identical answers. At 100 TB the same knob sizes
-    UP with keys held. ``None`` keeps the session setting."""
+    UP with keys held. ``None`` keeps the session setting.
+
+    Concurrency contract: the override mutates the SESSION conf and
+    restores it in ``finally`` — sound only for one drain at a time per
+    session (the harness is single-threaded). Two overlapping drains, or
+    a concurrent batch query being planned mid-drain, would race on the
+    conf and one restore could clobber the other's setting. A concurrent
+    caller must either pass ``shuffle_partitions=None`` (no mutation —
+    skipped automatically when the session value already matches) or
+    drain through separate sessions (``spark.newSession()`` isolates the
+    conf)."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None and prev == str(shuffle_partitions):
+        shuffle_partitions = None  # already right — skip the mutation
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
@@ -123,4 +135,5 @@ def run_to_memory(
         finally:
             q.stop()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1012,3 +1012,43 @@ def test_rocksdb_state_store_matches_default_provider(spark):
     finally:
         spark.conf.set(key, prev)
     assert rocks_rows == default_rows and rocks_rows
+
+
+def test_vector_scoring_form_equivalence(spark, emb):
+    """The three dot/cosine forms agree: the single-level flat fold is
+    BIT-identical to the nested HOF fold it hardens (same association
+    order), and the Arrow batch form matches at the round-6 grid the
+    oracle compares on (NumPy pairwise summation differs only in final
+    ULPs — the documented BASELINE.md round-5 assumption)."""
+    from cs_tutorial_reporting_spark.functions.vectors import (
+        cosine,
+        cosine_arrow,
+        cosine_flat,
+        dot,
+        dot_arrow,
+        dot_flat,
+    )
+
+    pairs = emb.alias("a").crossJoin(
+        emb.limit(5).select(F.col("embedding").alias("qv"))
+    )
+    r = pairs.select(
+        (dot(F.col("embedding"), F.col("qv")) == dot_flat("embedding", "qv", 64)).alias("d_bit"),
+        (cosine(F.col("embedding"), F.col("qv")) == cosine_flat("embedding", "qv", 64)).alias("c_bit"),
+        (
+            F.round(dot_arrow(F.col("embedding"), F.col("qv")), 6)
+            == F.round(dot_flat("embedding", "qv", 64), 6)
+        ).alias("d_r6"),
+        (
+            F.round(cosine_arrow(F.col("embedding"), F.col("qv")), 6)
+            == F.round(cosine_flat("embedding", "qv", 64), 6)
+        ).alias("c_r6"),
+    ).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.when(F.col(c), 0).otherwise(1)).alias(c)
+            for c in ["d_bit", "c_bit", "d_r6", "c_r6"]
+        ],
+    ).collect()[0]
+    assert r["n"] > 0
+    assert (r["d_bit"], r["c_bit"], r["d_r6"], r["c_r6"]) == (0, 0, 0, 0)

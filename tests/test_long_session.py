@@ -1,0 +1,92 @@
+"""Long-session replay regression — the BASELINE.md round-4 repro, mechanized.
+
+Round 4 proved that Spark's nested higher-order-lambda evaluation can
+return context-dependent garbage after ~70 distinct plans execute in one
+JVM session (symptom: ``minhash_signature``'s transform-over-lambda
+expression produced different wrong values per evaluation context while
+fresh sessions and the DuckDB oracle stayed correct — BASELINE.md
+round-4 note). The fix rewrote every ANN / dedup hot path lambda-free
+(unrolled ``+``-chains, struct-sort probe selection, unrolled ADC); this
+test guards that rewrite by mechanizing the exact repro recipe:
+
+1. replay a long prefix of the query registry (> the ~70-plan threshold
+   observed) in ONE session, executing every plan;
+2. then, in the SAME polluted session, run the ANN flagships and the
+   rewritten minhash pipeline and compare their canonical frames against
+   the DuckDB oracle (the pin — ground truth that survives testdata
+   regeneration, unlike literal hashes).
+
+A regression reintroducing session-context-sensitive evaluation into any
+guarded query fails step 2 even though the same query passes in the
+fresh-session oracle sweeps.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import duckdb
+
+from .conftest import SF_SMOKE
+
+#: queries whose results must stay correct after plan-cache pollution —
+#: every consumer of the de-lambda'd expression builders
+GUARDED = [
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_pruned",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "embedding_near_dup_lsh",
+    "minhash_lsh_dedup_pairs",
+]
+
+#: how many registry entries to replay before checking — comfortably
+#: past the ~70 distinct plans at which the round-4 bug triggered
+REPLAY_PREFIX = 80
+
+
+def _canon_frame(pdf):
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", "/root/repo/tools/check_oracle.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._canon_frame(pdf)
+
+
+def test_ann_flagships_survive_long_session(spark):
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    # step 1 — pollute: execute a long prefix of distinct plans
+    replayed = 0
+    for name, fn in qs.items():
+        if replayed >= REPLAY_PREFIX:
+            break
+        fn(spark, SF_SMOKE).collect()
+        replayed += 1
+    assert replayed >= 70, "registry shrank below the repro threshold"
+
+    # step 2 — assert the guarded queries in the SAME session
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    bad = []
+    for name in GUARDED:
+        spdf = qs[name](spark, SF_SMOKE).toPandas()
+        ddf = con.sql(oracles[name]).fetchdf()
+        if len(spdf) != len(ddf) or _canon_frame(spdf) != _canon_frame(ddf):
+            bad.append(name)
+    assert not bad, f"session-context-sensitive results after replay: {bad}"
