@@ -213,6 +213,43 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_summary(packed, max_tokens=512)
 
 
+def mix_order(d: DataFrame, limit: int = 64) -> DataFrame:
+    """The mixture-order core over any (source, doc_id) frame: weights
+    from the source's numeric suffix (1-4), portable-hash shuffle within
+    source, stride-12/w interleave, top-``limit`` head.
+
+    Tie determinism: when two sources share a weight, their docs land
+    on IDENTICAL interleave positions every stride — the ORDER BY
+    breaks those ties by (source ASC, src_rank ASC), so the schedule
+    head is a pure function of the data (pinned by an exact-schedule
+    pytest on an equal-weight fixture). A future source-list change
+    can reorder ties only by changing source NAMES, never silently."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions.text import hash60
+
+    w_src = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        (
+            F.regexp_extract("source", "([0-9]+)", 1).cast("bigint") % 4 + 1
+        ).alias("w"),
+        F.row_number().over(w_src).alias("src_rank"),
+    )
+    out = ranked.select(
+        "source",
+        "doc_id",
+        F.col("src_rank").cast("bigint").alias("src_rank"),
+        F.expr("(src_rank - 1) * 12 div w").alias("interleave_pos"),
+    )
+    return out.orderBy("interleave_pos", "source", "src_rank").limit(limit)
+
+
+
 @register(
     "training_mix_order",
     oracle="""
@@ -242,28 +279,6 @@ def training_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     by stride 12/w — weight-4 sources appear 4x as often as weight-1 in
     any prefix of the schedule. Pure window + TakeOrderedAndProject
     (top-64): no global sort materializes, so the schedule head is
-    computable at any corpus size; epochs shift the hash salt."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from .functions.text import hash60
-
-    d = t(spark, sf_dir, "documents")
-    w_src = Window.partitionBy("source").orderBy(
-        hash60(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = d.select(
-        "source",
-        "doc_id",
-        (
-            F.regexp_extract("source", "([0-9]+)", 1).cast("bigint") % 4 + 1
-        ).alias("w"),
-        F.row_number().over(w_src).alias("src_rank"),
-    )
-    out = ranked.select(
-        "source",
-        "doc_id",
-        F.col("src_rank").cast("bigint").alias("src_rank"),
-        F.expr("(src_rank - 1) * 12 div w").alias("interleave_pos"),
-    )
-    return out.orderBy("interleave_pos", "source", "src_rank").limit(64)
+    computable at any corpus size; epochs shift the hash salt. Core
+    logic (and the equal-weight tie contract) in :func:`mix_order`."""
+    return mix_order(t(spark, sf_dir, "documents"), limit=64)
