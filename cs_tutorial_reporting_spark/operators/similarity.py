@@ -600,6 +600,116 @@ def refine_pq_codebooks(
     return codebooks
 
 
+def build_residual_pq_codebooks(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    skip: int | None = None,
+) -> list[list[list[float]]]:
+    """Deterministic RESIDUAL PQ codebooks: the same smallest-md5(id)
+    seed sample as :func:`build_pq_codebooks`, but each seed is first
+    reduced to its residual against its nearest IVF centroid
+    (v − c(cell(v))) before slicing into ``m`` subspaces. Residuals are
+    what the PQ actually has to represent inside a cell, so their
+    spread is smaller than the raw vectors' and quantization error
+    drops — the classic Faiss IVFPQ layout. Seed-cell assignment uses
+    sequential Python dots (⟨v,cᵢ⟩ argmax, lowest index on ties) so the
+    DuckDB oracle's ``list_dot_product``-based replica sees identical
+    intermediate values.
+
+    ``skip`` (default ``len(centroids)``): the PQ seeds are the ks rows
+    ranked AFTER the first ``skip`` by md5(id) — DISJOINT from the IVF
+    seed set. With overlapping seeds (the naive choice) every PQ seed's
+    nearest centroid is itself, every seed residual is exactly zero,
+    and the "codebooks" collapse to all-zeros — the score degenerates
+    to the bare cell dot (caught empirically in round 5; BASELINE.md)."""
+    if skip is None:
+        skip = len(centroids)
+    seeds = (
+        emb.select(
+            F.col(id_col), vec_col, F.md5(F.col(id_col).cast("string")).alias("__h")
+        )
+        .orderBy("__h")
+        .limit(skip + ks)
+        .collect()[skip:]
+    )
+    sub = dim // m
+    residuals = []
+    for r in seeds:
+        v = [float(x) for x in r[1]]
+        dots = [sum(a * b for a, b in zip(v, c)) for c in centroids]
+        cell = max(range(len(dots)), key=lambda i: (dots[i], -i))
+        residuals.append([a - b for a, b in zip(v, centroids[cell])])
+    return [
+        [v[j * sub : (j + 1) * sub] for v in residuals] for j in range(m)
+    ]
+
+
+def _residual_encode_udf(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+):
+    """Arrow-vectorized residual IVF-PQ encoder: per batch, one matmul
+    assigns cells (argmax ⟨v,cᵢ⟩, first max on ties), the assigned
+    centroid is subtracted, and the RESIDUAL is PQ-encoded per
+    subspace (argmin ‖r_sub − cb‖², first min on ties). Returns a
+    struct<cell:long, codes:array<long>> column factory — the (cell,
+    codes) pair is exactly what lives on disk at ingest in the
+    billion-vector layout."""
+    C = np.array(centroids, dtype="float64")  # k×d
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    mats = [np.array(cb, dtype="float64").T for cb in codebooks]  # sub×ks
+    norms = [
+        np.array([sum(c * c for c in cent) for cent in cb], dtype="float64")
+        for cb in codebooks
+    ]
+
+    @F.pandas_udf("cell long, codes array<long>")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            return pd.DataFrame({"cell": [], "codes": []})
+        M = np.stack(v.to_numpy()).astype("float64")
+        cells = (M @ C.T).argmax(axis=1)
+        R = M - C[cells]
+        codes = np.empty((len(M), m), dtype="int64")
+        for j in range(m):
+            d = norms[j] - 2.0 * (R[:, j * sub : (j + 1) * sub] @ mats[j])
+            codes[:, j] = d.argmin(axis=1) + 1
+        return pd.DataFrame(
+            {"cell": (cells + 1).astype("int64"), "codes": list(codes)}
+        )
+
+    return _enc
+
+
+def _probe_cells_dots_udf(centroids: list[list[float]], n_probes: int):
+    """Like ``_probe_cells_udf`` but each probe carries its centroid
+    dot: array<struct<c:bigint, d:double>> of the ``n_probes`` nearest
+    cells with ⟨q, cᵢ⟩ — the residual ADC score needs the per-cell
+    first-order term ⟨q,c⟩ added back to the LUT sum."""
+    C = np.array(centroids, dtype="float64").T  # d×k
+
+    @F.pandas_udf("array<struct<c:long, d:double>>")
+    def _probes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        dots = np.stack(v.to_numpy()).astype("float64") @ C
+        idx = np.arange(dots.shape[1], dtype="int64")
+        out = []
+        for row in dots:
+            order = np.lexsort((idx, -row))[:n_probes]
+            out.append(
+                [{"c": int(c) + 1, "d": float(row[c])} for c in order]
+            )
+        return pd.Series(out)
+
+    return _probes
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -611,6 +721,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    residual: bool = False,
 ) -> DataFrame:
     """The composed IVF-PQ layout — the standard billion-vector ANN
     shape: the IVF coarse quantizer prunes the corpus to the probed
@@ -618,27 +729,63 @@ def ivfpq_topk(
     them scoring runs on PQ codes via ADC (m lookups per candidate, no
     float vectors touched). Each corpus vector carries (cell, codes) —
     both computed once at ingest; a query ships (probe cells, LUT).
-    This variant quantizes raw vectors (IVF-Flat-PQ); the classic
-    residual refinement (encode v − centroid) would improve recall at
-    the cost of per-cell codebooks. Exactness oracle: brute_force_topk;
-    relational oracle: same seed rule as ivf_topk + pq_topk."""
+
+    ``residual=False`` quantizes raw vectors (IVF-Flat-PQ);
+    ``residual=True`` encodes v − centroid (the classic Faiss IVFPQ
+    refinement): the PQ then only has to represent the within-cell
+    residual spread, so quantization error drops at identical query cost —
+    the score becomes ⟨q,c_cell⟩ + Σⱼ lut[j][codes[j]], with the
+    centroid term shipped alongside each probe. ``codebooks`` must
+    match the flag (``build_pq_codebooks`` vs
+    ``build_residual_pq_codebooks``). Recall ordering
+    (residual ≥ flat) is pytest-pinned; both variants are seeded and
+    SQL-expressible, so both are hash-checkable relationally.
+    Exactness oracle: brute_force_topk."""
     from pyspark.sql.window import Window
 
     if centroids is None:
         centroids = build_ivf_centroids(emb, 16, id_col, vec_col, lloyd_iters=0)
     if codebooks is None:
-        codebooks = build_pq_codebooks(emb, 8, 16, id_col, vec_col)
-    e = emb.select(
-        F.col(id_col),
-        _nearest_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
-        _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes"),
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        _pq_lut_udf(codebooks)(F.col(query_vec_col)).alias("lut"),
-        F.explode(_probe_cells_udf(centroids, n_probes)(F.col(query_vec_col))).alias("__cell"),
-    )
-    score = _adc_score("codes", "lut", len(codebooks))
+        codebooks = (
+            build_residual_pq_codebooks(emb, centroids, 8, 16, id_col, vec_col)
+            if residual
+            else build_pq_codebooks(emb, 8, 16, id_col, vec_col)
+        )
+    if residual:
+        enc = _residual_encode_udf(centroids, codebooks)(F.col(vec_col))
+        e = emb.select(
+            F.col(id_col),
+            enc.getField("cell").alias("__cell"),
+            enc.getField("codes").alias("codes"),
+        )
+        probe = F.explode(
+            _probe_cells_dots_udf(centroids, n_probes)(F.col(query_vec_col))
+        ).alias("p")
+        q = queries.select(
+            F.col(query_id_col),
+            _pq_lut_udf(codebooks)(F.col(query_vec_col)).alias("lut"),
+            probe,
+        ).select(
+            query_id_col,
+            "lut",
+            F.col("p.c").alias("__cell"),
+            F.col("p.d").alias("__cell_dot"),
+        )
+        score = F.col("__cell_dot") + _adc_score("codes", "lut", len(codebooks))
+    else:
+        e = emb.select(
+            F.col(id_col),
+            _nearest_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
+            _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes"),
+        )
+        q = queries.select(
+            F.col(query_id_col),
+            _pq_lut_udf(codebooks)(F.col(query_vec_col)).alias("lut"),
+            F.explode(
+                _probe_cells_udf(centroids, n_probes)(F.col(query_vec_col))
+            ).alias("__cell"),
+        )
+        score = _adc_score("codes", "lut", len(codebooks))
     scored = e.join(F.broadcast(q), "__cell").select(
         F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("score")
     )

@@ -1811,6 +1811,154 @@ def _ivfpq_topk_oracle(
     """
 
 
+def _ivfpq_residual_oracle(
+    n_centroids: int, n_probes: int, m: int, sub: int, ks: int, k: int,
+    n_queries: int, dim: int = 64,
+) -> str:
+    """DuckDB replication of the RESIDUAL IVF-PQ pipeline: cells and
+    probe dots from the first ``n_centroids`` md5-ranked seeds, PQ
+    codebooks from the residuals of the NEXT ``ks`` seeds (disjoint —
+    overlapping seeds make every codebook entry exactly zero, see
+    build_residual_pq_codebooks), corpus codes = per-subspace argmin
+    over residuals, score = ⟨q,c_cell⟩ + Σⱼ lut[j][codeⱼ]."""
+    return f"""
+    WITH ranked AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS c,
+               vec_id, embedding
+        FROM embeddings
+    ),
+    cent AS (SELECT c, embedding FROM ranked WHERE c <= {n_centroids}),
+    ed AS (
+        SELECT e.vec_id, s.c,
+               list_dot_product(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS d
+        FROM embeddings e CROSS JOIN cent s
+    ),
+    e_cell AS (
+        SELECT vec_id, c AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d DESC, c
+            ) AS rn FROM ed
+        ) WHERE rn = 1
+    ),
+    e_res AS (
+        SELECT e.vec_id, ec.cell,
+               list_transform(range(1, {dim + 1}),
+                   i -> e.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE) AS res
+        FROM embeddings e
+        JOIN e_cell ec ON ec.vec_id = e.vec_id
+        JOIN cent s ON s.c = ec.cell
+    ),
+    pqs AS (
+        SELECT c - {n_centroids} AS code, vec_id FROM ranked
+        WHERE c > {n_centroids} AND c <= {n_centroids + ks}
+    ),
+    cb AS (
+        SELECT j.j, p.code, (er.res[j.j * {sub} + 1 : (j.j + 1) * {sub}]) AS sub
+        FROM pqs p
+        JOIN e_res er ON er.vec_id = p.vec_id
+        CROSS JOIN (SELECT unnest(range(0, {m})) AS j) j
+    ),
+    ecodes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT er.vec_id, cb.j, cb.code,
+                   row_number() OVER (
+                       PARTITION BY er.vec_id, cb.j
+                       ORDER BY list_dot_product(cb.sub, cb.sub)
+                              - 2 * list_dot_product(
+                                    (er.res[cb.j * {sub} + 1
+                                            : (cb.j + 1) * {sub}]),
+                                    cb.sub) ASC,
+                                cb.code ASC
+                   ) AS rn
+            FROM e_res er CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT q0.vec_id AS query_id, s.c,
+               list_dot_product(q0.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS d
+        FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q0
+        CROSS JOIN cent s
+    ),
+    qp AS (
+        SELECT query_id, c AS cell, d AS cell_dot FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d DESC, c
+            ) AS rn FROM qd
+        ) WHERE rn <= {n_probes}
+    ),
+    qlut AS (
+        SELECT q0.vec_id AS query_id, cb.j, cb.code,
+               list_dot_product(
+                   (q0.embedding[cb.j * {sub} + 1 : (cb.j + 1) * {sub}])::DOUBLE[],
+                   cb.sub) AS d
+        FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q0
+        CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT qp.query_id, er.vec_id,
+               round(any_value(qp.cell_dot) + sum(ql.d), 6) AS score
+        FROM e_res er
+        JOIN qp ON er.cell = qp.cell
+        JOIN ecodes ec ON ec.vec_id = er.vec_id
+        JOIN qlut ql ON ql.query_id = qp.query_id
+                    AND ql.j = ec.j AND ql.code = ec.code
+        GROUP BY qp.query_id, er.vec_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_topk_ivfpq_residual",
+    oracle=_ivfpq_residual_oracle(16, 4, 8, 8, 16, 10, 5),
+)
+def similarity_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (the classic Faiss IVFPQ layout): corpus vectors
+    are PQ-encoded as v − centroid, so the codebooks only represent the
+    within-cell spread; the score adds the per-probe ⟨q,centroid⟩ term
+    back to the ADC sum. On corpora where the IVF cells capture real
+    cluster structure this reconstructs measurably better than raw
+    encoding at identical query cost (recon + recall gates pinned in
+    tests/test_ext_operators.py on a clustered fixture; the harness's
+    uniform unit vectors are the layout's worst case — E‖v−c‖² ≈
+    2(1−⟨v,c⟩) > 1 = ‖v‖², documented in BASELINE.md round-5). PQ
+    seeds are the md5-ranked rows AFTER the IVF seeds, so both builds
+    stay seeded and SQL-expressible — the full residual pipeline is
+    hash-checked relationally."""
+    from .operators.similarity import (
+        build_ivf_centroids,
+        build_residual_pq_codebooks,
+        ivfpq_topk,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CODEBOOKS:
+        _IVF_CODEBOOKS[sf_dir] = build_ivf_centroids(
+            e, n_centroids=16, dim=64, lloyd_iters=0
+        )
+    rkey = sf_dir + "::residual"
+    if rkey not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[rkey] = build_residual_pq_codebooks(
+            e, _IVF_CODEBOOKS[sf_dir], m=8, ks=16, dim=64
+        )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk(
+        e, q, k=10, n_probes=4,
+        centroids=_IVF_CODEBOOKS[sf_dir], codebooks=_PQ_CODEBOOKS[rkey],
+        residual=True,
+    )
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 @register(
     "similarity_topk_ivfpq",
     oracle=_ivfpq_topk_oracle(16, 4, 8, 8, 16, 10, 5),

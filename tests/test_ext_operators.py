@@ -1159,3 +1159,74 @@ def test_mix_order_equal_weight_tie_schedule(spark):
         expect.append(("src1", order1[rank], pos))
         expect.append(("src5", order5[rank], pos))
     assert got == expect
+
+
+def test_residual_ivfpq_beats_flat_on_clustered_corpus(spark):
+    """The residual IVF-PQ premise — within-cell spread is smaller than
+    global spread — holds on clustered corpora, so the gate runs on a
+    16-cluster fixture (tight 0.08-noise clusters, Lloyd-refined
+    centroids). Asserts (a) residual reconstruction error is strictly
+    lower than flat encoding's and (b) recall@5 vs brute force is >= —
+    the quantization-quality ordering the layout exists for. (On the
+    harness's uniform unit vectors the ordering provably reverses:
+    E||v-c||^2 = 2(1-<v,c>) > 1 = ||v||^2 — BASELINE.md round-5.)"""
+    import numpy as np
+
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_centroids,
+        build_pq_codebooks,
+        build_residual_pq_codebooks,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, 16, 400)
+    V = centers[assign] + 0.08 * rng.normal(size=(400, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(400)],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5, dim=64).collect()}
+    cents = build_ivf_centroids(emb, 16, lloyd_iters=3)
+    flat_cb = build_pq_codebooks(emb, m=8, ks=16, dim=64)
+    res_cb = build_residual_pq_codebooks(emb, cents, m=8, ks=16, dim=64)
+
+    flat = {(r.query_id, r.vec_id) for r in ivfpq_topk(
+        emb, q, k=5, n_probes=4, centroids=cents, codebooks=flat_cb
+    ).collect()}
+    res = {(r.query_id, r.vec_id) for r in ivfpq_topk(
+        emb, q, k=5, n_probes=4, centroids=cents, codebooks=res_cb, residual=True
+    ).collect()}
+    recall_flat = len(exact & flat) / len(exact)
+    recall_res = len(exact & res) / len(exact)
+
+    # reconstruction error, straight from the builds (driver-side numpy)
+    C = np.array(cents)
+    Vf64 = np.stack([np.array(r[0], dtype="float64") for r in emb.select("embedding").orderBy("vec_id").collect()])
+    cells = (Vf64 @ C.T).argmax(axis=1)
+    R = Vf64 - C[cells]
+    m, sub = 8, 8
+
+    def recon(X, cbs, base):
+        err = []
+        mats = [np.array(cb) for cb in cbs]
+        parts = []
+        for j in range(m):
+            d = (mats[j] ** 2).sum(1) - 2 * (X[:, j * sub:(j + 1) * sub] @ mats[j].T)
+            parts.append(mats[j][d.argmin(1)])
+        Xhat = np.concatenate(parts, axis=1)
+        return np.linalg.norm((base + Xhat) - Vf64, axis=1).mean()
+
+    err_flat = recon(Vf64, flat_cb, 0.0)
+    err_res = recon(R, res_cb, C[cells])
+    assert err_res < err_flat, (err_res, err_flat)
+    assert recall_res >= recall_flat, (recall_res, recall_flat)
+    # sanity: both pipelines returned full result sets
+    assert len(flat) == len(res) == 100
