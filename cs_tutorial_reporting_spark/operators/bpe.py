@@ -1,0 +1,136 @@
+"""[EXT] Distributed BPE tokenizer training — merge-pair learning at
+corpus scale.
+
+Byte-pair-encoding training is the canonical "tokenizer on 100 TB"
+job: count word frequencies once (the ONLY corpus-sized shuffle), then
+learn merges iteratively over the word-frequency table — which is
+vocabulary-sized, not corpus-sized, so every merge round is a cheap
+map + one small aggregation no matter how big the input corpus was.
+This is exactly how production BPE trainers scale: the corpus pass is
+embarrassingly parallel word counting; the merge loop runs on the
+aggregated vocab.
+
+Spark shape per merge round:
+  1. bigram pair counts over symbol sequences, weighted by word
+     frequency — explode + map-combined sum (one tiny shuffle);
+  2. top pair = 1-row driver scalar (the watermark-fetch pattern —
+     the ONLY driver-side values are k single rows);
+  3. sequence update = pure string ``replace`` map over the vocab.
+
+Merge semantics: each round replaces every non-overlapping occurrence
+of the winning pair left-to-right. Implemented as TWO passes of padded
+``replace(' a b ', ' ab ')`` — one pass misses back-to-back runs
+because the shared separator space is consumed by the previous match
+("a b a b" → "ab a b"); the second pass completes them. Both engines'
+``replace`` scans left-to-right over non-overlapping matches, so the
+DuckDB oracle replicates the exact same (deterministic) result,
+including on pathological repeats. Ties in pair counts break on the
+pair string ascending — fully deterministic training.
+
+No nested lambdas anywhere (BASELINE.md round-4 note): the bigram
+expansion is the same single-level ``transform(sequence(...))`` form
+as operators/ngram_lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+#: end-of-word marker appended to every symbol sequence (standard BPE —
+#: lets merges distinguish word-final from word-internal pairs). The
+#: corpus is whitespace-normalized text, so '<' never collides.
+EOW = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the normalized corpus — the one corpus-sized
+    shuffle of BPE training; everything after operates on this table."""
+    words = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count("*").alias("freq"))
+
+
+def initial_sequence(word_col) -> F.Column:
+    """'hello' → 'h e l l o </w>': characters space-joined plus the
+    end-of-word marker (the fixed ``(.)`` pattern never interprets word
+    content as regex)."""
+    return F.concat(
+        F.trim(F.regexp_replace(word_col, "(.)", "$1 ")), F.lit(" " + EOW)
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(pair, cnt): adjacent symbol pairs over every word's sequence,
+    weighted by word frequency. Single-level transform lambda (the
+    ngram_lm precedent), map-combined sum."""
+    syms = F.split(F.col("seq"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+        ),
+    )
+    return (
+        vocab.select(F.explode(bigrams).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, pair: str) -> DataFrame:
+    """Replace every occurrence of ``pair`` in every sequence with its
+    concatenation — two passes of padded replace (module docstring)."""
+    merged = pair.replace(" ", "")
+    padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+    one = F.replace(padded, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    two = F.replace(one, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return vocab.withColumn("seq", F.trim(two))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 3,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus.
+
+    Returns (merges, final_vocab): merges = [(pair, merged, count)]
+    in learned order; final_vocab = (word, freq, seq) after all merges.
+    The word table is localCheckpoint-materialized once so each round's
+    map+agg runs over the cached vocab, not the corpus lineage."""
+    vocab = (
+        word_frequencies(df, text_col)
+        .withColumn("seq", initial_sequence(F.col("word")))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((top["pair"], top["pair"].replace(" ", ""), int(top["cnt"])))
+        vocab = _apply_merge(vocab, top["pair"]).localCheckpoint()
+    return merges, vocab
+
+
+def bpe_merge_table(
+    df: DataFrame, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """The learned merge table as a DataFrame: (merge_rank, pair,
+    merged, cnt) — the distributable artifact a tokenizer ships. The
+    rows are k driver scalars re-lifted into a frame (the
+    watermark-scalar pattern); all heavy work stayed distributed."""
+    spark = df.sparkSession
+    merges, _ = bpe_train(df, text_col, n_merges)
+    return spark.createDataFrame(
+        [(i + 1, p, m, c) for i, (p, m, c) in enumerate(merges)],
+        "merge_rank bigint, pair string, merged string, cnt bigint",
+    )

@@ -1043,9 +1043,10 @@ _DEMOTED_TAIL: list[str] = [
     "q4_order_priority_check",  # [r4 ✓] EXISTS ⊂ q21 family; q16 (changed) in window
     "q12_priority_by_linestatus",  # [r4 ✓] conditional agg ⊂ q1 (bench)
     "q13_customer_order_distribution",  # [r4 ✓] outer-join histogram ⊂ join family
+    "q15_top_supplier",         # [r4 ✓] view-max equality ⊂ q11/q20 (in window)
     # round-5 addition, no driver row yet — rotates into the window next
     # round per the standing policy (oracle-checked locally since birth)
-    "similarity_topk_ivfpq_residual",  # residual twin of similarity_topk_ivfpq (in window)
+    "bpe_merge_ranks",          # BPE training loop; vocab-table twin of vocab_top_terms
 ]
 
 _CHECK_WINDOW = 50

@@ -282,3 +282,67 @@ def training_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     computable at any corpus size; epochs shift the hash salt. Core
     logic (and the equal-weight tie contract) in :func:`mix_order`."""
     return mix_order(t(spark, sf_dir, "documents"), limit=64)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB replication of the FULL BPE training loop, unrolled to
+    ``n_merges`` CTE rounds: word frequencies → char sequences →
+    per-round (pair counts → top-1 by (cnt DESC, pair ASC) → two-pass
+    padded replace — the exact merge semantics of operators/bpe.py's
+    ``_apply_merge``, including back-to-back repeats). The learned
+    merge table is hash-checked end-to-end."""
+    parts = [r"""
+    WITH wf AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(string_split(
+                trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    v0 AS (
+        SELECT word, freq,
+               concat(trim(regexp_replace(word, '(.)', '\1 ', 'g')),
+                      ' </w>') AS seq
+        FROM wf
+    )"""]
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        parts.append(f""",
+    p{r} AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, unnest(list_transform(range(1, len(ts)),
+                                i -> ts[i] || ' ' || ts[i + 1])) AS pair
+            FROM (SELECT freq, string_split(seq, ' ') AS ts FROM {prev})
+        ) GROUP BY pair
+    ),
+    t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    v{r} AS (
+        SELECT word, freq, trim(replace(replace(' ' || seq || ' ',
+            ' ' || (SELECT pair FROM t{r}) || ' ',
+            ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' '),
+            ' ' || (SELECT pair FROM t{r}) || ' ',
+            ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ')) AS seq
+        FROM {prev}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, "
+        f"replace(pair, ' ', '') AS merged, cnt FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@register("bpe_merge_ranks", oracle=_bpe_oracle(3))
+def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): ONE
+    corpus-sized word-count shuffle, then 3 merge rounds over the
+    vocabulary-sized word table — each round a map + tiny aggregation
+    plus a 1-row driver scalar (the watermark pattern), which is why
+    the loop costs the same at 100 TB as at sf0.01 once words are
+    counted. Returns the learned merge table (rank, pair, merged,
+    count); the oracle unrolls the identical loop in SQL, so training
+    is value-checked end-to-end including tie-breaks and the two-pass
+    replace semantics on repeats."""
+    from .operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(t(spark, sf_dir, "documents"), "text", n_merges=3)

@@ -1230,3 +1230,32 @@ def test_residual_ivfpq_beats_flat_on_clustered_corpus(spark):
     assert recall_res >= recall_flat, (recall_res, recall_flat)
     # sanity: both pipelines returned full result sets
     assert len(flat) == len(res) == 100
+
+
+def test_bpe_train_canonical_merges_and_repeat_semantics(spark):
+    """BPE training on a hand fixture with a known merge order, plus
+    the back-to-back-repeat case that distinguishes one-pass from
+    canonical merging: 'aaaa' must become 'aa aa</w>' after merging
+    ('a a') then ('aa </w>') — the two-pass padded replace completes
+    runs a single replace pass leaves half-merged."""
+    from cs_tutorial_reporting_spark.operators.bpe import bpe_train
+
+    # 'low' x3 + 'lower' x2: top pair is ('l o', 5), then ('lo w', 5)
+    docs = spark.createDataFrame(
+        [("low low low lower lower",)], "text string"
+    )
+    merges, vocab = bpe_train(docs, "text", n_merges=2)
+    assert [(p, m) for p, m, _ in merges] == [("l o", "lo"), ("lo w", "low")]
+    assert merges[0][2] == 5 and merges[1][2] == 5
+    seqs = {r.word: r.seq for r in vocab.collect()}
+    assert seqs["low"] == "low </w>"
+    assert seqs["lower"] == "low e r </w>"
+
+    rep = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    m2, v2 = bpe_train(rep, "text", n_merges=2)
+    # round 1: 'a a a a </w>' -> 'aa aa </w>' (two-pass replace merges
+    # BOTH back-to-back occurrences; one pass would leave 'aa a a </w>')
+    # round 2: ('aa aa', 2) ties ('aa </w>', 2); pair-ASC tie-break
+    # picks 'aa </w>' (space sorts before 'a')
+    assert [(p, m) for p, m, _ in m2] == [("a a", "aa"), ("aa </w>", "aa</w>")]
+    assert [r.seq for r in v2.collect()] == ["aa aa</w>"]
