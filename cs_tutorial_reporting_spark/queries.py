@@ -1047,6 +1047,7 @@ _DEMOTED_TAIL: list[str] = [
     # round-5 addition, no driver row yet — rotates into the window next
     # round per the standing policy (oracle-checked locally since birth)
     "bpe_merge_ranks",          # BPE training loop; vocab-table twin of vocab_top_terms
+    "mixture_temperature_sample",  # α-smoothed rates ⊂ stratified_sample family (promoted)
 ]
 
 _CHECK_WINDOW = 50

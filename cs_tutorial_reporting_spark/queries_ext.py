@@ -1454,6 +1454,85 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature-sampling knobs: α=0.5 smoothing (weights ∝ √count — the
+#: T5/PaLM-style move that upweights rare sources), 200-doc budget
+_TEMP_BUDGET = 200
+
+
+@register(
+    "mixture_temperature_sample",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(n_docs)) AS tot FROM per),
+    rates AS (
+        SELECT source, n_docs,
+               CAST(least(1000000, floor(
+                   {_TEMP_BUDGET} * sqrt(n_docs) * 1000000
+                   / (tot.tot * n_docs))) AS BIGINT) AS rate_ppm
+        FROM per, tot
+    )
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate_ppm,
+           CAST(sum(CASE WHEN {HASH60_SQL.format(
+               x="concat('temp|', CAST(d.doc_id AS VARCHAR))")}
+               % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(sum(CASE WHEN {HASH60_SQL.format(
+               x="concat('temp|', CAST(d.doc_id AS VARCHAR))")}
+               % 1000000 < r.rate_ppm THEN d.doc_id ELSE 0 END) AS BIGINT)
+               AS sum_ids
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY r.source, r.n_docs, r.rate_ppm
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (α=0.5): per-source sample
+    rates ∝ count^α / count — the standard rebalancing that upweights
+    rare sources relative to proportional sampling (α=1 keeps raw
+    proportions, α=0 is uniform-over-sources). Rates are fixed-point
+    ppm and membership is seeded hash-mod, so the drawn set is exact,
+    auditable, and engine-reproducible; a rate that would exceed the
+    source's size caps at 1e6 (keep everything — where the rare-source
+    upweighting shows). One corpus groupBy + a broadcast rate dimension
+    — the same two-step shape at 100 TB. Float parity note: ``sqrt``
+    and the rate arithmetic are written with identical association on
+    both sides; the Σ√n term may differ in the last ULP across engines
+    (unordered sum), landing on a floor boundary with probability
+    ~1e-10 — the documented hyperplane-sign assumption class."""
+    from .functions.text import hash60
+
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum(F.sqrt("n_docs")).alias("tot"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1000000),
+            F.floor(
+                _TEMP_BUDGET * F.sqrt("n_docs") * 1000000
+                / (F.col("tot") * F.col("n_docs"))
+            ),
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    member = (
+        hash60(F.concat(F.lit("temp|"), F.col("doc_id").cast("string")))
+        % 1000000
+        < F.col("rate_ppm")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate_ppm")
+        .agg(
+            F.sum(F.when(member, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(member, F.col("doc_id")).otherwise(0)).alias("sum_ids"),
+        )
+    )
+
+
 @register(
     "deterministic_sample",
     oracle=f"""

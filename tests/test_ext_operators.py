@@ -1259,3 +1259,29 @@ def test_bpe_train_canonical_merges_and_repeat_semantics(spark):
     # picks 'aa </w>' (space sorts before 'a')
     assert [(p, m) for p, m, _ in m2] == [("a a", "aa"), ("aa </w>", "aa</w>")]
     assert [r.seq for r in v2.collect()] == ["aa aa</w>"]
+
+
+def test_temperature_sampling_upweights_rare_sources(spark):
+    """α=0.5 smoothing: on a 90/10 two-source corpus the rare source's
+    sample RATE must exceed the common source's (a proportional α=1
+    sampler gives both the same rate), and a rate that would exceed the
+    source's size caps at 1e6 ppm (keep everything)."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    mixture_temperature_sample = QUERIES["mixture_temperature_sample"].fn
+
+    d = spark.createDataFrame(
+        [(i, "src_big", "x", "en") for i in range(180)]
+        + [(i + 1000, "src_rare", "x", "en") for i in range(20)],
+        "doc_id bigint, source string, text string, lang string",
+    )
+    tmp = tempfile.mkdtemp(prefix="tempsample_")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    rows = {r.source: r for r in mixture_temperature_sample(spark, tmp).collect()}
+    big, rare = rows["src_big"], rows["src_rare"]
+    assert rare.rate_ppm > big.rate_ppm
+    # budget 200 > corpus 200: the rare source keeps everything
+    assert rare.rate_ppm == 1000000 and rare.n_sampled == rare.n_docs
+    assert 0 < big.n_sampled <= big.n_docs
