@@ -1048,6 +1048,7 @@ _DEMOTED_TAIL: list[str] = [
     # round per the standing policy (oracle-checked locally since birth)
     "bpe_merge_ranks",          # BPE training loop; vocab-table twin of vocab_top_terms
     "mixture_temperature_sample",  # α-smoothed rates ⊂ stratified_sample family (promoted)
+    "doc_length_mad_by_lang",   # grouped-agg Arrow UDAF class ⊂ doc_text_stats family
 ]
 
 _CHECK_WINDOW = 50

@@ -1995,6 +1995,7 @@ def _ivfpq_residual_oracle(
 @register(
     "similarity_topk_ivfpq_residual",
     oracle=_ivfpq_residual_oracle(16, 4, 8, 8, 16, 10, 5),
+    bench=True,
 )
 def similarity_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (the classic Faiss IVFPQ layout): corpus vectors
