@@ -561,6 +561,139 @@ def pq_topk(
     )
 
 
+def write_ivfpq_partitioned(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest-time residual IVF-PQ layout: the corpus is written as
+    (id, codes) parquet PARTITIONED BY cell — the compressed
+    billion-vector layout on disk. A probe then reads
+    ``n_probes/n_centroids`` of the FILES (partition pruning) and each
+    file holds m-byte codes instead of d×4-byte floats, so the scan
+    cost drops multiplicatively: pruning × compression. Float vectors
+    stay in cold storage for optional exact re-ranking
+    (:func:`rerank_topk`)."""
+    enc = _residual_encode_udf(centroids, codebooks)(F.col(vec_col))
+    emb.select(
+        F.col(id_col),
+        enc.getField("cell").alias("__cell"),
+        enc.getField("codes").alias("codes"),
+    ).write.mode("overwrite").partitionBy("__cell").parquet(path)
+
+
+def append_to_ivfpq_layout(
+    new_vecs: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: encode a NEW batch with the
+    existing (frozen) quantizers and APPEND into the partitioned
+    layout — existing cell files are untouched (append creates new
+    files inside each affected leaf), so a day's arrivals cost a
+    day's encode, never a rebuild. This is the ANN twin of the
+    engine's incremental-load contract (watermark → delta → append);
+    codebook drift over many appends is a re-train decision, not an
+    operational one — the layout stays queryable throughout."""
+    enc = _residual_encode_udf(centroids, codebooks)(F.col(vec_col))
+    new_vecs.select(
+        F.col(id_col),
+        enc.getField("cell").alias("__cell"),
+        enc.getField("codes").alias("codes"),
+    ).write.mode("append").partitionBy("__cell").parquet(path)
+
+
+def ivfpq_topk_pruned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Query side of the partitioned residual IVF-PQ layout: the probe
+    join key is a PARTITION column, so only the probed cells' code
+    files are read (PartitionFilters pinned in tests), and scoring is
+    pure ADC over the compressed rows — no float vector is touched
+    anywhere on the query path. Results are identical to
+    ``ivfpq_topk(residual=True)`` with the same quantizers."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(path)
+    probe = F.explode(
+        _probe_cells_dots_udf(centroids, n_probes)(F.col(query_vec_col))
+    ).alias("p")
+    q = queries.select(
+        F.col(query_id_col),
+        _pq_lut_udf(codebooks)(F.col(query_vec_col)).alias("lut"),
+        probe,
+    ).select(
+        query_id_col,
+        "lut",
+        F.col("p.c").alias("__cell"),
+        F.col("p.d").alias("__cell_dot"),
+    )
+    score = F.col("__cell_dot") + _adc_score("codes", "lut", len(codebooks))
+    scored = e.join(F.broadcast(q), "__cell").select(
+        F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def rerank_topk(
+    approx: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact re-ranking — the second stage of standard two-stage
+    retrieval: an approximate searcher (PQ/IVF-PQ) returns a top-N
+    candidate set; this joins the candidates BACK to their float
+    vectors (the only moment cold storage is touched, for N·Q rows,
+    not the corpus) and re-scores them exactly. Recall can only
+    improve: the exact order of a superset of the approximate top-k
+    contains at least as many true neighbors (pytest-pinned).
+    ``approx`` is any (query_id, vec_id) frame — typically
+    ``ivfpq_topk(..., k=N)`` with N of 3-10× the final k."""
+    from pyspark.sql.window import Window
+
+    cand = approx.select(query_id_col, id_col)
+    withv = cand.join(emb.select(id_col, vec_col), id_col).join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col
+    )
+    scored = withv.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(dot_flat(vec_col, query_vec_col, dim), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def refine_pq_codebooks(
     emb: DataFrame,
     codebooks: list[list[list[float]]],

@@ -1049,6 +1049,8 @@ _DEMOTED_TAIL: list[str] = [
     "bpe_merge_ranks",          # BPE training loop; vocab-table twin of vocab_top_terms
     "mixture_temperature_sample",  # α-smoothed rates ⊂ stratified_sample family (promoted)
     "doc_length_mad_by_lang",   # grouped-agg Arrow UDAF class ⊂ doc_text_stats family
+    "similarity_topk_ivfpq_pruned",  # partition-pruned codes layout ⊂ ivfpq_residual (bench)
+    "similarity_topk_ivfpq_rerank",  # two-stage rerank ⊂ ivfpq_residual (bench)
 ]
 
 _CHECK_WINDOW = 50

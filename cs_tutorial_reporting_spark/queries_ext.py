@@ -2039,6 +2039,124 @@ def similarity_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: partitioned residual-IVFPQ code layouts per (session, sf_dir) — a
+#: parquet PATH per entry (like _IVF_LAYOUTS); session-keyed only so a
+#: fresh session rebuilds rather than trusting a temp dir outlived by
+#: the process
+_IVFPQ_LAYOUTS: dict[tuple[int, str], str] = {}
+
+
+def _residual_quantizers(spark: SparkSession, sf_dir: str, e: DataFrame):
+    from .operators.similarity import (
+        build_ivf_centroids,
+        build_residual_pq_codebooks,
+    )
+
+    if sf_dir not in _IVF_CODEBOOKS:
+        _IVF_CODEBOOKS[sf_dir] = build_ivf_centroids(
+            e, n_centroids=16, dim=64, lloyd_iters=0
+        )
+    rkey = sf_dir + "::residual"
+    if rkey not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[rkey] = build_residual_pq_codebooks(
+            e, _IVF_CODEBOOKS[sf_dir], m=8, ks=16, dim=64
+        )
+    return _IVF_CODEBOOKS[sf_dir], _PQ_CODEBOOKS[rkey]
+
+
+@register(
+    "similarity_topk_ivfpq_pruned",
+    oracle=_ivfpq_residual_oracle(16, 4, 8, 8, 16, 10, 5),
+)
+def similarity_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVF-PQ layout written to DISK partitioned by cell
+    (operators/similarity.py write_ivfpq_partitioned) and probed via
+    partition pruning — the full billion-vector story on one query
+    path: a probe reads n_probes/n_centroids of the FILES and each
+    file holds m-byte codes, so scan cost drops pruning × compression;
+    no float vector is touched at query time. Same quantizers and
+    therefore same oracle as similarity_topk_ivfpq_residual; identical
+    results, better physical plan (PartitionFilters pinned in
+    tests/test_plans.py)."""
+    import tempfile
+
+    from .operators.similarity import ivfpq_topk_pruned, write_ivfpq_partitioned
+
+    e = t(spark, sf_dir, "embeddings")
+    cents, cbs = _residual_quantizers(spark, sf_dir, e)
+    key = (id(spark), sf_dir)
+    if key not in _IVFPQ_LAYOUTS:
+        path = tempfile.mkdtemp(prefix="ivfpq_layout_")
+        write_ivfpq_partitioned(e, path, cents, cbs)
+        _IVFPQ_LAYOUTS[key] = path
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk_pruned(
+        spark, _IVFPQ_LAYOUTS[key], q, cents, cbs, k=10, n_probes=4
+    )
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _ivfpq_rerank_oracle(
+    n_centroids: int, n_probes: int, m: int, sub: int, ks: int,
+    n_cand: int, k: int, n_queries: int,
+) -> str:
+    """Two-stage oracle: the residual IVF-PQ pipeline at k=n_cand as a
+    CTE, then the exact-dot re-rank over the candidate set."""
+    approx = _ivfpq_residual_oracle(
+        n_centroids, n_probes, m, sub, ks, n_cand, n_queries
+    )
+    return f"""
+    WITH approx AS ({approx}),
+    rescored AS (
+        SELECT a.query_id, a.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cos
+        FROM approx a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = a.query_id
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id
+        ) AS BIGINT) AS rank
+        FROM rescored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_topk_ivfpq_rerank",
+    oracle=_ivfpq_rerank_oracle(16, 4, 8, 8, 16, 50, 10, 5),
+)
+def similarity_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/similarity.py rerank_topk): the
+    residual IVF-PQ searcher returns a 50-candidate superset per query
+    from compressed codes, then ONLY those 250 rows join back to their
+    float vectors for exact scoring — the standard recall-recovery
+    stage, whose cold-storage touch is candidates-sized, not
+    corpus-sized. Recall ≥ the plain approximate top-k by construction
+    (pytest-pinned); the whole compose stays deterministic, so the
+    oracle replicates both stages."""
+    from .operators.similarity import ivfpq_topk, rerank_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    cents, cbs = _residual_quantizers(spark, sf_dir, e)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivfpq_topk(
+        e, q, k=50, n_probes=4, centroids=cents, codebooks=cbs, residual=True
+    )
+    out = rerank_topk(approx, e, q, k=10, dim=64)
+    return out.select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 @register(
     "similarity_topk_ivfpq",
     oracle=_ivfpq_topk_oracle(16, 4, 8, 8, 16, 10, 5),

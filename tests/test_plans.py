@@ -330,3 +330,76 @@ def test_quantize_and_chunking_have_no_python_stages(spark):
         p = plan_text(QUERIES[name].fn(spark, SF))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert marker not in p, f"{name}: {marker} in plan"
+
+
+def test_ivfpq_partitioned_layout_prunes_appends_and_reranks(spark, tmp_path):
+    """The full ANN index lifecycle on the partitioned residual-IVFPQ
+    codes layout: (1) a probe's scan carries PartitionFilters on
+    __cell — only probed cells' code files are read; (2) incremental
+    append encodes ONLY the new batch and leaves every existing file
+    byte-untouched, yet the new vector is immediately findable; (3)
+    exact re-ranking of a candidate superset can only improve recall
+    vs the plain approximate top-k."""
+    import glob
+    import os
+
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        append_to_ivfpq_layout,
+        brute_force_topk,
+        build_ivf_centroids,
+        build_residual_pq_codebooks,
+        ivfpq_topk,
+        ivfpq_topk_pruned,
+        rerank_topk,
+        write_ivfpq_partitioned,
+    )
+    from cs_tutorial_reporting_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = build_ivf_centroids(emb, 8, lloyd_iters=0)
+    cbs = build_residual_pq_codebooks(emb, cents, m=8, ks=8, dim=64)
+    path = str(tmp_path / "ivfpq_codes")
+    write_ivfpq_partitioned(emb, path, cents, cbs)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_topk_pruned(spark, path, q, cents, cbs, k=5, n_probes=2)
+    p = plan_text(out, "formatted")
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1].split("\n")[0]
+    assert "__cell" in pf and "dynamicpruning" in pf
+
+    # (2) append: existing files byte-identical, new vector findable
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    probe_vec = [r[0] for r in emb.filter(F.col("vec_id") == 3).select("embedding").collect()][0]
+    new = spark.createDataFrame(
+        [(99999, [float(x) for x in probe_vec])],
+        "vec_id bigint, embedding array<float>",
+    )
+    append_to_ivfpq_layout(new, path, cents, cbs)
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    assert set(before) <= set(after) and all(after[f] == m for f, m in before.items())
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_pruned(spark, path, q, cents, cbs, k=5, n_probes=2).collect()
+    }
+    # the clone of vector 3 shares its cell and codes -> identical ADC
+    # score; it must now rank inside query 3's top-5
+    assert (3, 99999) in got
+
+    # (3) rerank recall >= plain approximate recall
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5, dim=64).collect()}
+    plain = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk(emb, q, k=5, n_probes=2, centroids=cents, codebooks=cbs, residual=True).collect()
+    }
+    cand = ivfpq_topk(emb, q, k=25, n_probes=2, centroids=cents, codebooks=cbs, residual=True)
+    rer = {(r.query_id, r.vec_id) for r in rerank_topk(cand, emb, q, k=5, dim=64).collect()}
+    assert len(exact & rer) >= len(exact & plain)
