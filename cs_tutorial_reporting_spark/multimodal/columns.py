@@ -56,9 +56,11 @@ def decode_image_stub(content: bytes) -> dict:
     plumbing, no stub; callers wanting deterministic fakes for other
     formats use ``extract_features``."""
     raise NotImplementedError(
-        "png/jpeg decode requires a codec library not present in this "
-        "container; see multimodal/bmp.py for the real uncompressed-BMP "
-        "decoder and extract_features for the deterministic fake"
+        "png/jpeg decode requires inflate/DCT libraries not present in "
+        "this container; see multimodal/bmp.py for the real "
+        "uncompressed-BMP decoder, multimodal/gif.py for the real "
+        "COMPRESSED (LZW) GIF decoder, and extract_features for the "
+        "deterministic fake"
     )
 
 

@@ -1051,6 +1051,7 @@ _DEMOTED_TAIL: list[str] = [
     "doc_length_mad_by_lang",   # grouped-agg Arrow UDAF class ⊂ doc_text_stats family
     "similarity_topk_ivfpq_pruned",  # partition-pruned codes layout ⊂ ivfpq_residual (bench)
     "similarity_topk_ivfpq_rerank",  # two-stage rerank ⊂ ivfpq_residual (bench)
+    "multimodal_gif_decode",    # LZW-compressed decode ⊂ multimodal_wav_decode (window)
 ]
 
 _CHECK_WINDOW = 50

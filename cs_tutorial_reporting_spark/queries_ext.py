@@ -1264,6 +1264,45 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    oracle="""
+    SELECT doc_id,
+           16 AS width,
+           CAST(greatest((octet_length(encode(text)) + 15) // 16, 1) AS INTEGER)
+               AS height,
+           16 * greatest((octet_length(encode(text)) + 15) // 16, 1) AS n_pixels,
+           CAST(3 * coalesce(list_sum(list_transform(
+                   range(0, CAST(octet_length(encode(text)) AS BIGINT)),
+                   i -> CAST(concat('0x', substr(hex(encode(text)),
+                                                 CAST(i * 2 + 1 AS INTEGER), 2))
+                             AS BIGINT))), 0) AS BIGINT) AS sum_rgb,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                     ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                               AS INTEGER)
+                END AS INTEGER) AS head_px
+    FROM documents
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed** image decode — the first non-stub compressed
+    codec in the multimodal family: each document's bytes become the
+    8-bit pixels of an actual LZW-compressed GIF87a (256-entry
+    grayscale color table, variable 9-12-bit codes, sub-block framing),
+    which the pure-Python decompressor in multimodal/gif.py decodes
+    back inside one Arrow mapInPandas pass. Decoded stats are pure
+    functions of the payload, so the oracle value-checks a genuine
+    LZW decode without implementing LZW; the codec round-trip
+    (including mid-stream Clear resets past the 4096-entry table) is
+    property-pinned in pytest."""
+    from .multimodal.gif import synth_and_decode_gif
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_decode_gif(d, payload_col="content", id_col="doc_id")
+
+
+@register(
     "multimodal_avi_frames",
     oracle="""
     SELECT doc_id,

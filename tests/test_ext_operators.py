@@ -1285,3 +1285,53 @@ def test_temperature_sampling_upweights_rare_sources(spark):
     # budget 200 > corpus 200: the rare source keeps everything
     assert rare.rate_ppm == 1000000 and rare.n_sampled == rare.n_docs
     assert 0 < big.n_sampled <= big.n_docs
+
+
+def test_gif_lzw_codec_roundtrip_and_rejection(spark):
+    """The GIF87a builder/parser pair is a REAL compressed codec:
+    (a) lossless LZW round-trip on repetitive, random, empty, and
+    long-enough-to-overflow-the-12-bit-table payloads (mid-stream
+    Clear resets exercised); (b) the parser rejects malformed inputs
+    like a conformant reader; (c) hypothesis property over arbitrary
+    byte payloads."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cs_tutorial_reporting_spark.multimodal.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        gif_bytes,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"x",
+        b"ab" * 4000,
+        bytes(rng.randrange(256) for _ in range(20000)),  # table overflow
+    ]
+    for c in cases:
+        f = decode_gif(gif_bytes(c, width=16))
+        assert f["sum_rgb"] == 3 * sum(c)
+        assert f["head_px"] == (c[0] if c else 0)
+        pix = c + b"\x00" * (f["n_pixels"] - len(c))
+        assert _lzw_decode(_lzw_encode(pix, 8), 8) == pix
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + b"\x00" * 32)
+    with _pytest.raises(ValueError):
+        decode_gif(gif_bytes(b"abc")[:-10])  # truncated stream
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.binary(max_size=600))
+    def rt(payload):
+        f = decode_gif(gif_bytes(payload, width=16))
+        assert f["sum_rgb"] == 3 * sum(payload)
+        assert f["n_pixels"] == 16 * max(-(-len(payload) // 16), 1)
+
+    rt()
