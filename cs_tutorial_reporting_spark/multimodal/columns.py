@@ -56,11 +56,12 @@ def decode_image_stub(content: bytes) -> dict:
     plumbing, no stub; callers wanting deterministic fakes for other
     formats use ``extract_features``."""
     raise NotImplementedError(
-        "png/jpeg decode requires inflate/DCT libraries not present in "
-        "this container; see multimodal/bmp.py for the real "
-        "uncompressed-BMP decoder, multimodal/gif.py for the real "
-        "COMPRESSED (LZW) GIF decoder, and extract_features for the "
-        "deterministic fake"
+        "jpeg decode requires DCT/Huffman machinery beyond this "
+        "container; png IS now decoded for real (multimodal/png.py — "
+        "stdlib zlib DEFLATE + all five scanline filters), as are "
+        "GIF (multimodal/gif.py, full LZW) and the uncompressed "
+        "BMP/WAV/AVI containers; extract_features remains the "
+        "deterministic fake for formats without a real path"
     )
 
 

@@ -1052,6 +1052,7 @@ _DEMOTED_TAIL: list[str] = [
     "similarity_topk_ivfpq_pruned",  # partition-pruned codes layout ⊂ ivfpq_residual (bench)
     "similarity_topk_ivfpq_rerank",  # two-stage rerank ⊂ ivfpq_residual (bench)
     "multimodal_gif_decode",    # LZW-compressed decode ⊂ multimodal_wav_decode (window)
+    "multimodal_png_decode",    # DEFLATE-compressed decode ⊂ multimodal_wav_decode (window)
 ]
 
 _CHECK_WINDOW = 50

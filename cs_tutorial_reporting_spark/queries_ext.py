@@ -1264,6 +1264,44 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           16 AS width,
+           CAST(greatest((octet_length(encode(text)) + 15) // 16, 1) AS INTEGER)
+               AS height,
+           16 * greatest((octet_length(encode(text)) + 15) // 16, 1) AS n_pixels,
+           CAST(3 * coalesce(list_sum(list_transform(
+                   range(0, CAST(octet_length(encode(text)) AS BIGINT)),
+                   i -> CAST(concat('0x', substr(hex(encode(text)),
+                                                 CAST(i * 2 + 1 AS INTEGER), 2))
+                             AS BIGINT))), 0) AS BIGINT) AS sum_rgb,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                     ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                               AS INTEGER)
+                END AS INTEGER) AS head_px
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode — DEFLATE is in Python's standard library, so
+    unlike jpeg/h264 nothing blocks a real implementation: each
+    document's bytes become the pixels of a spec-conformant 8-bit
+    grayscale PNG (chunk CRCs, zlib-compressed filtered scanlines),
+    which multimodal/png.py's parser decodes back — verifying every
+    CRC, inflating IDAT, and reversing ALL FIVE standard filter types
+    (a foreign grayscale-8 PNG decodes too; pytest-pinned). One Arrow
+    mapInPandas pass; the oracle value-checks the decode as pure
+    payload functions without implementing DEFLATE."""
+    from .multimodal.png import synth_and_decode_png
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_decode_png(d, payload_col="content", id_col="doc_id")
+
+
+@register(
     "multimodal_gif_decode",
     oracle="""
     SELECT doc_id,
