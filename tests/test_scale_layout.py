@@ -380,8 +380,11 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
                 hit += 1
         return hit
 
-    # x predicate: both layouts prune (lex is optimal here)
-    assert files_hit(lex, "x", 8, 15) <= 2
+    # x predicate: both layouts prune (lex is optimal here). Bound is 3,
+    # not the ideal 2: repartitionByRange SAMPLES to pick boundaries, so
+    # an 8-row-range predicate can straddle up to one extra file edge
+    # run-to-run (observed 2 or 3 with identical code).
+    assert files_hit(lex, "x", 8, 15) <= 3
     assert files_hit(zed, "x", 8, 15) <= 4
     # y predicate: lex spans all of y in every file - zero skipping;
     # z-order confines y to block-sized ranges
