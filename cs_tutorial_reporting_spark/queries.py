@@ -961,8 +961,15 @@ from . import queries_training  # noqa: E402,F401
 #: whose code is unchanged since their latest green row. Bench queries
 #: never demote (enforced below). Round 5 promoted the fifteen oldest
 #: r1/r2 rows (dedup_fuzzy_keepmin first — its minhash dependency was
-#: rewritten in round 4 AFTER its last driver row) and demoted fifteen
-#: [r4 ✓] non-bench shapes with untouched code.
+#: rewritten in round 4 AFTER its last driver row) plus the round-5
+#: newcomer similarity_topk_ivfpq_residual (benched), and demoted
+#: sixteen [r4 ✓] non-bench shapes with untouched code. The other
+#: round-5 newcomers (bpe_merge_ranks, mixture_temperature_sample,
+#: doc_length_mad_by_lang, similarity_topk_ivfpq_pruned,
+#: similarity_topk_ivfpq_rerank, multimodal_gif_decode,
+#: multimodal_png_decode) enter at the tail — oracle-checked locally
+#: at all three SFs since birth — and rotate into the window next
+#: round per (b).
 _DEMOTED_TAIL: list[str] = [
     # never-promoted structural subsets (each ⊂ a permanent-window rep)
     "dedup_anti_join",          # J1 ⊂ incremental_watermark_load, composite_pk_dedup
