@@ -39,48 +39,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_fixed_sql(a_name: str, b_name: str, dim: int) -> str:
-    """Lambda-free SQL text for Σ aᵢ·bᵢ at a FIXED dimension: an
-    unrolled, left-associated ``+``-chain of
-    ``CAST(element_at(a,i) AS DOUBLE) * CAST(element_at(b,i) AS DOUBLE)``
-    terms. Bit-identical to :func:`dot` (the fold is also
-    left-associated and the IEEE add chain is the same), but carries
-    ZERO higher-order lambda bindings — the construct Spark was observed
-    mis-evaluating after ~70 distinct plans in one long JVM session
-    (BASELINE.md round-4 note).
-
-    Cost note (BASELINE.md round-5): the unrolled chain evaluates
-    3-10× slower than the HOF fold on corpus-scale columns (the wide
-    expression defeats whole-stage codegen), so hot paths use the
-    Arrow-vectorized :func:`dot_arrow` / :func:`cosine_arrow` instead;
-    this form remains for narrow/query-side columns where its
-    bit-exactness with the sequential fold matters more than speed."""
-    return (
-        "("
-        + " + ".join(
-            f"(CAST(element_at({a_name}, {i}) AS DOUBLE)"
-            f" * CAST(element_at({b_name}, {i}) AS DOUBLE))"
-            for i in range(1, dim + 1)
-        )
-        + ")"
-    )
-
-
-def dot_fixed(a_name: str, b_name: str, dim: int) -> Column:
-    """Column form of :func:`dot_fixed_sql` (one F.expr parse)."""
-    return F.expr(dot_fixed_sql(a_name, b_name, dim))
-
-
-def cosine_fixed(a_name: str, b_name: str, dim: int) -> Column:
-    """Lambda-free cosine at fixed dim: unrolled dot / (‖a‖·‖b‖), with
-    the norms unrolled the same way (left-associated Σ vᵢ² matches the
-    :func:`norm` fold bit-for-bit)."""
-    num = dot_fixed_sql(a_name, b_name, dim)
-    na = dot_fixed_sql(a_name, a_name, dim)
-    nb = dot_fixed_sql(b_name, b_name, dim)
-    return F.expr(f"{num} / (sqrt({na}) * sqrt({nb}))")
-
-
 def dot_flat(a_name: str, b_name: str, dim: int) -> Column:
     """Σ aᵢ·bᵢ as a SINGLE-LEVEL fold over an index sequence:
     ``aggregate(sequence(1, dim), 0.0, (acc, i) -> acc + a[i]·b[i])``.

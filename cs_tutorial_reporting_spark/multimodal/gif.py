@@ -167,7 +167,7 @@ def decode_gif(content: bytes) -> dict:
     decompress the LZW index stream, and compute pixel statistics via
     the color table. Raises on malformed input like any conformant
     reader."""
-    if len(content) < 13 or content[:4] != b"GIF8" or content[5:6] != b"a":
+    if len(content) < 13 or content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
     if not flags & 0x80:
@@ -178,14 +178,23 @@ def decode_gif(content: bytes) -> dict:
     if len(gct) < gct_n * 3:
         raise ValueError("truncated color table")
     off += gct_n * 3
-    # skip 89a extension blocks (0x21 ... sub-blocks)
+    # skip 89a extension blocks (0x21 ... sub-blocks), with bounds
+    # checks so truncation surfaces as ValueError (the documented
+    # malformed-input contract), never IndexError
     while off < len(content) and content[off] == 0x21:
         off += 2
-        while content[off]:
-            off += 1 + content[off]
-        off += 1
+        while True:
+            if off >= len(content):
+                raise ValueError("truncated extension block")
+            n = content[off]
+            if n == 0:
+                off += 1
+                break
+            off += 1 + n
     if off >= len(content) or content[off] != 0x2C:
         raise ValueError("image descriptor not found")
+    if off + 10 > len(content):
+        raise ValueError("truncated image descriptor")
     _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", content, off + 1)
     if iflags & 0xC0:
         raise ValueError("local color tables / interlace not supported")

@@ -1030,9 +1030,10 @@ _DEMOTED_TAIL: list[str] = [
     "q14_promo_revenue_ratio",  # [r3 ✓] conditional ratio ⊂ q8 family [r3 ✓]
     "correlated_min_subquery",  # [r3 ✓] de-correlated scalar ⊂ q17 newcomer
     "doc_repetition_ratio",     # [r3 ✓] array exprs ⊂ doc_text_stats (bench)
-    # round-5 rotation (standing policy above): fifteen [r4 ✓] non-bench
+    # round-5 rotation (standing policy above): sixteen [r4 ✓] non-bench
     # shapes with code UNCHANGED since their r4 row step down so the
-    # fifteen oldest r1/r2 rows can re-attest — led by
+    # fifteen oldest r1/r2 rows (plus the benched round-5 newcomer
+    # similarity_topk_ivfpq_residual) can attest — led by
     # dedup_fuzzy_keepmin, whose minhash dependency was rewritten in r4
     # after its last driver row
     "join_full_outer",          # [r4 ✓] outer-preserve ⊂ join_left_outer (promoted)

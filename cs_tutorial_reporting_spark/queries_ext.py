@@ -417,15 +417,33 @@ def _near_dup_lsh_oracle(
     """
 
 
-#: LSH-bucketed corpus per (session, dataset) — the near-dup INDEX
-#: artifact. Like _IVF_CODEBOOKS below: an index is built once and
-#: probed many times, so the bucketed frame is persisted deliberately,
-#: ONE bounded entry per key (this is intentional index lifetime, not
-#: the per-call persist leak ADVICE r2 flagged — repeated calls reuse
-#: this entry instead of stacking new cache copies). Session-keyed
-#: because a persisted DataFrame is bound to the session that built it
-#: (the _PQ_ENCODED rationale — ADVICE r4).
-_NEARDUP_INDEX: dict[tuple[int, str], DataFrame] = {}
+#: LSH-bucketed corpus per dataset — the near-dup INDEX artifact.
+#: Like _IVF_CODEBOOKS below: an index is built once and probed many
+#: times, so the bucketed frame is persisted deliberately, ONE bounded
+#: entry per dataset (intentional index lifetime, not the per-call
+#: persist leak ADVICE r2 flagged). Entries are (session, frame),
+#: validated and replaced by _session_cached — a persisted DataFrame
+#: is bound to the session that built it (ADVICE r4), and dead-session
+#: entries are released at replacement rather than accumulating.
+_NEARDUP_INDEX: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Session-validated build-once cache: ONE entry per dataset,
+    holding (session, artifact). A hit requires the stored session to
+    BE the caller's (object identity — no id() recycling hole, since
+    the entry itself keeps the session referenced); a different/new
+    session REPLACES the entry, releasing the old session and its
+    artifact instead of accumulating one entry per session for the
+    process lifetime (ADVICE r4 + round-5 review). Trade-off: two LIVE
+    sessions alternating over the same dataset would rebuild on every
+    switch — callers in that shape should hold their own artifacts
+    (every underlying operator takes them as parameters)."""
+    ent = cache.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    cache[sf_dir] = (spark, build())
+    return cache[sf_dir][1]
 
 
 @register(
@@ -447,18 +465,18 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.dedup import bucket_corpus, embedding_near_dup_pairs
 
-    key = (id(spark), sf_dir)
-    if key not in _NEARDUP_INDEX:
+    def build():
         e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         corpus = e.unionByName(
             e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
         )
-        _NEARDUP_INDEX[key] = bucket_corpus(
+        return bucket_corpus(
             corpus, n_planes=8, dim=64, max_bucket=_MAX_BUCKET
         ).persist(StorageLevel.MEMORY_AND_DISK)
+
     return embedding_near_dup_pairs(
         None, threshold=0.45, n_planes=8, dim=64,
-        bucketed=_NEARDUP_INDEX[key],
+        bucketed=_session_cached(_NEARDUP_INDEX, spark, sf_dir, build),
     )
 
 
@@ -660,11 +678,10 @@ def _lsh_topk_oracle(n_planes: int, dim: int, k: int, n_queries: int) -> str:
     """
 
 
-#: bucketed LSH corpus per (session, sf_dir) — the index is built once
-#: at "ingest" and probed many times (the IVF-layout/near-dup-index
-#: rationale); session-keyed because a persisted DataFrame is bound to
-#: the session that built it (see _PQ_ENCODED)
-_LSH_INDEX: dict[tuple[int, str], DataFrame] = {}
+#: bucketed LSH corpus per dataset — built once at "ingest", probed
+#: many times (the IVF-layout/near-dup-index rationale); (session,
+#: frame) entries validated by _session_cached
+_LSH_INDEX: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 @register("similarity_topk_lsh", oracle=_lsh_topk_oracle(6, 64, 10, 5), bench=True)
@@ -681,15 +698,16 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import hyperplane_bucket, lsh_topk
 
     e = t(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
-    if key not in _LSH_INDEX:
-        _LSH_INDEX[key] = e.withColumn(
+    bucketed = _session_cached(
+        _LSH_INDEX, spark, sf_dir,
+        lambda: e.withColumn(
             "__bkt", hyperplane_bucket("embedding", 6, 64)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_topk(e, q, k=10, n_planes=6, bucketed=_LSH_INDEX[key])
+    out = lsh_topk(e, q, k=10, n_planes=6, bucketed=bucketed)
     return out.select(
         "query_id", "vec_id", "cos", F.col("rank").cast("bigint").alias("rank")
     )
@@ -1770,25 +1788,24 @@ _PQ_CODEBOOKS: dict[str, list] = {}
 #: pipeline materializes once; searches scan codes, not vectors).
 #: Unlike the codebook caches (plain driver-side float lists), this
 #: holds a localCheckpoint'ed DataFrame BOUND to the SparkSession that
-#: built it — so it is keyed by (session, sf_dir) and rebuilt when a
-#: new/restarted session runs the registry, instead of erroring against
-#: a stopped context (and the stale checkpoint's executor memory is
-#: reclaimed with its dead session).
-_PQ_ENCODED: dict[tuple[int, str], DataFrame] = {}
+#: built it — (session, frame) entries validated and replaced by
+#: _session_cached, so a new/restarted session rebuilds instead of
+#: erroring against a stopped context, and the dead session's
+#: checkpoint memory is released at replacement.
+_PQ_ENCODED: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _pq_encoded_for(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     from .operators.similarity import pq_encode
 
-    # id(spark) cannot be recycled while its entry lives: the cached
-    # DataFrame keeps the session object referenced, so the address
-    # stays taken for exactly as long as the key exists
-    key = (id(spark), sf_dir)
-    if key not in _PQ_ENCODED:
-        # encode once per corpus (the ingest-time step), search many —
-        # localCheckpoint materializes the compressed table
-        _PQ_ENCODED[key] = pq_encode(e, _PQ_CODEBOOKS[sf_dir]).localCheckpoint()
-    return _PQ_ENCODED[key]
+    # encode once per corpus (the ingest-time step), search many —
+    # localCheckpoint materializes the compressed table; session-
+    # validated so a restarted session rebuilds AND replaces the dead
+    # entry (see _session_cached)
+    return _session_cached(
+        _PQ_ENCODED, spark, sf_dir,
+        lambda: pq_encode(e, _PQ_CODEBOOKS[sf_dir]).localCheckpoint(),
+    )
 
 
 def _pq_topk_oracle(m: int, sub: int, ks: int, k: int, n_queries: int) -> str:
@@ -2116,11 +2133,11 @@ def similarity_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-#: partitioned residual-IVFPQ code layouts per (session, sf_dir) — a
-#: parquet PATH per entry (like _IVF_LAYOUTS); session-keyed only so a
-#: fresh session rebuilds rather than trusting a temp dir outlived by
-#: the process
-_IVFPQ_LAYOUTS: dict[tuple[int, str], str] = {}
+#: partitioned residual-IVFPQ code layout per dataset — (session,
+#: parquet path); session-validated via _session_cached, and the
+#: replaced entry's tempdir is deleted at rebuild, so layouts never
+#: accumulate across session restarts
+_IVFPQ_LAYOUTS: dict[str, tuple[SparkSession, str]] = {}
 
 
 def _residual_quantizers(spark: SparkSession, sf_dir: str, e: DataFrame):
@@ -2155,22 +2172,31 @@ def similarity_topk_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore same oracle as similarity_topk_ivfpq_residual; identical
     results, better physical plan (PartitionFilters pinned in
     tests/test_plans.py)."""
+    import shutil
     import tempfile
 
     from .operators.similarity import ivfpq_topk_pruned, write_ivfpq_partitioned
 
     e = t(spark, sf_dir, "embeddings")
     cents, cbs = _residual_quantizers(spark, sf_dir, e)
-    key = (id(spark), sf_dir)
-    if key not in _IVFPQ_LAYOUTS:
+
+    def build() -> str:
+        # replacing a dead session's entry also deletes its tempdir —
+        # _session_cached holds ONE layout per dataset, so the old one
+        # is unreachable once replaced
+        stale = _IVFPQ_LAYOUTS.get(sf_dir)
+        if stale is not None:
+            shutil.rmtree(stale[1], ignore_errors=True)
         path = tempfile.mkdtemp(prefix="ivfpq_layout_")
         write_ivfpq_partitioned(e, path, cents, cbs)
-        _IVFPQ_LAYOUTS[key] = path
+        return path
+
+    layout = _session_cached(_IVFPQ_LAYOUTS, spark, sf_dir, build)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ivfpq_topk_pruned(
-        spark, _IVFPQ_LAYOUTS[key], q, cents, cbs, k=10, n_probes=4
+        spark, layout, q, cents, cbs, k=10, n_probes=4
     )
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")

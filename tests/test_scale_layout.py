@@ -556,9 +556,9 @@ def test_zorder_runtime_scan_skips_rows(spark, tmp_path):
     write_sorted(grid, lex, ["x", "y"], n_files=8)
     write_zordered(grid, zed, ["x", "y"], n_files=8)
 
-    def scan_rows(path, cond):
+    def scan_rows(path, cond, expect_rows):
         df = spark.read.parquet(path).filter(cond)
-        assert df.count() == 512 if "and" not in cond else True
+        assert df.count() == expect_rows  # the ANSWER is layout-invariant
         df.collect()
         leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
         total = 0
@@ -572,13 +572,13 @@ def test_zorder_runtime_scan_skips_rows(spark, tmp_path):
     x_pred = "x >= 8 and x <= 15"
     both = f"{x_pred} and {y_pred}"
     # y-only: lex layout cannot skip anything (every file spans all y)
-    assert scan_rows(lex, y_pred) == 64 * 64
+    assert scan_rows(lex, y_pred, 512) == 64 * 64
     # ...the Z-ordered copy reads < half for the same predicate
-    assert scan_rows(zed, y_pred) <= 2048
+    assert scan_rows(zed, y_pred, 512) <= 2048
     # x-only on Z-order still skips (block ranges, not point ranges)
-    assert scan_rows(zed, x_pred) <= 2560
+    assert scan_rows(zed, x_pred, 512) <= 2560
     # both dimensions together: multiplicative skipping (~quarter)
-    assert scan_rows(zed, both) <= 1280
+    assert scan_rows(zed, both, 64) <= 1280
     # answers identical across layouts (skipping is lossless)
     a = sorted((r.x, r.y) for r in spark.read.parquet(zed).filter(both).collect())
     b = sorted((r.x, r.y) for r in spark.read.parquet(lex).filter(both).collect())
