@@ -1406,3 +1406,19 @@ def test_png_codec_all_filters_crc_and_roundtrip(spark):
         assert f["sum_rgb"] == 3 * sum(payload)
 
     rt()
+
+
+def test_bpe_train_deterministic_across_runs(spark, docs):
+    """BPE training is a pure function of the corpus: two independent
+    runs (fresh plans, fresh shuffles) learn identical merges with
+    identical counts, and the final vocab sequences match exactly —
+    the reproducibility a tokenizer artifact must have before it ships
+    to a training run."""
+    from cs_tutorial_reporting_spark.operators.bpe import bpe_train
+
+    m1, v1 = bpe_train(docs, "text", n_merges=3)
+    m2, v2 = bpe_train(docs, "text", n_merges=3)
+    assert m1 == m2
+    s1 = sorted((r.word, r.seq) for r in v1.collect())
+    s2 = sorted((r.word, r.seq) for r in v2.collect())
+    assert s1 == s2
