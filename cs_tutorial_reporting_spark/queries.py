@@ -1061,6 +1061,7 @@ _DEMOTED_TAIL: list[str] = [
     "similarity_topk_ivfpq_rerank",  # two-stage rerank ⊂ ivfpq_residual (bench)
     "multimodal_gif_decode",    # LZW-compressed decode ⊂ multimodal_wav_decode (window)
     "multimodal_png_decode",    # DEFLATE-compressed decode ⊂ multimodal_wav_decode (window)
+    "fuzzy_decontaminate_docs", # minhash decontam ⊂ minhash (bench) + flag_contaminated (tail)
 ]
 
 _CHECK_WINDOW = 50

@@ -300,6 +300,101 @@ def minhash_lsh_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synthetic eval-doc ids sit above this offset in the fuzzy-decontam
+#: union (corpus doc_ids are < 1e6 at every harness sf)
+_FUZZY_EVAL_OFFSET = 1_000_000
+
+_FUZZY_DECON_ORACLE = f"""
+WITH docs_all AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_FUZZY_EVAL_OFFSET} AS doc_id,
+           substr(text, 1, 200) AS text
+    FROM documents WHERE doc_id >= 100 AND doc_id < 110
+),
+base AS (
+    SELECT doc_id, {{shingles}} AS sh
+    FROM (SELECT doc_id, {{words}} AS words FROM docs_all)
+),
+sigs AS (
+    SELECT doc_id, sh, {_minhash_sig_sql(8)} FROM base
+),
+bands AS (
+    SELECT doc_id, sh, unnest({_band_keys_sql(8, 2)}) AS band FROM sigs
+),
+ok_bands AS (
+    SELECT band FROM bands GROUP BY band HAVING count(*) <= {_MAX_BUCKET}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN ok_bands ob ON ob.band = a.band
+    JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           round(
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           , 6) AS jaccard
+    FROM pairs
+    JOIN base sa ON sa.doc_id = id_a
+    JOIN base sb ON sb.doc_id = id_b
+)
+SELECT id_a AS doc_id,
+       count(*) AS n_eval_matches,
+       max(jaccard) AS max_jaccard
+FROM verified
+WHERE id_a < {_FUZZY_EVAL_OFFSET} AND id_b >= {_FUZZY_EVAL_OFFSET}
+  AND jaccard >= 0.2
+GROUP BY id_a
+"""
+
+
+@register(
+    "fuzzy_decontaminate_docs",
+    oracle=_FUZZY_DECON_ORACLE.format(shingles=SHINGLES_SQL, words=WORDS_SQL),
+)
+def fuzzy_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the minhash complement of the
+    exact n-gram probe (`flag_contaminated_docs`): leaked eval material
+    that was lightly EDITED no longer shares long verbatim gram runs,
+    but still lands in the same LSH bands. The eval set (the same
+    200-char document prefixes the exact probe uses) unions into the
+    corpus under offset ids, one banded-LSH pass finds cross-set
+    near-matches at Jaccard ≥ 0.2, and the report lists each corpus
+    doc with its match count and best score. At 100 TB the eval side
+    is tiny and rides the same banded shuffle the dedup pass already
+    pays — decontamination costs one extra filter, not a second scan.
+    Fully oracle-checked (the identical pipeline in SQL)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+        .select(
+            (F.col("doc_id") + _FUZZY_EVAL_OFFSET).alias("doc_id"),
+            F.substring("text", 1, 200).alias("text"),
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        d.unionByName(eval_set), "text", "doc_id",
+        num_hashes=8, band_size=2, jaccard_threshold=0.2,
+        max_bucket=_MAX_BUCKET,
+    )
+    return (
+        pairs.filter(
+            (F.col("id_a") < _FUZZY_EVAL_OFFSET)
+            & (F.col("id_b") >= _FUZZY_EVAL_OFFSET)
+        )
+        .groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 @register(
     "ngram_jaccard_consecutive",
     oracle=f"""

@@ -1422,3 +1422,39 @@ def test_bpe_train_deterministic_across_runs(spark, docs):
     s1 = sorted((r.word, r.seq) for r in v1.collect())
     s2 = sorted((r.word, r.seq) for r in v2.collect())
     assert s1 == s2
+
+
+def test_fuzzy_decontamination_catches_edited_leak(spark, docs):
+    """The failure mode the exact n-gram probe misses: an eval snippet
+    EDITED into the corpus (several words substituted) shares no long
+    verbatim gram run but is still minhash-near its source. Plant an
+    edited copy of an eval prefix as a new corpus doc and assert the
+    fuzzy report flags it; a fully unrelated planted doc must NOT be
+    flagged."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    fuzzy = QUERIES["fuzzy_decontaminate_docs"].fn
+
+    import tempfile
+
+    base = docs.select("doc_id", "text", "lang", "source")
+    prefix = base.filter(F.col("doc_id") == 105).select("text").first().text[:200]
+    words = prefix.split(" ")
+    # substitute every 6th word — breaks 8-gram runs, keeps Jaccard high
+    edited = " ".join(
+        (w if i % 6 else "EDITEDTOKEN") for i, w in enumerate(words)
+    )
+    planted = spark.createDataFrame(
+        [(900001, edited, "en", "src1"),
+         (900002, " ".join(f"unrelated{i}" for i in range(40)), "en", "src1")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    tmp = tempfile.mkdtemp(prefix="fuzzydecon_")
+    base.unionByName(planted).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    flagged = {r.doc_id: r for r in fuzzy(spark, tmp).collect()}
+    assert 900001 in flagged and flagged[900001].max_jaccard >= 0.2
+    assert 900002 not in flagged
+    # the source doc itself is flagged too (its own prefix is the leak)
+    assert 105 in flagged
