@@ -89,8 +89,16 @@ def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
-    """Inverse of :func:`_lzw_encode` — the real GIF decompressor."""
+def _lzw_decode(
+    data: bytes, min_code_size: int = 8, max_out: int | None = None
+) -> bytes:
+    """Inverse of :func:`_lzw_encode` — the real GIF decompressor.
+
+    ``max_out`` bounds the decompressed size DURING decode: LZW expands
+    near-quadratically, so a small adversarial stream could otherwise
+    balloon to GBs before the caller's post-hoc ``iw*ih`` check fires
+    (the decoder deliberately accepts foreign files). Exceeding the
+    bound raises ValueError immediately."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -123,6 +131,8 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
         if code == eoi:
             return bytes(out)
         if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: code beyond table")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -133,6 +143,10 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
         else:
             raise ValueError("corrupt LZW stream: code beyond table")
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError(
+                f"LZW output exceeds expected {max_out} pixels"
+            )
         prev = entry
         # mirror the encoder's width growth (and never beyond 12 bits)
         if len(table) == (1 << width) and width < _MAX_CODE_WIDTH:
@@ -215,11 +229,13 @@ def decode_gif(content: bytes) -> dict:
             raise ValueError("truncated data sub-block")
         lzw += content[off : off + n]
         off += n
-    indices = _lzw_decode(bytes(lzw), min_code_size)
+    indices = _lzw_decode(bytes(lzw), min_code_size, max_out=iw * ih)
     if len(indices) != iw * ih:
         raise ValueError(
             f"decoded {len(indices)} pixels for a {iw}x{ih} image"
         )
+    if indices and max(indices) >= gct_n:
+        raise ValueError("pixel index beyond global color table")
     sum_rgb = sum(
         gct[i * 3] + gct[i * 3 + 1] + gct[i * 3 + 2] for i in indices
     )

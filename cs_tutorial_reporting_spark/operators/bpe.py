@@ -17,15 +17,22 @@ Spark shape per merge round:
      the ONLY driver-side values are k single rows);
   3. sequence update = pure string ``replace`` map over the vocab.
 
-Merge semantics: each round replaces every non-overlapping occurrence
-of the winning pair left-to-right. Implemented as TWO passes of padded
-``replace(' a b ', ' ab ')`` — one pass misses back-to-back runs
+Merge semantics — the CONTRACT is two-pass padded string replace, not
+canonical symbol-level BPE: each round runs TWO passes of padded
+``replace(' a b ', ' ab ')``. One pass misses back-to-back runs
 because the shared separator space is consumed by the previous match
-("a b a b" → "ab a b"); the second pass completes them. Both engines'
-``replace`` scans left-to-right over non-overlapping matches, so the
-DuckDB oracle replicates the exact same (deterministic) result,
-including on pathological repeats. Ties in pair counts break on the
-pair string ascending — fully deterministic training.
+("a b a b" → "ab a b"); the second pass completes them. On odd repeat
+runs of length >= 5 this diverges from the canonical left-to-right
+symbol scan (Sennrich/HF): "a a a a a" yields "aa a aa" here, where a
+canonical trainer yields "aa aa a" — pass 1 merges positions (1,2) and
+(3,4), pass 2 then merges the tail (4,5) remnant pair. The result is
+fully deterministic and both engines' ``replace`` scan left-to-right
+over non-overlapping matches, so the DuckDB oracle replicates the
+identical sequences, but learned vocab/counts can differ from standard
+BPE trainers on such degenerate inputs (round-5 ADVICE — documented as
+the contract; natural-language corpora hit this only on repeated-
+character runs). Ties in pair counts break on the pair string
+ascending — fully deterministic training.
 
 No nested lambdas anywhere (BASELINE.md round-4 note): the bigram
 expansion is the same single-level ``transform(sequence(...))`` form
@@ -82,8 +89,9 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def _apply_merge(vocab: DataFrame, pair: str) -> DataFrame:
-    """Replace every occurrence of ``pair`` in every sequence with its
-    concatenation — two passes of padded replace (module docstring)."""
+    """Merge ``pair`` in every sequence via two passes of padded
+    replace — see the module docstring for the exact (non-canonical on
+    odd repeat runs >= 5) contract this implements."""
     merged = pair.replace(" ", "")
     padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
     one = F.replace(padded, F.lit(f" {pair} "), F.lit(f" {merged} "))

@@ -189,19 +189,25 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
         .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    ids = F.col("__ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Pair expansion with ZERO lambda expressions (round-6: the last
+    # 2-level nested transform on any checked path is gone — BASELINE.md
+    # round-4 nested-lambda hazard class): posexplode each sorted
+    # bucket into (position, id_a), then explode the suffix slice for
+    # id_b > id_a. slice() past the array end yields an empty array and
+    # explode drops that row, so the last element pairs with nothing —
+    # exactly the (i, j>i) combinations the nested transform produced.
+    # Row counts are identical (the cap already bounded the quadratic),
+    # and the plan stays whole-stage-codegen generate nodes.
     pairs = (
-        buckets.select(F.explode(pair_arr).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
+        buckets.select(
+            F.col("__ids"), F.posexplode("__ids").alias("__i", "id_a")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = pairs.join(

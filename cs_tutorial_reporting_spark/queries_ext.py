@@ -537,6 +537,17 @@ def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
     ent = cache.get(sf_dir)
     if ent is not None and ent[0] is spark:
         return ent[1]
+    if ent is not None:
+        # Release the evicted entry's cached blocks now rather than
+        # waiting for GC/ContextCleaner — with two live sessions
+        # alternating over one dataset the old session's persisted
+        # blocks would otherwise linger (round-5 ADVICE). Best-effort:
+        # a stopped session raises, and a non-persisted artifact (a
+        # localCheckpoint, a plain frame) has nothing to unpersist.
+        try:
+            ent[1].unpersist()
+        except Exception:
+            pass
     cache[sf_dir] = (spark, build())
     return cache[sf_dir][1]
 

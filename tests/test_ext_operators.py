@@ -1326,6 +1326,20 @@ def test_gif_lzw_codec_roundtrip_and_rejection(spark):
         decode_gif(b"NOTGIF" + b"\x00" * 32)
     with _pytest.raises(ValueError):
         decode_gif(gif_bytes(b"abc")[:-10])  # truncated stream
+    # round-6 (ADVICE): corrupt streams raise ValueError, not IndexError
+    with _pytest.raises(ValueError):
+        # first post-reset code beyond the fresh table (prev-is-None path):
+        # LSB-packed 3-bit codes clear(=4) then 7 >= table size 6
+        _lzw_decode(bytes([0x3C]), 2)
+    with _pytest.raises(ValueError):
+        # LZW bomb guard: output bound enforced DURING decode
+        _lzw_decode(_lzw_encode(b"a" * 5000, 8), 8, max_out=100)
+    with _pytest.raises(ValueError):
+        # pixel index past a small (4-entry) global color table
+        g = bytearray(gif_bytes(b"\xff\x01", width=2))
+        g[10] = (g[10] & ~0x07) | 0x01  # LSD flags: GCT size 2^2 = 4
+        del g[13 + 4 * 3 : 13 + 256 * 3]  # shrink GCT to 4 entries
+        decode_gif(bytes(g))
 
     @settings(max_examples=25, deadline=None)
     @given(st.binary(max_size=600))
@@ -1458,3 +1472,34 @@ def test_fuzzy_decontamination_catches_edited_leak(spark, docs):
     assert 900002 not in flagged
     # the source doc itself is flagged too (its own prefix is the leak)
     assert 105 in flagged
+
+
+def test_hyperplane_projections_stay_off_sign_boundary():
+    """Pin the cross-engine ULP-parity assumption (round-5 ADVICE).
+
+    hyperplane_bucket (NumPy matmul, pairwise summation) and its DuckDB
+    twin (sequential list_dot_product fold) agree on bucket bits only
+    because no harness projection sits within summation-reorder distance
+    (~d·eps ≈ 1e-14) of the sign boundary. Assert the minimum
+    |projection| over EVERY harness vector × plane, at both the smoke
+    and oracle SFs and for both deployed plane counts (6 and 8), stays
+    orders of magnitude above that — so a testdata regeneration that
+    lands a vector near the boundary fails HERE, loudly, instead of as
+    an unexplainable one-bucket hash mismatch in the driver gate."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cs_tutorial_reporting_spark.operators.similarity import _hyperplane
+
+    H = np.array([_hyperplane(p, 64) for p in range(8)], dtype="float64").T
+    worst = np.inf
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        V = np.stack(tbl.column("embedding").to_pylist()).astype("float64")
+        proj = V @ H  # n×8 — covers the 6-plane config as a prefix
+        worst = min(worst, float(np.abs(proj).min()))
+    assert worst > 1e-9, (
+        f"min |projection| = {worst:.3e} — within float-reorder distance "
+        "of the sign boundary; regenerate embeddings or quantize the "
+        "sign test before trusting cross-engine bucket parity"
+    )

@@ -39,8 +39,14 @@ GUARDED = [
     "similarity_topk_ivf_pruned",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_residual",
+    "similarity_topk_ivfpq_pruned",
+    "similarity_topk_ivfpq_rerank",
     "embedding_near_dup_lsh",
     "minhash_lsh_dedup_pairs",
+    "fuzzy_decontaminate_docs",
+    "multimodal_gif_decode",
+    "multimodal_png_decode",
 ]
 
 #: how many registry entries to replay before checking — comfortably
