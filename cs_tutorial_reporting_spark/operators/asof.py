@@ -26,15 +26,23 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """Every left row + the latest (backward) right ``value_cols`` with
-    right.ts <= left.ts for the same key. Right rows at identical ts
-    win over the left row (standard merge_asof 'backward' inclusive).
+    """Every left row + the nearest right ``value_cols`` per key:
+    ``backward`` = latest right row with right.ts <= left.ts (standard
+    merge_asof 'backward' inclusive — right rows at identical ts
+    match); ``forward`` = earliest right row with right.ts >= left.ts
+    (merge_asof 'forward' inclusive — the next-event attribution
+    shape).
 
-    One shuffle: both sides union on (key, ts) and a single window pass
-    carries values forward.
+    One shuffle either way: both sides union on (key, ts) and a single
+    window pass carries values forward (backward asof) or backward
+    (forward asof). The mirror is exact: for forward, left rows sort
+    BEFORE right rows at equal ts so the frame starting at the current
+    row still sees the same-instant right row — the inclusive bound —
+    and ``first(ignorenulls)`` over (currentRow, unboundedFollowing)
+    picks the earliest following right value.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the sort order")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     l_tag = left.withColumn("__side", F.lit(1)).select(
         key, ts, "__side", *[c for c in left.columns if c not in (key, ts)],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
@@ -47,19 +55,30 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts → inclusive asof
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        "*",
-        *[
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → inclusive asof
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = [
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in value_cols
-        ],
-    )
+        ]
+    else:
+        # left rows sort before right rows at equal ts → the frame from
+        # the current row forward includes same-instant right rows
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picked = [
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ]
+    carried = unioned.select("*", *picked)
     return (
         carried.filter(F.col("__side") == 1)
         .drop("__side", *[f"__r_{c}" for c in value_cols])

@@ -1062,6 +1062,9 @@ _DEMOTED_TAIL: list[str] = [
     "multimodal_gif_decode",    # LZW-compressed decode ⊂ multimodal_wav_decode (window)
     "multimodal_png_decode",    # DEFLATE-compressed decode ⊂ multimodal_wav_decode (window)
     "fuzzy_decontaminate_docs", # minhash decontam ⊂ minhash (bench) + flag_contaminated (tail)
+    # round-6 additions — placed here at birth only until the round-6
+    # rotation below promotes them (they have no driver row yet)
+    "asof_join_next_event",     # forward as-of ⊂ asof_join_last_click (bench) until promoted
 ]
 
 _CHECK_WINDOW = 50

@@ -1031,6 +1031,45 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_next_event",
+    oracle="""
+    WITH errors AS (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    clicks AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT c.user_id, c.event_id, e.event_id AS asof_event_id
+    FROM clicks c
+    ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts <= e.ts
+    """,
+)
+def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py, direction='forward'):
+    for every click, the NEXT error by the same user at or after it —
+    the next-event attribution shape (did this click precede a
+    failure?). Errors are deduped per (user, ts) first so both engines
+    break same-instant ties identically; DuckDB's ASOF with ``<=``
+    implements the same inclusive-forward contract (verified: a right
+    row at the exact left ts matches)."""
+    from .operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", ts="ts",
+        value_cols=["event_id"], direction="forward",
+    )
+    return out.select("user_id", "event_id", F.col("asof_event_id"))
+
+
+@register(
     "range_join_value_buckets",
     oracle="""
     SELECT r.bucket_name, count(*) AS n, round(sum(e.value), 2) AS sum_value

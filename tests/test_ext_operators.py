@@ -164,6 +164,40 @@ def test_asof_join_basic_semantics(spark):
     assert out == {"l1": 100, "l2": 300, "l3": None}
 
 
+def test_asof_join_forward_semantics_and_boundary_ties(spark):
+    """direction='forward' (round 6): each left row gets the EARLIEST
+    right value at-or-after its ts per key — including the inclusive
+    boundary (right row at the exact left ts matches, mirroring the
+    backward direction's tie contract) and None when no right row
+    follows."""
+    from cs_tutorial_reporting_spark.operators.asof import asof_join
+
+    TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, TS("2024-01-01T10:00:00"), "l1"),   # next right: 11:00
+         (1, TS("2024-01-01T12:00:00"), "l2"),   # equal-ts right: inclusive
+         (1, TS("2024-01-01T13:00:00"), "l3"),   # nothing follows
+         (2, TS("2024-01-01T09:00:00"), "l4")],  # right before only → None
+        "k int, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, TS("2024-01-01T09:30:00"), 100),
+         (1, TS("2024-01-01T11:00:00"), 200),
+         (1, TS("2024-01-01T12:00:00"), 300),
+         (2, TS("2024-01-01T08:00:00"), 400)],
+        "k int, ts timestamp, v int",
+    )
+    out = {r.name: r.asof_v for r in
+           asof_join(left, right, "k", "ts", ["v"],
+                     direction="forward").collect()}
+    assert out == {"l1": 200, "l2": 300, "l3": None, "l4": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", ["v"], direction="nearest")
+
+
 def test_bucketized_range_join_matches_broadcast(spark):
     from cs_tutorial_reporting_spark.operators.asof import (
         bucketized_range_join,
