@@ -50,18 +50,18 @@ def attach_media(df: DataFrame, payload_col, media_type: str, fmt: str) -> DataF
 
 
 def decode_image_stub(content: bytes) -> dict:
-    """STUB for COMPRESSED image codecs (png/jpeg need a codec library
-    not present in this container). Uncompressed 24-bit BMP is decoded
-    for REAL by ``multimodal.bmp.decode_bmp`` — same mapInPandas
-    plumbing, no stub; callers wanting deterministic fakes for other
-    formats use ``extract_features``."""
+    """Formerly the compressed-image stub — every image format in the
+    family now decodes for REAL: baseline JPEG (multimodal/jpeg.py —
+    full DCT + Annex-K Huffman entropy decode), PNG (multimodal/png.py
+    — stdlib-zlib DEFLATE + all five scanline filters), GIF
+    (multimodal/gif.py — full variable-width LZW), and the uncompressed
+    BMP/WAV/AVI containers. This entry point survives only for callers
+    wanting deterministic fakes via ``extract_features``; real decodes
+    should call the per-format modules."""
     raise NotImplementedError(
-        "jpeg decode requires DCT/Huffman machinery beyond this "
-        "container; png IS now decoded for real (multimodal/png.py — "
-        "stdlib zlib DEFLATE + all five scanline filters), as are "
-        "GIF (multimodal/gif.py, full LZW) and the uncompressed "
-        "BMP/WAV/AVI containers; extract_features remains the "
-        "deterministic fake for formats without a real path"
+        "use the real per-format decoders: multimodal/jpeg.py (baseline "
+        "DCT+Huffman), multimodal/png.py, multimodal/gif.py, bmp/wav/avi; "
+        "extract_features remains the deterministic fake path"
     )
 
 

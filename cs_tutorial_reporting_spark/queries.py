@@ -1065,6 +1065,7 @@ _DEMOTED_TAIL: list[str] = [
     # round-6 additions — placed here at birth only until the round-6
     # rotation below promotes them (they have no driver row yet)
     "asof_join_next_event",     # forward as-of ⊂ asof_join_last_click (bench) until promoted
+    "multimodal_jpeg_decode",   # DCT+Huffman decode ⊂ multimodal_gif_decode family until promoted
 ]
 
 _CHECK_WINDOW = 50

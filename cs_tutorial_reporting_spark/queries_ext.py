@@ -1504,6 +1504,71 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, encode(text) AS blob,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             CAST(greatest((octet_length(encode(text)) + 15) // 16, 1)
+                  AS BIGINT) AS nrows
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, i,
+             CAST(concat('0x', substr(hex(blob), CAST(i*2+1 AS INTEGER), 2))
+                  AS BIGINT) AS v
+      FROM base, UNNEST(range(0, n)) AS u(i)
+    ),
+    -- width 16 = 2 blocks across; byte i lands in block (i//128)*2+(i%16)//8
+    blocksums AS (
+      SELECT doc_id, (i // 128) * 2 + (i % 16) // 8 AS b, sum(v) AS bs
+      FROM bytes GROUP BY doc_id, (i // 128) * 2 + (i % 16) // 8
+    ),
+    -- dequantized DC of block b = floor((bs-8192)/8 + .5) = floor((bs-8188)/8);
+    -- blocks with no payload bytes (pure zero padding) have bs=0 -> DC -1024
+    dcstats AS (
+      SELECT doc_id,
+             sum(CAST(floor((bs - 8188.0) / 8.0) AS BIGINT)) AS dc_partial,
+             count(*) AS nb_with_bytes,
+             max(CASE WHEN b = 0
+                      THEN CAST(floor((bs - 8188.0)/8.0) AS BIGINT) END) AS dc_b0
+      FROM blocksums GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           16 AS width,
+           CAST(nrows AS INTEGER) AS height,
+           CAST(16 * nrows AS BIGINT) AS n_pixels,
+           CAST(2 * ((nrows + 7) // 8) AS INTEGER) AS n_blocks,
+           CAST(coalesce(dc_partial, 0)
+                + (2 * ((nrows + 7) // 8) - coalesce(nb_with_bytes, 0))
+                  * (-1024) AS BIGINT) AS dc_sum,
+           CAST(coalesce(dc_b0, -1024) AS INTEGER) AS dc_head
+    FROM base LEFT JOIN dcstats USING (doc_id)
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode — the last image codec out of stubs:
+    each document's bytes become the grayscale pixels of an actual
+    baseline JFIF (8×8 float DCT, all-ones quantization table, Annex-K
+    Huffman entropy coding with byte stuffing), which the pure-Python
+    decoder in multimodal/jpeg.py parses back — marker walk, DHT table
+    build, full entropy decode with DC prediction — inside one Arrow
+    mapInPandas pass. JPEG is lossy, so the oracle checks the EXACT
+    invariants instead of pixels: the dequantized DC coefficients are
+    pure payload functions (floor((blocksum-8192)/8+.5) per 8×8 block),
+    and one mis-decoded AC symbol desyncs the bitstream and corrupts
+    every later DC — so dc_sum/dc_head value-check the whole entropy
+    layer. Pixel-level IDCT fidelity (max error ≤ 2 at this quant
+    table) is property-pinned in pytest."""
+    from .multimodal.jpeg import synth_and_decode_jpeg
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_decode_jpeg(d, payload_col="content", id_col="doc_id")
+
+
+@register(
     "multimodal_avi_frames",
     oracle="""
     SELECT doc_id,

@@ -1537,3 +1537,127 @@ def test_hyperplane_projections_stay_off_sign_boundary():
         "of the sign boundary; regenerate embeddings or quantize the "
         "sign test before trusting cross-engine bucket parity"
     )
+
+
+def test_jpeg_codec_roundtrip_dct_identity_and_rejection(spark):
+    """The baseline JPEG pair is a REAL lossy codec with exact DC-level
+    invariants: (a) DCT->IDCT inverts to 1e-10 before quantization;
+    (b) decode(encode(p)) pixels are within the all-ones-quant error
+    bound (<=2) of the original, and DC stats match the closed form the
+    SQL oracle uses; (c) a hand-assembled foreign file with restart
+    markers + DRI decodes (DC predictor reset verified); (d) malformed
+    / out-of-subset inputs raise ValueError; (e) hypothesis property
+    over arbitrary payloads."""
+    import random
+    import struct as _struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cs_tutorial_reporting_spark.multimodal.jpeg import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _M,
+        _BitWriter,
+        _canonical_codes,
+        _encode_coef,
+        decode_jpeg,
+        jpeg_bytes,
+    )
+
+    # (a) DCT orthonormal inversion, no quantization
+    rng = random.Random(11)
+    blk = np.array(
+        [[rng.randrange(256) for _ in range(8)] for _ in range(8)],
+        dtype="float64",
+    )
+    rt = _M.T @ (_M @ (blk - 128.0) @ _M.T) @ _M + 128.0
+    assert np.abs(rt - blk).max() < 1e-10
+
+    # (b) full round-trip: pixels within bound, DC stats exact
+    def expected_dc(payload: bytes, width=16):
+        height = max(-(-len(payload) // width), 1)
+        h8 = -(-height // 8)
+        pix = np.zeros((h8 * 8, width))
+        flat = np.zeros(height * width)
+        flat[: len(payload)] = np.frombuffer(payload, dtype="uint8")
+        pix[:height] = flat.reshape(height, width)
+        dcs = [
+            (int(pix[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8].sum()) - 8188)
+            // 8
+            for r in range(h8)
+            for c in range(width // 8)
+        ]
+        return dcs, flat.reshape(height, width)
+
+    for payload in (
+        b"",
+        b"q",
+        bytes(rng.randrange(256) for _ in range(3000)),
+        b"zz" * 2000,
+    ):
+        d = decode_jpeg(jpeg_bytes(payload), want_pixels=True)
+        dcs, orig = expected_dc(payload)
+        assert d["dc_sum"] == sum(dcs) and d["dc_head"] == dcs[0]
+        assert np.abs(d["pixels"].astype("float64") - orig).max() <= 2
+
+    # (c) foreign file: 4 blocks of constant 128 with DRI=1 and RST0-2
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    pieces = []
+    for _ in range(4):  # each block: DC diff 1024 (prev reset to 0), EOB
+        w = _BitWriter()
+        _encode_coef(w, dc_codes, -1024 + 8192 // 8)  # 128*64/8-1024 = 0
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+        pieces.append(w.flush())
+    scan = b"".join(
+        p + (b"\xff" + bytes([0xD0 + i]) if i < 3 else b"")
+        for i, p in enumerate(pieces)
+    )
+
+    def seg(marker, body):
+        return _struct.pack(">HH", marker, len(body) + 2) + body
+
+    foreign = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + b"\x01" * 64)
+        + seg(0xFFC0, _struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xFFDD, _struct.pack(">H", 1))  # DRI: restart every block
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    f = decode_jpeg(foreign, want_pixels=True)
+    assert f["n_blocks"] == 4 and f["dc_sum"] == 0  # all-128 blocks: DC 0
+    assert (f["pixels"] == 128).all()
+
+    # (d) rejection: conformant ValueError on out-of-subset / corrupt
+    import pytest as _pytest
+
+    good = jpeg_bytes(b"hello world")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + good[2:])  # no SOI
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:-30])  # truncated entropy segment
+    prog = bytearray(good)
+    sof_at = good.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+
+    # (e) property: DC invariants hold for arbitrary payloads
+    @settings(max_examples=25, deadline=None)
+    @given(st.binary(max_size=400))
+    def rt_prop(payload):
+        d = decode_jpeg(jpeg_bytes(payload))
+        dcs, _ = expected_dc(payload)
+        assert d["dc_sum"] == sum(dcs)
+        assert d["n_blocks"] == len(dcs)
+
+    rt_prop()

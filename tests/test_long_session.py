@@ -47,6 +47,7 @@ GUARDED = [
     "fuzzy_decontaminate_docs",
     "multimodal_gif_decode",
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
 ]
 
 #: how many registry entries to replay before checking — comfortably
