@@ -959,53 +959,30 @@ from . import queries_training  # noqa: E402,F401
 #: stale green row attests code that no longer exists; (b) after that,
 #: the OLDEST remaining rows rotate in, displacing non-bench shapes
 #: whose code is unchanged since their latest green row. Bench queries
-#: never demote (enforced below). Round 5 promoted the fifteen oldest
-#: r1/r2 rows (dedup_fuzzy_keepmin first — its minhash dependency was
-#: rewritten in round 4 AFTER its last driver row) plus the round-5
-#: newcomer similarity_topk_ivfpq_residual (benched), and demoted
-#: sixteen [r4 ✓] non-bench shapes with untouched code. The other
-#: round-5 newcomers (bpe_merge_ranks, mixture_temperature_sample,
-#: doc_length_mad_by_lang, similarity_topk_ivfpq_pruned,
-#: similarity_topk_ivfpq_rerank, multimodal_gif_decode,
-#: multimodal_png_decode) enter at the tail — oracle-checked locally
-#: at all three SFs since birth — and rotate into the window next
-#: round per (b).
+#: never demote (enforced below).
+#:
+#: Round 6 promoted all ten never-driver-checked newcomers (the eight
+#: round-5 ones + round-6's asof_join_next_event and
+#: multimodal_jpeg_decode) plus the FIFTEEN oldest r1/r2-stale rows,
+#: demoting twenty-five [r5 ✓] non-bench shapes with untouched code.
+#: After the round-6 driver run, exactly TEN r2-stale rows remain (the
+#: tail's first block) — promote those in round 7 and the rotation
+#: debt is retired: every query will then hold a row no older than
+#: two rounds.
 _DEMOTED_TAIL: list[str] = [
-    # never-promoted structural subsets (each ⊂ a permanent-window rep)
-    "dedup_anti_join",          # J1 ⊂ incremental_watermark_load, composite_pk_dedup
-    "watermark_scalar",         # A1 ⊂ incremental_watermark_load
-    "q6_forecast_revenue",      # filter+agg ⊂ q1; pushdown pinned in test_plans.py
-    "join_semi",                # left-semi ⊂ subquery_exists_anti
-    "distinct_pairs",           # distinct ⊂ agg_distinct oracle shape
-    "events_hourly_rollup",     # identical agg checked via streaming_hourly_rollup
-    "ngram_jaccard_consecutive",  # verify math ⊂ minhash_lsh_dedup_pairs oracle
-    # round-3 rotation: [r1+r2 ✓] shapes making room for the promoted
-    # ten (join_full_outer, set_ops, grouping_sets_sql,
-    # scalar_math_functions, date_parts_spectrum, having_filter_groups,
-    # conditional_case_coalesce, window_running_total, window_lag_gap,
-    # doc_fingerprint) and the round-3 additions
-    "scalar_date_functions",    # [r1+r2 ✓] ⊂ date_parts_spectrum (promoted)
-    "pivot_status_by_priority", # [r1+r2 ✓] conditional agg ⊂ map_functions_scalar
-    "doc_winnow_fingerprints",  # [r1+r2 ✓] hash60 grams ⊂ doc_fingerprint (promoted)
-    "deterministic_sample",     # [r2 ✓] hash-mod ⊂ doc_fingerprint (promoted)
-    "range_join_value_buckets", # [r1+r2 ✓] interval join ⊂ asof_join_last_click (bench)
-    "corpus_quality_filter",    # [r1+r2 ✓] quality expr ⊂ doc_text_stats (bench)
-    "union_by_name_missing",    # [r2 ✓] schema-evolution union ⊂ set_ops (promoted)
-    "explode_lateral_shingles", # [r2 ✓] unnest ⊂ flag_contaminated_docs, minhash
-    # round-3 mid-round rotation: [r2 ✓] shapes demoted to admit the
-    # adapted-TPC-H batch (queries_tpch.py) and the training-pipeline
-    # batch (queries_training.py) — all twelve newcomers have never
-    # held a driver row and take the freed slots
-    "project_cast_null_if_empty",  # [r1+r2 ✓] P1-P3 ⊂ every cast-heavy head query
+    # ---- still-stale r2 rows: the LAST rotation debt, scheduled for
+    # the round-7 window (round-6 promoted the 15 oldest; these ten
+    # carry [r2 ✓] rows and unchanged code)
     "approx_count_distinct",    # [r1+r2 ✓] sketch-agg twin of percentile_stats (bench)
     "subquery_exists_anti",     # [r2 ✓] EXISTS/NOT-EXISTS ⊂ q21/q22 newcomers
     "scalar_subquery_above_avg",  # [r2 ✓] scalar subquery ⊂ q22_dormant_balances
     "array_functions_spectrum", # [r2 ✓] array exprs ⊂ chunking/novelty newcomers
     "string_agg_suppliers",     # [r2 ✓] ordered agg ⊂ vocab_top_terms (in window)
     "regexp_extract_part_colors",  # [r2 ✓] regex ⊂ pii_scrub_stats (in window)
-    "null_safe_join_props",     # [r2 ✓] join-variant ⊂ join_full_outer (in window)
+    "null_safe_join_props",     # [r2 ✓] join-variant ⊂ join_full_outer (tail, r4 ✓)
     "map_functions_scalar",     # [r2 ✓] map exprs ⊂ doc_lang_id family
     "grouped_trend_slope",      # [r2 ✓] applyInPandas ⊂ multimodal decode plumbing
+    "explode_lateral_shingles", # [r2 ✓] unnest ⊂ flag_contaminated_docs, minhash
     # round-4 rotation: winnow_containment_pairs promoted (the one
     # registered query with no driver row after r3); [r3 ✓] shapes
     # demoted to free its slot and the round-4 newcomers' slots
@@ -1052,20 +1029,39 @@ _DEMOTED_TAIL: list[str] = [
     "q12_priority_by_linestatus",  # [r4 ✓] conditional agg ⊂ q1 (bench)
     "q13_customer_order_distribution",  # [r4 ✓] outer-join histogram ⊂ join family
     "q15_top_supplier",         # [r4 ✓] view-max equality ⊂ q11/q20 (in window)
-    # round-5 addition, no driver row yet — rotates into the window next
-    # round per the standing policy (oracle-checked locally since birth)
-    "bpe_merge_ranks",          # BPE training loop; vocab-table twin of vocab_top_terms
-    "mixture_temperature_sample",  # α-smoothed rates ⊂ stratified_sample family (promoted)
-    "doc_length_mad_by_lang",   # grouped-agg Arrow UDAF class ⊂ doc_text_stats family
-    "similarity_topk_ivfpq_pruned",  # partition-pruned codes layout ⊂ ivfpq_residual (bench)
-    "similarity_topk_ivfpq_rerank",  # two-stage rerank ⊂ ivfpq_residual (bench)
-    "multimodal_gif_decode",    # LZW-compressed decode ⊂ multimodal_wav_decode (window)
-    "multimodal_png_decode",    # DEFLATE-compressed decode ⊂ multimodal_wav_decode (window)
-    "fuzzy_decontaminate_docs", # minhash decontam ⊂ minhash (bench) + flag_contaminated (tail)
-    # round-6 additions — placed here at birth only until the round-6
-    # rotation below promotes them (they have no driver row yet)
-    "asof_join_next_event",     # forward as-of ⊂ asof_join_last_click (bench) until promoted
-    "multimodal_jpeg_decode",   # DCT+Huffman decode ⊂ multimodal_gif_decode family until promoted
+    # round-6 rotation (standing policy above): twenty-five [r5 ✓]
+    # non-bench shapes with code UNCHANGED since their r5 row step down
+    # so (a) the eight round-5 newcomers, (b) the two round-6 newcomers
+    # (asof_join_next_event, multimodal_jpeg_decode), and (c) the
+    # FIFTEEN oldest r1/r2-stale rows can attest. dedup_fuzzy_keepmin
+    # and dedup_transitive_clusters stay IN the window despite their r5
+    # rows: the minhash pair expansion they depend on was rewritten
+    # lambda-free this round (policy clause (a)).
+    "composite_pk_dedup",       # [r5 ✓] F2/J1 ⊂ incremental_watermark_load (bench)
+    "join_left_outer",          # [r5 ✓] outer-preserve ⊂ join_full_outer family
+    "agg_distinct",             # [r5 ✓] A2 key-set ⊂ distinct_pairs (promoted)
+    "rollup_status_priority",   # [r5 ✓] ROLLUP ⊂ cube/grouping-sets family
+    "cube_returnflag_linestatus",  # [r5 ✓] CUBE ⊂ rollup family + q1 (bench)
+    "limit_offset_pagination",  # [r5 ✓] L1/A3 ⊂ window_topk_per_group (bench)
+    "scalar_string_functions",  # [r5 ✓] X6 ⊂ doc_text_stats (bench)
+    "doc_lang_id",              # [r5 ✓] map-expr heuristic ⊂ doc_text_stats (bench)
+    "simhash_collision_groups", # [r5 ✓] pure-expression hash ⊂ minhash (bench)
+    "embedding_near_dup_pairs", # [r5 ✓] exact baseline ⊂ embedding_near_dup_lsh (bench)
+    "similarity_topk_ivf_pruned",  # [r5 ✓] partition pruning ⊂ ivfpq_pruned (promoted)
+    "similarity_topk_ivfpq",    # [r5 ✓] composed IVF+PQ ⊂ ivfpq_residual (bench)
+    "multimodal_feature_extract",  # [r5 ✓] mapInPandas fake ⊂ jpeg/gif/png decodes
+    "multimodal_wav_decode",    # [r5 ✓] RIFF parse ⊂ multimodal codec family
+    "constraint_check_report",  # [r5 ✓] K4 enforcement ⊂ incremental_watermark (bench)
+    "q9_product_profit",        # [r5 ✓] 5-way join graph ⊂ q5 (bench)
+    "q16_supplier_part_counts", # [r5 ✓] NOT-IN + distinct agg ⊂ q4/q21 family
+    "q17_small_quantity_revenue",  # [r5 ✓] avg-subquery ⊂ correlated_min family
+    "q11_important_parts",      # [r5 ✓] group-HAVING-scalar ⊂ q20 (same window slot)
+    "q20_promo_part_suppliers", # [r5 ✓] nested semi chain ⊂ q21 family
+    "ngram_novelty_scores",     # [r5 ✓] bigram LM arrays ⊂ doc_chunking family
+    "doc_chunking_stats",       # [r5 ✓] array slice exprs ⊂ sequence_packing (bench)
+    "embedding_int8_quantize",  # [r5 ✓] array quantize ⊂ similarity_topk_pq (bench)
+    "winnow_containment_pairs", # [r5 ✓] posting-list join ⊂ minhash (bench)
+    "training_mix_order",       # [r5 ✓] weighted interleave ⊂ mixture_temperature (promoted)
 ]
 
 _CHECK_WINDOW = 50
