@@ -47,6 +47,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    timings.update(_build_path_benches(spark, sf_dir))
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
         json.dumps(
@@ -59,6 +61,70 @@ def main() -> None:
             }
         )
     )
+
+
+def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
+    """Index/layout BUILD paths (round 6): at 100 TB ingest cost
+    dominates probe cost, so the write side is benched alongside the
+    queries — full residual-IVFPQ layout write (encode + partitioned
+    parquet), the incremental append of a small batch (must cost a
+    batch's encode, never a rebuild), and the Z-ordered table write
+    (range-partition + in-file sort on the interleaved key). Best-of-2:
+    writes dominate their own JIT warm-up after one rep, and 4 full
+    rewrites per round would double bench wall-time for no extra
+    signal. Each rep writes to a fresh tmpdir, removed afterwards."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        append_to_ivfpq_layout,
+        build_ivf_centroids,
+        build_residual_pq_codebooks,
+        write_ivfpq_partitioned,
+    )
+    from cs_tutorial_reporting_spark.sources.maintenance import write_zordered
+
+    out: dict[str, float] = {}
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # quantizer training is a bounded driver-side seed selection — part
+    # of ingest, timed once as its own row (not amortized into writes)
+    t0 = time.perf_counter()
+    cents = build_ivf_centroids(e, n_centroids=16, dim=64, lloyd_iters=0)
+    books = build_residual_pq_codebooks(e, cents, m=8, ks=16, dim=64)
+    out["build_ivfpq_quantizers"] = round(time.perf_counter() - t0, 3)
+
+    batch = e.limit(1000).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    best_w = best_a = float("inf")
+    for _ in range(2):
+        path = tempfile.mkdtemp(prefix="bench_ivfpq_")
+        t0 = time.perf_counter()
+        write_ivfpq_partitioned(e, path, cents, books)
+        best_w = min(best_w, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        append_to_ivfpq_layout(batch, path, cents, books)
+        best_a = min(best_a, time.perf_counter() - t0)
+        shutil.rmtree(path, ignore_errors=True)
+    out["build_ivfpq_layout_write"] = round(best_w, 3)
+    out["build_ivfpq_append_1k"] = round(best_a, 3)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    best_z = float("inf")
+    for _ in range(2):
+        path = tempfile.mkdtemp(prefix="bench_zorder_")
+        t0 = time.perf_counter()
+        write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+        best_z = min(best_z, time.perf_counter() - t0)
+        shutil.rmtree(path, ignore_errors=True)
+    out["build_zordered_write"] = round(best_z, 3)
+    return out
 
 
 if __name__ == "__main__":
