@@ -129,6 +129,70 @@ def bpe_train(
     return merges, vocab
 
 
+def bpe_tokenize_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """APPLY a learned merge table to the corpus — the tokenizer's
+    encode path, complementing :func:`bpe_train`.
+
+    Per document: normalize, char-split every word (`` </w>``-marked),
+    then run the k learned merges IN RANK ORDER as the same two-pass
+    padded replaces training used (module docstring) — over the
+    document's FLAT space-joined sequence, which is equivalent to
+    per-word application: a learned pair's left symbol never ends in
+    ``</w>`` (a word-final symbol has no right neighbor during
+    training, so such a pair is never counted), while every cross-word
+    adjacency in the flat string has a ``</w>``-suffixed left symbol —
+    no learned merge can fire across a word boundary.
+
+    Scale shape: the merge table is k driver-side scalars (it came out
+    of training that way — the watermark pattern), so application is a
+    pure per-row expression map over the corpus: ZERO shuffles before
+    the caller's aggregation, linear in corpus bytes, and the 2k
+    sequential ``replace`` passes stay inside whole-stage codegen. No
+    lambda nesting: the one single-level ``transform`` (char-split per
+    word) matches the :func:`_pair_counts` precedent.
+
+    Returns (id, n_words, n_chars, n_tokens) per document.
+    """
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")  # normalize ⇒ no empty words when norm != ''
+    seq = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.trim(F.regexp_replace(w, F.lit("(.)"), F.lit("$1 "))),
+                F.lit(" " + EOW),
+            ),
+        ),
+        " ",
+    )
+    col = seq
+    for pair, merged, _ in merges:
+        padded = F.concat(F.lit(" "), col, F.lit(" "))
+        one = F.replace(padded, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        two = F.replace(one, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        col = F.trim(two)
+    empty = norm == F.lit("")
+    return df.select(
+        F.col(id_col),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("bigint")
+        .alias("n_words"),
+        F.length(F.regexp_replace(norm, F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.split(col, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
 def bpe_merge_table(
     df: DataFrame, text_col: str, n_merges: int = 3
 ) -> DataFrame:

@@ -1062,6 +1062,9 @@ _DEMOTED_TAIL: list[str] = [
     "embedding_int8_quantize",  # [r5 ✓] array quantize ⊂ similarity_topk_pq (bench)
     "winnow_containment_pairs", # [r5 ✓] posting-list join ⊂ minhash (bench)
     "training_mix_order",       # [r5 ✓] weighted interleave ⊂ mixture_temperature (promoted)
+    # round-6 mid-round additions, no driver row yet — window already
+    # full of never-attested rows; promote in round 7 with the r2 block
+    "bpe_tokenize_stats",       # encode path ⊂ bpe_merge_ranks (promoted, same loop)
 ]
 
 _CHECK_WINDOW = 50

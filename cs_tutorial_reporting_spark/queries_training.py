@@ -287,13 +287,12 @@ def training_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_order(t(spark, sf_dir, "documents"), limit=64)
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """DuckDB replication of the FULL BPE training loop, unrolled to
-    ``n_merges`` CTE rounds: word frequencies → char sequences →
-    per-round (pair counts → top-1 by (cnt DESC, pair ASC) → two-pass
-    padded replace — the exact merge semantics of operators/bpe.py's
-    ``_apply_merge``, including back-to-back repeats). The learned
-    merge table is hash-checked end-to-end."""
+def _bpe_cte(n_merges: int) -> str:
+    """Shared WITH-body for the BPE oracles: word frequencies → char
+    sequences → ``n_merges`` unrolled rounds of (pair counts → top-1 by
+    (cnt DESC, pair ASC) → two-pass padded replace — the exact merge
+    semantics of operators/bpe.py's ``_apply_merge``, including
+    back-to-back repeats)."""
     parts = [r"""
     WITH wf AS (
         SELECT w AS word, count(*) AS freq FROM (
@@ -327,12 +326,63 @@ def _bpe_oracle(n_merges: int) -> str:
             ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ')) AS seq
         FROM {prev}
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB replication of the FULL BPE training loop — the learned
+    merge table is hash-checked end-to-end (CTE rounds in
+    :func:`_bpe_cte`)."""
     selects = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, "
         f"replace(pair, ' ', '') AS merged, cnt FROM t{r}"
         for r in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n    " + selects
+    return _bpe_cte(n_merges) + "\n    " + selects
+
+
+def _bpe_tokenize_oracle(n_merges: int) -> str:
+    """Tokenizer ENCODE oracle: train (the same unrolled rounds), then
+    apply the learned merges in rank order to every document's flat
+    ``</w>``-marked char sequence — the identical two-pass padded
+    replace — and count tokens. Mirrors
+    operators/bpe.py::bpe_tokenize_stats exactly."""
+    parts = [_bpe_cte(n_merges), r""",
+    docs AS (
+        SELECT doc_id,
+               trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents
+    ),
+    a0 AS (
+        SELECT doc_id, norm,
+               CASE WHEN norm = '' THEN '' ELSE
+                   array_to_string(list_transform(
+                       string_split(norm, ' '),
+                       w -> concat(trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+                                   ' </w>')), ' ')
+               END AS seq
+        FROM docs
+    )"""]
+    for r in range(1, n_merges + 1):
+        prev = f"a{r - 1}"
+        parts.append(f""",
+    a{r} AS (
+        SELECT doc_id, norm, trim(replace(replace(' ' || seq || ' ',
+            ' ' || (SELECT pair FROM t{r}) || ' ',
+            ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' '),
+            ' ' || (SELECT pair FROM t{r}) || ' ',
+            ' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' ')) AS seq
+        FROM {prev}
+    )""")
+    parts.append(f"""
+    SELECT doc_id,
+           CAST(CASE WHEN norm = '' THEN 0
+                ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_words,
+           CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN seq = '' THEN 0
+                ELSE len(string_split(seq, ' ')) END AS BIGINT) AS n_tokens
+    FROM a{n_merges}""")
+    return "".join(parts)
 
 
 @register("bpe_merge_ranks", oracle=_bpe_oracle(3))
@@ -349,6 +399,24 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import bpe_merge_table
 
     return bpe_merge_table(t(spark, sf_dir, "documents"), "text", n_merges=3)
+
+
+@register("bpe_tokenize_stats", oracle=_bpe_tokenize_oracle(3))
+def bpe_tokenize_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's ENCODE path (operators/bpe.py
+    bpe_tokenize_stats): train 3 merges, then apply them in rank order
+    to every document — a pure per-row expression map (the merge table
+    is k driver scalars), zero shuffles, so tokenizing 100 TB costs one
+    linear pass. Flat-sequence application is provably equivalent to
+    per-word (no learned pair can fire across a ``</w>`` boundary —
+    operator docstring). Per-doc word/char/token counts are
+    value-checked against the fully unrolled train+apply pipeline in
+    SQL."""
+    from .operators.bpe import bpe_tokenize_stats, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", n_merges=3)
+    return bpe_tokenize_stats(d, "text", "doc_id", merges)
 
 
 @register(

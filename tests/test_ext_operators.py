@@ -1661,3 +1661,35 @@ def test_jpeg_codec_roundtrip_dct_identity_and_rejection(spark):
         assert d["n_blocks"] == len(dcs)
 
     rt_prop()
+
+
+def test_bpe_tokenize_applies_merges_without_crossing_word_boundary(spark):
+    """The encode path (round 6): learned merges apply in rank order
+    over the FLAT document sequence, and a pair whose halves sit at a
+    word boundary never fires — hand-computed counts on a corpus where
+    the winning pair ('a b' inside words) is exactly the byte pair
+    adjacent across 'b a' word boundaries."""
+    from cs_tutorial_reporting_spark.operators.bpe import (
+        bpe_tokenize_stats,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc"), (2, "ab ca"), (3, ""), (4, "ca bc")],
+        "doc_id bigint, text string",
+    )
+    merges, _ = bpe_train(docs, "text", n_merges=1)
+    # counts: 'a b'=4 ties 'b c'=3? no — a b: 3 (abc) + 1 (ab) = 4 wins
+    assert merges[0][0] == "a b"
+    out = {
+        r.doc_id: r
+        for r in bpe_tokenize_stats(docs, "text", "doc_id", merges).collect()
+    }
+    # doc 1: 'abc' -> [ab c </w>] = 3 tokens x3
+    assert (out[1].n_words, out[1].n_chars, out[1].n_tokens) == (3, 9, 9)
+    # doc 2: 'ab' -> [ab </w>] 2; 'ca' -> [c a </w>] 3
+    assert (out[2].n_words, out[2].n_chars, out[2].n_tokens) == (2, 4, 5)
+    assert (out[3].n_words, out[3].n_chars, out[3].n_tokens) == (0, 0, 0)
+    # doc 4: 'ca bc' — the a|b adjacency is CROSS-WORD ('a </w> b'), so
+    # the learned 'a b' must NOT fire: both words stay char-split
+    assert (out[4].n_words, out[4].n_chars, out[4].n_tokens) == (2, 4, 6)

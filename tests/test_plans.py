@@ -26,6 +26,11 @@ EXEMPT_QUADRATIC = {
     "similarity_topk_bruteforce",
     "similarity_topk_pq",
     "embedding_near_dup_pairs",  # exact all-pairs baseline (broadcast side)
+    # broadcast nested-loop INTERVAL join against a 4-row constant
+    # dimension — the declared small-dim shape (operators/asof.py
+    # range_join_broadcast); the 100 TB path is bucketized_range_join
+    # (equi + residual filter), pinned in test_ext_operators
+    "range_join_value_buckets",
 }
 
 #: window queries allowed EXACTLY ONE BroadcastNestedLoopJoin whose
@@ -36,6 +41,7 @@ SCALAR_BROADCAST = {
     "tfidf_top_terms",
     "constraint_check_report",  # 1-row violation-count threshold
     "q11_important_parts",      # global HAVING scalar vs grouped sums
+    "mixture_temperature_sample",  # 1-row Σ√n normalizer vs source dims
 }
 
 #: window queries not plan-audited here: the returned DataFrame is a
