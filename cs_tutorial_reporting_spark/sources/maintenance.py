@@ -337,3 +337,39 @@ def write_zordered(
         .write.mode("append")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-BUCKETED on the join/agg key — the
+    co-location layout that removes the shuffle from every later join
+    or aggregation on that key.
+
+    ``bucketBy`` records the hash partitioning in the catalog; when two
+    tables share (bucket key, bucket count), Catalyst plans their join
+    as a zero-Exchange sort-merge (each task reads bucket i of both
+    sides), and a groupBy on the key needs no exchange either. At
+    100 TB this converts the nightly fact⋈fact join from the cluster's
+    biggest shuffle into a co-located streaming merge — the layout is
+    paid ONCE at write time, then every consumer skips its shuffle
+    (pinned by tests/test_scale_layout.py: bucketed-join plan contains
+    no Exchange, unbucketed twin contains two).
+
+    ``sort_cols`` additionally sorts within buckets so the merge side
+    skips its per-task sort. Bucket count is a layout contract: pick it
+    for target file sizes (total/n_buckets ≈ 128-512 MB) and keep it
+    stable across tables that join together.
+    """
+    w = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_cols[0], *bucket_cols[1:])
+    )
+    if sort_cols:
+        w = w.sortBy(sort_cols[0], *sort_cols[1:])
+    w.format("parquet").saveAsTable(table)

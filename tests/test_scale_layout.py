@@ -41,25 +41,24 @@ def test_partitioned_landing_prunes_partitions(spark, tmp_path):
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
-    """Two tables bucketed on the join key co-locate: the sort-merge join
-    must run with zero Exchange operators."""
+    """Two tables written through write_bucketed on the join key
+    co-locate: the sort-merge join runs with ZERO Exchange operators,
+    while the identical join over the unbucketed frames pays one
+    exchange per side — the layout's shuffle saving made visible in the
+    same plan audit. groupBy on the bucket key is exchange-free too."""
+    from cs_tutorial_reporting_spark.sources.maintenance import write_bucketed
+
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'"
     )
     orders = load_table(spark, SF_SMOKE, "orders")
     li = load_table(spark, SF_SMOKE, "lineitem")
-    (
-        orders.write.mode("overwrite")
-        .bucketBy(4, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("bktdb.orders_b")
+    write_bucketed(
+        orders, "bktdb.orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"]
     )
-    (
-        li.withColumnRenamed("l_orderkey", "o_orderkey")
-        .write.mode("overwrite")
-        .bucketBy(4, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("bktdb.lineitem_b")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bktdb.lineitem_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"],
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -70,6 +69,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         plan = _plan(j)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan  # bucketing co-located both sides
+        # the unbucketed twin pays a hash exchange on each side
+        uj = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert _plan(uj).count("Exchange") >= 2
+        # aggregation on the bucket key: partial+final with no exchange
+        agg_plan = _plan(
+            spark.table("bktdb.lineitem_b").groupBy("o_orderkey").count()
+        )
+        assert "Exchange" not in agg_plan
         assert j.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
