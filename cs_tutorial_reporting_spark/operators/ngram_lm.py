@@ -85,3 +85,49 @@ def novelty_scores(
     return scored.select(
         id_col, "n_bigrams", "n_rare", novelty.alias("novelty")
     )
+
+
+def cross_rarity_scores(
+    ref_docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_threshold: int = 2,
+) -> DataFrame:
+    """Held-out domain scoring: train the bigram model on a REFERENCE
+    corpus, score a DISJOINT target corpus against it — the standard
+    domain-filtering move (score web-crawl shards against a curated
+    reference; keep what the reference language model finds familiar).
+
+    Unlike self-scoring (:func:`novelty_scores`), target grams can MISS
+    the model entirely, so the join is LEFT and an unseen gram counts
+    as rare (count 0) — exactly the out-of-vocabulary mass a true
+    cross-perplexity penalizes, kept as an integer rational so the
+    score stays bit-identical across engines (module docstring).
+
+    Same scale shape: one (gram, cnt) aggregate over the reference, one
+    gram-key join for the target; no broadcast hint — at 100 TB both
+    sides are large and Catalyst picks the strategy from stats.
+    """
+    model = bigram_model(ref_docs, text_col)
+    flat = target_docs.select(
+        F.col(id_col), F.explode(bigram_array(F.col(text_col))).alias("gram")
+    )
+    rare = F.when(
+        F.col("cnt").isNull() | (F.col("cnt") <= rare_threshold), F.lit(1)
+    ).otherwise(F.lit(0))
+    scored = (
+        flat.join(model, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+        )
+    )
+    rarity = (
+        F.floor(F.col("n_rare") / F.col("n_bigrams") * 10000 + F.lit(0.5))
+        / 10000
+    )
+    return scored.select(
+        id_col, "n_bigrams", "n_rare", rarity.alias("rarity")
+    )

@@ -1065,6 +1065,7 @@ _DEMOTED_TAIL: list[str] = [
     # round-6 mid-round additions, no driver row yet — window already
     # full of never-attested rows; promote in round 7 with the r2 block
     "bpe_tokenize_stats",       # encode path ⊂ bpe_merge_ranks (promoted, same loop)
+    "ngram_cross_domain_rarity",  # held-out LM scoring ⊂ ngram_novelty_scores (promoted)
 ]
 
 _CHECK_WINDOW = 50

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .duck_sql import HASH60_SQL, NORM_SQL, WINNOW_SQL
 from .queries import register, t
@@ -55,6 +56,53 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ngram_lm import novelty_scores
 
     return novelty_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_cross_domain_rarity",
+    oracle=f"""
+    WITH ref AS (
+        SELECT doc_id, {_TOKS} AS ts FROM documents WHERE source = 'src1'
+    ), tgt AS (
+        SELECT doc_id, {_TOKS} AS ts FROM documents WHERE source <> 'src1'
+    ), model AS (
+        SELECT gram, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS gram
+            FROM ref
+        ) GROUP BY gram
+    ), flat AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS gram
+        FROM tgt
+    )
+    SELECT f.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN m.cnt IS NULL OR m.cnt <= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           floor(CAST(sum(CASE WHEN m.cnt IS NULL OR m.cnt <= 2
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS rarity
+    FROM flat f LEFT JOIN model m USING (gram)
+    GROUP BY f.doc_id
+    """,
+)
+def ngram_cross_domain_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT domain scoring (operators/ngram_lm.py
+    cross_rarity_scores): the bigram model trains on the curated
+    reference split (source='src1') and scores every OTHER source's
+    documents against it — unseen grams count as rare (LEFT join), the
+    out-of-vocabulary mass a cross-perplexity penalizes, kept
+    integer-rational so both engines agree bit-for-bit. The standard
+    "filter the crawl against a trusted reference" pipeline stage."""
+    from .operators.ngram_lm import cross_rarity_scores
+
+    d = t(spark, sf_dir, "documents")
+    return cross_rarity_scores(
+        d.filter(F.col("source") == "src1"),
+        d.filter(F.col("source") != "src1"),
+    )
 
 
 @register(

@@ -1693,3 +1693,28 @@ def test_bpe_tokenize_applies_merges_without_crossing_word_boundary(spark):
     # doc 4: 'ca bc' — the a|b adjacency is CROSS-WORD ('a </w> b'), so
     # the learned 'a b' must NOT fire: both words stay char-split
     assert (out[4].n_words, out[4].n_chars, out[4].n_tokens) == (2, 4, 6)
+
+
+def test_cross_rarity_counts_unseen_grams_as_rare(spark):
+    """Held-out LM scoring (round 6): grams absent from the reference
+    model count as rare (left-join null), so a fully out-of-domain
+    target doc scores rarity 1.0 while an in-domain one scores 0.0 when
+    its grams are reference-frequent."""
+    from cs_tutorial_reporting_spark.operators.ngram_lm import (
+        cross_rarity_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(100, "the cat sat"),          # both grams seen 5x -> 0.0
+         (101, "quantum flux capacitor"),  # nothing seen -> 1.0
+         (102, "the cat flew away")],   # 1 of 3 seen-frequent
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in cross_rarity_scores(ref, tgt).collect()}
+    assert out[100].rarity == 0.0 and out[100].n_rare == 0
+    assert out[101].rarity == 1.0 and out[101].n_rare == 2
+    assert (out[102].n_bigrams, out[102].n_rare) == (3, 2)
