@@ -66,13 +66,16 @@ def decode_image_stub(content: bytes) -> dict:
 
 
 def frame_sample_stub(content: bytes, every_ms: int) -> list[bytes]:
-    """STUB for COMPRESSED video codecs (mp4/h264 need ffmpeg, not
-    present in this container). Uncompressed AVI is decoded and
-    frame-sampled for REAL by ``multimodal.avi.decode_avi`` — same
-    mapInPandas plumbing, real RIFF chunk walk, no stub."""
+    """STUB only for INTER-FRAME video codecs (h264/mp4 need motion
+    compensation — genuinely out of pure-Python scope). Compressed
+    intra-frame video IS decoded for real: Motion-JPEG via
+    ``multimodal.mjpeg.decode_mjpeg`` (full per-frame DCT+Huffman
+    decode inside the RIFF walk), and uncompressed AVI via
+    ``multimodal.avi.decode_avi`` — same mapInPandas plumbing."""
     raise NotImplementedError(
-        "compressed video sampling requires ffmpeg; see multimodal/avi.py "
-        "for the real uncompressed-AVI frame sampler"
+        "inter-frame codecs (h264) require motion compensation; see "
+        "multimodal/mjpeg.py for real compressed (MJPEG) video sampling "
+        "and multimodal/avi.py for the uncompressed path"
     )
 
 

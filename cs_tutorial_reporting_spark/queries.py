@@ -1066,6 +1066,7 @@ _DEMOTED_TAIL: list[str] = [
     # full of never-attested rows; promote in round 7 with the r2 block
     "bpe_tokenize_stats",       # encode path ⊂ bpe_merge_ranks (promoted, same loop)
     "ngram_cross_domain_rarity",  # held-out LM scoring ⊂ ngram_novelty_scores (promoted)
+    "multimodal_mjpeg_frames",  # MJPEG = jpeg ∘ avi ⊂ multimodal_jpeg_decode (promoted)
 ]
 
 _CHECK_WINDOW = 50

@@ -1569,6 +1569,68 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mjpeg_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, encode(text) AS blob,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             CAST(greatest((octet_length(encode(text)) + 127) // 128, 1)
+                  AS BIGINT) AS nf
+      FROM documents
+    ),
+    -- sampled frames = every 2nd (10 fps, 200 ms grid); frame k holds
+    -- payload bytes [k*128, (k+1)*128) as 16x8 px -> blocks split at col 8
+    bytes AS (
+      SELECT doc_id, i,
+             CAST(concat('0x', substr(hex(blob), CAST(i*2+1 AS INTEGER), 2))
+                  AS BIGINT) AS v
+      FROM base, UNNEST(range(0, n)) AS u(i)
+      WHERE (i // 128) % 2 = 0
+    ),
+    blocksums AS (
+      SELECT doc_id, i // 128 AS f, (i % 16) // 8 AS b, sum(v) AS bs
+      FROM bytes GROUP BY doc_id, i // 128, (i % 16) // 8
+    ),
+    dcstats AS (
+      SELECT doc_id,
+             sum(CAST(floor((bs - 8188.0) / 8.0) AS BIGINT)) AS dc_partial,
+             count(*) AS nb,
+             max(CASE WHEN f = 0 AND b = 0
+                      THEN CAST(floor((bs - 8188.0)/8.0) AS BIGINT) END) AS dc_b0
+      FROM blocksums GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           16 AS width, 8 AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(nf * 100 AS BIGINT) AS duration_ms,
+           CAST((nf + 1) // 2 AS INTEGER) AS n_sampled,
+           CAST(coalesce(dc_partial, 0)
+                + (2 * ((nf + 1) // 2) - coalesce(nb, 0)) * (-1024)
+             AS BIGINT) AS dc_sum_sampled,
+           CAST(coalesce(dc_b0, -1024) AS INTEGER) AS dc_head
+    FROM base LEFT JOIN dcstats USING (doc_id)
+    """,
+)
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed video** decode + frame sampling — Motion-JPEG:
+    the baseline JPEG codec composed with the AVI RIFF walker
+    (multimodal/mjpeg.py). Each document's bytes become the grayscale
+    frames of an MJPEG AVI (every ``00dc`` chunk a complete standalone
+    baseline JPEG), and the decoder walks the container, samples one
+    frame per 200 ms, and runs the FULL DCT+Huffman decode on each
+    sampled frame. The sampled frames' dequantized-DC sums are exact
+    payload functions, so the oracle value-checks compressed-video
+    decode + sampling end-to-end; h264 remains the only stubbed codec
+    (inter-frame motion compensation)."""
+    from .multimodal.mjpeg import synth_and_decode_mjpeg
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_decode_mjpeg(d, payload_col="content", id_col="doc_id")
+
+
+@register(
     "multimodal_avi_frames",
     oracle="""
     SELECT doc_id,

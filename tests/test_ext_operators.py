@@ -1718,3 +1718,70 @@ def test_cross_rarity_counts_unseen_grams_as_rare(spark):
     assert out[100].rarity == 0.0 and out[100].n_rare == 0
     assert out[101].rarity == 1.0 and out[101].n_rare == 2
     assert (out[102].n_bigrams, out[102].n_rare) == (3, 2)
+
+
+def test_mjpeg_codec_sampling_and_rejection(spark):
+    """MJPEG (round 6, jpeg ∘ avi): (a) sampled-frame DC sums match the
+    closed form the SQL oracle uses, every 2nd frame at the defaults;
+    (b) a corrupt sampled frame fails loudly (the JPEG layer raises
+    through the container walk); (c) container-level malformations
+    (bad magic, frame-count mismatch) raise ValueError; (d) hypothesis
+    property over arbitrary payloads."""
+    import struct as _struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cs_tutorial_reporting_spark.multimodal.mjpeg import (
+        decode_mjpeg,
+        mjpeg_bytes,
+    )
+
+    def expected(payload: bytes):
+        fsz = 128
+        nf = max(-(-len(payload) // fsz), 1)
+        dc = 0
+        for k in range(0, nf, 2):
+            fb = payload[k * fsz : (k + 1) * fsz]
+            fb = fb + b"\x00" * (fsz - len(fb))
+            for b in range(2):
+                bs = sum(
+                    fb[r * 16 + c]
+                    for r in range(8)
+                    for c in range(8 * b, 8 * b + 8)
+                )
+                dc += (bs - 8188) // 8
+        return nf, dc
+
+    payload = bytes(range(256)) * 3
+    d = decode_mjpeg(mjpeg_bytes(payload))
+    nf, dc = expected(payload)
+    assert (d["n_frames"], d["dc_sum_sampled"]) == (nf, dc)
+    assert d["n_sampled"] == (nf + 1) // 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_mjpeg(b"RIFX" + mjpeg_bytes(b"x")[4:])
+    # corrupt the FIRST sampled frame's entropy data -> JPEG layer raises
+    good = bytearray(mjpeg_bytes(payload))
+    sos = bytes(good).find(b"\xff\xda")
+    good[sos + 20 : sos + 24] = b"\xff\xff\xff\xff"
+    with _pytest.raises(ValueError):
+        decode_mjpeg(bytes(good))
+    # frame-count mismatch: lie in avih
+    g2 = bytearray(mjpeg_bytes(payload))
+    avih_at = bytes(g2).find(b"avih")
+    (claimed,) = _struct.unpack_from("<I", g2, avih_at + 8 + 16)
+    _struct.pack_into("<I", g2, avih_at + 8 + 16, claimed + 1)
+    with _pytest.raises(ValueError):
+        decode_mjpeg(bytes(g2))
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.binary(max_size=700))
+    def rt(p):
+        d = decode_mjpeg(mjpeg_bytes(p))
+        nf, dc = expected(p)
+        assert (d["n_frames"], d["dc_sum_sampled"]) == (nf, dc)
+
+    rt()

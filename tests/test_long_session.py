@@ -48,6 +48,7 @@ GUARDED = [
     "multimodal_gif_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
+    "multimodal_mjpeg_frames",
 ]
 
 #: how many registry entries to replay before checking — comfortably
