@@ -15,6 +15,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,7 +53,7 @@ def wav_bytes(
     )
 
 
-def decode_wav(content: bytes) -> dict:
+def decode_wav(content: bytes, want_data: bool = False) -> dict:
     """Parse a RIFF/WAVE container: walk the chunk list, read the PCM
     ``fmt `` header, locate ``data``. This is a REAL decoder (not a
     fake): it trusts nothing but the bytes, raises on malformed input,
@@ -77,13 +78,54 @@ def decode_wav(content: bytes) -> dict:
         raise ValueError("missing fmt/data chunk")
     channels, sample_rate, bits = fmt
     n_samples = len(data) // (channels * (bits // 8))
-    return {
+    out = {
         "sample_rate": sample_rate,
         "n_channels": channels,
         "bits": bits,
         "n_samples": n_samples,
         "duration_ms": n_samples * 1000 // sample_rate,
         "first_sample": data[0] if data else -1,
+    }
+    if want_data:
+        out["data"] = data
+    return out
+
+
+def wav_dsp_features(content: bytes, frame_len: int = 160) -> dict:
+    """Signal-level audio features over the DECODED PCM — the
+    feature-extraction stage after decode (VAD energy gating, silence
+    trimming, clipping detection all start here): total energy (Σ s²),
+    zero-crossing count, peak amplitude, and max per-frame energy over
+    ``frame_len``-sample windows (20 ms at 8 kHz). 16-bit mono only.
+
+    Everything is INTEGER arithmetic over int16 samples — no floats —
+    so the features are exact payload functions and a SQL oracle
+    replicates them bit-for-bit from the raw bytes (little-endian
+    16-bit sign convention included). NumPy int64 vector math inside
+    the Arrow batch; a short trailing byte (odd data length) is ignored
+    exactly as ``n_samples`` floor division implies."""
+    meta = decode_wav(content, want_data=True)
+    data = meta["data"]
+    if meta["bits"] != 16 or meta["n_channels"] != 1:
+        raise ValueError("dsp features support 16-bit mono PCM only")
+    n = meta["n_samples"]
+    s = np.frombuffer(data[: n * 2], dtype="<i2").astype("int64")
+    if n:
+        nf = -(-n // frame_len)
+        padded = np.zeros(nf * frame_len, dtype="int64")
+        padded[:n] = s
+        max_fe = int(
+            (padded * padded).reshape(nf, frame_len).sum(axis=1).max()
+        )
+    else:
+        nf, max_fe = 0, 0
+    return {
+        "n_samples": n,
+        "n_frames": nf,
+        "sum_energy": int((s * s).sum()),
+        "n_zero_cross": int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if n > 1 else 0,
+        "peak_abs": int(np.abs(s).max()) if n else 0,
+        "max_frame_energy": max_fe,
     }
 
 
@@ -125,4 +167,50 @@ def synth_and_decode_wav(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, WAV_FEATURE_SCHEMA
+    )
+
+
+WAV_DSP_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_frames int, sum_energy bigint, "
+    "n_zero_cross bigint, peak_abs int, max_frame_energy bigint"
+)
+
+
+def synth_and_dsp_wav(
+    df: DataFrame, payload_col: str = "content", id_col: str = "doc_id",
+    sample_rate: int = 8000, frame_len: int = 160,
+) -> DataFrame:
+    """Wrap each binary payload into a real 16-bit mono WAV, decode it,
+    and extract the integer-exact DSP features (:func:`wav_dsp_features`)
+    — one Arrow batch pass. Samples are the payload's little-endian
+    16-bit pairs, so every feature is a closed-form function of the raw
+    bytes and the SQL oracle replicates decode + DSP end-to-end."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                wav_dsp_features(
+                    wav_bytes(
+                        bytes(b), sample_rate=sample_rate, sampwidth=2
+                    ),
+                    frame_len=frame_len,
+                )
+                for b in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out.astype(
+                {
+                    "doc_id": "int64",
+                    "n_samples": "int64",
+                    "n_frames": "int32",
+                    "sum_energy": "int64",
+                    "n_zero_cross": "int64",
+                    "peak_abs": "int32",
+                    "max_frame_energy": "int64",
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, WAV_DSP_SCHEMA
     )

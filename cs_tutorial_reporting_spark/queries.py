@@ -1067,6 +1067,7 @@ _DEMOTED_TAIL: list[str] = [
     "bpe_tokenize_stats",       # encode path ⊂ bpe_merge_ranks (promoted, same loop)
     "ngram_cross_domain_rarity",  # held-out LM scoring ⊂ ngram_novelty_scores (promoted)
     "multimodal_mjpeg_frames",  # MJPEG = jpeg ∘ avi ⊂ multimodal_jpeg_decode (promoted)
+    "multimodal_wav_dsp",       # int-exact audio DSP ⊂ multimodal_wav_decode family
 ]
 
 _CHECK_WINDOW = 50

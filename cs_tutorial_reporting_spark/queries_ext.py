@@ -1631,6 +1631,75 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_dsp",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, encode(text) AS blob,
+             CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
+      FROM documents
+    ),
+    -- sample j = little-endian int16 from bytes (2j, 2j+1); hex chars
+    -- are hi-nibble-first per byte, so concat hi byte then lo byte
+    smp AS (
+      SELECT doc_id, j,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      FROM (
+        SELECT doc_id, j,
+               CAST(concat('0x',
+                    substr(hex(blob), CAST(j*4+3 AS INTEGER), 2),
+                    substr(hex(blob), CAST(j*4+1 AS INTEGER), 2))
+                    AS BIGINT) AS raw
+        FROM base, UNNEST(range(0, ns)) AS u(j)
+      )
+    ),
+    lagged AS (
+      SELECT doc_id, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS ps
+      FROM smp
+    ),
+    gstats AS (
+      SELECT doc_id,
+             sum(s * s) AS sum_energy,
+             max(abs(s)) AS peak_abs,
+             sum(CASE WHEN (s < 0) <> (ps < 0) THEN 1 ELSE 0 END)
+                 AS n_zero_cross
+      FROM lagged GROUP BY doc_id
+    ),
+    fe AS (
+      SELECT doc_id, j // 160 AS f, sum(s * s) AS e
+      FROM smp GROUP BY doc_id, j // 160
+    ),
+    mfe AS (SELECT doc_id, max(e) AS max_frame_energy FROM fe GROUP BY doc_id)
+    SELECT base.doc_id,
+           ns AS n_samples,
+           CAST((ns + 159) // 160 AS INTEGER) AS n_frames,
+           CAST(coalesce(sum_energy, 0) AS BIGINT) AS sum_energy,
+           CAST(coalesce(n_zero_cross, 0) AS BIGINT) AS n_zero_cross,
+           CAST(coalesce(peak_abs, 0) AS INTEGER) AS peak_abs,
+           CAST(coalesce(max_frame_energy, 0) AS BIGINT) AS max_frame_energy
+    FROM base
+    LEFT JOIN gstats USING (doc_id)
+    LEFT JOIN mfe USING (doc_id)
+    """,
+)
+def multimodal_wav_dsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION after real decode (multimodal/wav.py
+    wav_dsp_features): each document's bytes become 16-bit mono PCM in
+    a real WAV, the conformant parser decodes it, and the DSP stage
+    computes total energy, zero-crossings, peak amplitude, and max
+    20 ms-frame energy — all INTEGER arithmetic over int16 samples, so
+    the oracle replicates decode + DSP bit-for-bit from raw bytes
+    (little-endian sign convention included). The feature family VAD /
+    silence-trimming / clipping-detection pipelines start from."""
+    from .multimodal.wav import synth_and_dsp_wav
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_dsp_wav(d, payload_col="content", id_col="doc_id")
+
+
+@register(
     "multimodal_avi_frames",
     oracle="""
     SELECT doc_id,

@@ -1785,3 +1785,37 @@ def test_mjpeg_codec_sampling_and_rejection(spark):
         assert (d["n_frames"], d["dc_sum_sampled"]) == (nf, dc)
 
     rt()
+
+
+def test_wav_dsp_features_hand_computed(spark):
+    """Audio DSP (round 6): energy / zero-crossings / framed peaks are
+    integer-exact on hand-built int16 PCM, including the sign
+    convention (-1 = 0xFFFF), odd trailing bytes, and the 16-bit-mono
+    guard."""
+    import struct as _struct
+
+    from cs_tutorial_reporting_spark.multimodal.wav import (
+        wav_bytes,
+        wav_dsp_features,
+    )
+
+    samples = [100, -200, 300, 0, -1]  # crossings at 1,2,3? see below
+    pcm = _struct.pack("<5h", *samples)
+    d = wav_dsp_features(wav_bytes(pcm, sampwidth=2), frame_len=2)
+    assert d["n_samples"] == 5 and d["n_frames"] == 3
+    assert d["sum_energy"] == 100**2 + 200**2 + 300**2 + 0 + 1
+    # crossings: (100,-200) (−200,300) (300,0: neg→nonneg? 300>=0,0>=0 no)
+    # (0,-1) yes → 3 total
+    assert d["n_zero_cross"] == 3
+    assert d["peak_abs"] == 300
+    # frames of 2: [100,-200]=50000, [300,0]=90000, [-1,(pad 0)]=1
+    assert d["max_frame_energy"] == 90000
+
+    # odd trailing byte ignored
+    d2 = wav_dsp_features(wav_bytes(pcm + b"\x7f", sampwidth=2))
+    assert d2["n_samples"] == 5 and d2["sum_energy"] == d["sum_energy"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wav_dsp_features(wav_bytes(pcm, sampwidth=1))  # 8-bit: guarded
