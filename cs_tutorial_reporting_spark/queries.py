@@ -1068,6 +1068,7 @@ _DEMOTED_TAIL: list[str] = [
     "ngram_cross_domain_rarity",  # held-out LM scoring ⊂ ngram_novelty_scores (promoted)
     "multimodal_mjpeg_frames",  # MJPEG = jpeg ∘ avi ⊂ multimodal_jpeg_decode (promoted)
     "multimodal_wav_dsp",       # int-exact audio DSP ⊂ multimodal_wav_decode family
+    "timeseries_gapfill_hourly",  # grid+interp windows ⊂ asof/sessionize family
 ]
 
 _CHECK_WINDOW = 50

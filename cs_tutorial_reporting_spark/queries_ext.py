@@ -1970,6 +1970,79 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id AS k, date_trunc('hour', ts) AS hour,
+             CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (SELECT k, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY k),
+    grid AS (
+      SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM spans
+    ),
+    g AS (
+      SELECT grid.k, grid.hour, hourly.v,
+             CAST(epoch(grid.hour) / 3600 AS BIGINT) AS hi
+      FROM grid LEFT JOIN hourly
+        ON grid.k = hourly.k AND grid.hour = hourly.hour
+    ),
+    carried AS (
+      SELECT k, hour, v, hi,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY hi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY hi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY hi
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY hi
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g
+    ),
+    filled AS (
+      SELECT k, v IS NOT NULL AS obs,
+             coalesce(v, CAST(floor(
+                 pv + (nv - pv) * (CAST(hi - ph AS DOUBLE) / (nh - ph)) + 0.5
+             ) AS BIGINT)) AS value_fp
+      FROM carried
+    )
+    SELECT k AS user_id,
+           count(*) AS n_hours,
+           CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+           CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_interpolated,
+           CAST(sum(value_fp) AS BIGINT) AS sum_value_fp
+    FROM filled GROUP BY k
+    """,
+)
+def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): each
+    user's irregular event stream becomes a dense hourly series — the
+    per-key grid spans min..max observed hour (sequence+explode, never
+    a global calendar cross join), interior gaps linearly interpolate
+    between neighboring observations, and values are ×10⁴ fixed-point
+    bigints so interpolation and the audit sums are hash-exact across
+    engines. Per-user coverage report; the dense series itself is the
+    operator's output."""
+    from .operators.timeseries import hourly_gapfill_interpolate
+
+    ev = t(spark, sf_dir, "events")
+    dense = hourly_gapfill_interpolate(ev, "user_id", "ts", "value")
+    obs = F.when(F.col("is_observed"), 1).otherwise(0)
+    return dense.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(obs).cast("bigint").alias("n_observed"),
+        F.sum(1 - obs).cast("bigint").alias("n_interpolated"),
+        F.sum("value_fp").cast("bigint").alias("sum_value_fp"),
+    )
+
+
+@register(
     "deterministic_sample",
     oracle=f"""
     SELECT lang, count(*) AS n

@@ -1819,3 +1819,31 @@ def test_wav_dsp_features_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         wav_dsp_features(wav_bytes(pcm, sampwidth=1))  # 8-bit: guarded
+
+
+def test_gapfill_interpolates_interior_hours_exactly(spark):
+    """Hourly gap-fill (round 6): a 3-hour interior gap interpolates
+    linearly in fixed-point (10.0 → 18.0 over 4 steps = 12.0, 14.0,
+    16.0), multiple same-hour events average first, and grid endpoints
+    are observed by construction."""
+    from cs_tutorial_reporting_spark.operators.timeseries import (
+        hourly_gapfill_interpolate,
+    )
+
+    TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, TS("2024-03-01T00:10:00"), 9.0),
+         (1, TS("2024-03-01T00:40:00"), 11.0),   # hour 0 avg = 10.0
+         (1, TS("2024-03-01T04:30:00"), 18.0),   # hours 1-3 missing
+         (2, TS("2024-03-01T07:15:00"), 5.5)],   # single-hour key
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = hourly_gapfill_interpolate(ev, "user_id", "ts", "value")
+    rows = {(r.user_id, r.hour.hour): r for r in out.collect()}
+    assert len(rows) == 6  # user 1: hours 0-4; user 2: hour 7
+    assert rows[(1, 0)].value_fp == 100000 and rows[(1, 0)].is_observed
+    assert rows[(1, 4)].value_fp == 180000 and rows[(1, 4)].is_observed
+    for h, expect in ((1, 120000), (2, 140000), (3, 160000)):
+        assert rows[(1, h)].value_fp == expect
+        assert not rows[(1, h)].is_observed
+    assert rows[(2, 7)].value_fp == 55000 and rows[(2, 7)].is_observed
