@@ -409,3 +409,30 @@ def test_ivfpq_partitioned_layout_prunes_appends_and_reranks(spark, tmp_path):
     cand = ivfpq_topk(emb, q, k=25, n_probes=2, centroids=cents, codebooks=cbs, residual=True)
     rer = {(r.query_id, r.vec_id) for r in rerank_topk(cand, emb, q, k=5, dim=64).collect()}
     assert len(exact & rer) >= len(exact & plain)
+
+
+def test_bpe_tokenize_is_a_zero_shuffle_map(spark):
+    """The tokenizer ENCODE path (round 6): applying k learned merges is
+    a pure per-row expression map — the plan must contain NO Exchange
+    (the merge table rode in as literals, not a join)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    p = plan_text(QUERIES["bpe_tokenize_stats"].fn(spark, SF))
+    assert "Exchange" not in p, p
+
+
+def test_gapfill_windows_share_one_sort(spark):
+    """Hourly gap-fill (round 6): the prev-carry and next-carry window
+    passes use the same (key, hour) partitioning+ordering, so Catalyst
+    must fuse all four window functions into ONE Window operator over
+    ONE sort — a second Sort or Window node means the shared-sort claim
+    regressed. The final per-user report must also map-side combine
+    (partial aggregate below the exchange)."""
+    import re
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    p = plan_text(QUERIES["timeseries_gapfill_hourly"].fn(spark, SF))
+    assert p.count("Window") == 1, p
+    assert len(re.findall(r"\bSort\b", p)) == 1, p
+    assert "partial_sum" in p, p
