@@ -1069,6 +1069,7 @@ _DEMOTED_TAIL: list[str] = [
     "multimodal_mjpeg_frames",  # MJPEG = jpeg ∘ avi ⊂ multimodal_jpeg_decode (promoted)
     "multimodal_wav_dsp",       # int-exact audio DSP ⊂ multimodal_wav_decode family
     "timeseries_gapfill_hourly",  # grid+interp windows ⊂ asof/sessionize family
+    "inverted_index_search",    # posting-list AND query ⊂ tfidf/vocab family
 ]
 
 _CHECK_WINDOW = 50

@@ -1970,6 +1970,37 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inverted_index_search",
+    oracle="""
+    WITH postings AS (
+        SELECT term, doc_id, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(string_split(
+                       trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+                       ' ')) AS term
+            FROM documents
+        ) WHERE term <> '' GROUP BY term, doc_id
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score_tf
+    FROM postings WHERE term IN ('window', 'merge', 'shuffle')
+    GROUP BY doc_id HAVING count(DISTINCT term) = 3
+    ORDER BY score_tf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus (operators/search.py): build the
+    (term, doc_id, tf) posting table, then answer a 3-term AND query
+    ranked by summed term frequency — posting intersection as a
+    group-by (count(distinct term) == k), ranking as top-k with no
+    global sort. The index is the ingest artifact; the query's term
+    IN-list prunes the posting scan."""
+    from .operators.search import build_inverted_index, conjunctive_search
+
+    idx = build_inverted_index(t(spark, sf_dir, "documents"))
+    return conjunctive_search(idx, ["window", "merge", "shuffle"], k=10)
+
+
+@register(
     "timeseries_gapfill_hourly",
     oracle="""
     WITH hourly AS (

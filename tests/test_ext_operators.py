@@ -1847,3 +1847,29 @@ def test_gapfill_interpolates_interior_hours_exactly(spark):
         assert rows[(1, h)].value_fp == expect
         assert not rows[(1, h)].is_observed
     assert rows[(2, 7)].value_fp == 55000 and rows[(2, 7)].is_observed
+
+
+def test_conjunctive_search_requires_all_terms(spark):
+    """Inverted-index AND query (round 6): a doc matching only 2 of 3
+    terms is excluded; ranking sums tf with ties to the lowest id; the
+    term filter reaches the posting scan as an In predicate."""
+    from cs_tutorial_reporting_spark.operators.search import (
+        build_inverted_index,
+        conjunctive_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"),
+         (2, "alpha beta"),            # missing gamma -> excluded
+         (3, "alpha beta gamma"),
+         (4, "Alpha BETA gamma beta")],  # case-folds; tf 4
+        "doc_id bigint, text string",
+    )
+    idx = build_inverted_index(docs)
+    out = conjunctive_search(idx, ["alpha", "BETA", "gamma"], k=10).collect()
+    assert [(r.doc_id, r.score_tf) for r in out] == [(1, 4), (4, 4), (3, 3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        conjunctive_search(idx, [])
