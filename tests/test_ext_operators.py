@@ -1873,3 +1873,30 @@ def test_conjunctive_search_requires_all_terms(spark):
 
     with _pytest.raises(ValueError):
         conjunctive_search(idx, [])
+
+
+def test_search_term_filter_pushes_to_on_disk_posting_scan(spark, tmp_path):
+    """The scale claim behind the posting layout: once the index is ON
+    DISK, a query's term IN-list must reach the parquet scan as a
+    pushed filter (row-group pruning under a term-sorted layout) —
+    query cost ∝ matched postings, not corpus size."""
+    import contextlib
+    import io
+
+    from cs_tutorial_reporting_spark.operators.search import (
+        build_inverted_index,
+        conjunctive_search,
+    )
+    from cs_tutorial_reporting_spark.sources.readers import load_table
+
+    path = str(tmp_path / "postings")
+    build_inverted_index(
+        load_table(spark, SF_SMOKE, "documents")
+    ).write.mode("overwrite").parquet(path)
+    q = conjunctive_search(spark.read.parquet(path), ["window", "merge"], k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    p = buf.getvalue()
+    pushed = p.split("PushedFilters")[1].split("\n")[0]
+    assert "In(term" in pushed, pushed
