@@ -1070,6 +1070,7 @@ _DEMOTED_TAIL: list[str] = [
     "multimodal_wav_dsp",       # int-exact audio DSP ⊂ multimodal_wav_decode family
     "timeseries_gapfill_hourly",  # grid+interp windows ⊂ asof/sessionize family
     "inverted_index_search",    # posting-list AND query ⊂ tfidf/vocab family
+    "funnel_conversion_stages", # staged conditional mins ⊂ sessionize/asof family
 ]
 
 _CHECK_WINDOW = 50

@@ -1970,6 +1970,43 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion_stages",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM s1) AS n_keys
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (operators/funnel.py): users who viewed,
+    then clicked strictly after their first view, then purchased
+    strictly after that click — each stage a conditional min + key join
+    against the shrinking survivor set (greedy earliest matching,
+    deterministic under ties by the strict-> rule). The per-stage
+    counts are k driver scalars re-lifted into a frame (the
+    watermark-scalar pattern)."""
+    from .operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+@register(
     "inverted_index_search",
     oracle="""
     WITH postings AS (

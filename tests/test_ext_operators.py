@@ -1900,3 +1900,37 @@ def test_search_term_filter_pushes_to_on_disk_posting_scan(spark, tmp_path):
     p = buf.getvalue()
     pushed = p.split("PushedFilters")[1].split("\n")[0]
     assert "In(term" in pushed, pushed
+
+
+def test_funnel_strict_ordering_and_tie_exclusion(spark):
+    """Funnel (round 6): a next-stage event at the SAME instant as the
+    previous stage's completion does NOT count (strict >); out-of-order
+    completions don't either; reach counts are monotone non-increasing."""
+    from cs_tutorial_reporting_spark.operators.funnel import funnel_conversion
+
+    TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [  # user 1: full ordered funnel
+         (1, TS("2024-01-01T10:00:00"), "view"),
+         (1, TS("2024-01-01T10:05:00"), "click"),
+         (1, TS("2024-01-01T10:10:00"), "purchase"),
+         # user 2: click at the SAME instant as the view -> stops at view
+         (2, TS("2024-01-01T11:00:00"), "view"),
+         (2, TS("2024-01-01T11:00:00"), "click"),
+         # user 3: purchase BEFORE click -> stops at click
+         (3, TS("2024-01-01T12:00:00"), "view"),
+         (3, TS("2024-01-01T12:02:00"), "purchase"),
+         (3, TS("2024-01-01T12:05:00"), "click"),
+         # user 4: never viewed -> not in the funnel at all
+         (4, TS("2024-01-01T13:00:00"), "click")],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    out = {r.stage: r.n_keys for r in funnel_conversion(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_conversion(ev, "user_id", "ts", "event_type", ["view"])
