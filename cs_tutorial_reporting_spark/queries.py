@@ -1071,6 +1071,7 @@ _DEMOTED_TAIL: list[str] = [
     "timeseries_gapfill_hourly",  # grid+interp windows ⊂ asof/sessionize family
     "inverted_index_search",    # posting-list AND query ⊂ tfidf/vocab family
     "funnel_conversion_stages", # staged conditional mins ⊂ sessionize/asof family
+    "record_linkage_blocked",   # blocked levenshtein ⊂ dedup family (bounded blocks)
 ]
 
 _CHECK_WINDOW = 50

@@ -1970,6 +1970,45 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "record_linkage_blocked",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.c_nationkey AS nationkey,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    )
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs_d2,
+           CAST(sum(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_d1
+    FROM pairs GROUP BY nationkey
+    """,
+)
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (operators/linkage.py): customer names
+    compared by edit distance WITHIN nation blocks — the quadratic runs
+    only inside each bounded block (pathological blocks dropped BEFORE
+    pair expansion), and Spark's thresholded levenshtein early-exits
+    the DP at distance > 2. Integer distances are bit-identical to
+    DuckDB's levenshtein, so the per-block match counts hash-match the
+    oracle exactly."""
+    from .operators.linkage import blocked_edit_distance_pairs
+
+    pairs = blocked_edit_distance_pairs(
+        t(spark, sf_dir, "customer"),
+        id_col="c_custkey", name_col="c_name", block_col="c_nationkey",
+        max_dist=2,
+    )
+    d1 = F.when(F.col("dist") <= 1, 1).otherwise(0)
+    return pairs.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_pairs_d2"),
+        F.sum(d1).cast("bigint").alias("n_pairs_d1"),
+    )
+
+
+@register(
     "funnel_conversion_stages",
     oracle="""
     WITH s1 AS (

@@ -1934,3 +1934,26 @@ def test_funnel_strict_ordering_and_tie_exclusion(spark):
 
     with _pytest.raises(ValueError):
         funnel_conversion(ev, "user_id", "ts", "event_type", ["view"])
+
+
+def test_blocked_linkage_caps_blocks_and_matches_known_pairs(spark):
+    """Record linkage (round 6): same-block near-names pair at their
+    exact edit distance; cross-block pairs never form even at distance
+    0; an oversized block is dropped BEFORE pair expansion."""
+    from cs_tutorial_reporting_spark.operators.linkage import (
+        blocked_edit_distance_pairs,
+    )
+
+    rows = [
+        (1, "jon smith", 10), (2, "john smith", 10),   # d=1
+        (3, "jane doe", 11), (4, "jane roe", 11),      # d=1
+        (5, "jon smith", 20),   # identical to id 1 but other block
+    ]
+    # an oversized block (cap=3 below): 4 members -> excluded entirely
+    rows += [(100 + i, f"dup name {i}", 30) for i in range(4)]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk int")
+    out = blocked_edit_distance_pairs(
+        df, "id", "name", "blk", max_dist=2, max_block=3
+    ).collect()
+    got = {(r.id_a, r.id_b): r.dist for r in out}
+    assert got == {(1, 2): 1, (3, 4): 1}  # no cross-block, no capped-block
