@@ -1072,6 +1072,7 @@ _DEMOTED_TAIL: list[str] = [
     "inverted_index_search",    # posting-list AND query ⊂ tfidf/vocab family
     "funnel_conversion_stages", # staged conditional mins ⊂ sessionize/asof family
     "record_linkage_blocked",   # blocked levenshtein ⊂ dedup family (bounded blocks)
+    "phrase_search_positional", # positional adjacency ⊂ inverted_index_search family
 ]
 
 _CHECK_WINDOW = 50

@@ -2077,6 +2077,44 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "phrase_search_positional",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, term, pos FROM (
+            SELECT doc_id, unnest(ts) AS term,
+                   generate_subscripts(ts, 1) AS pos
+            FROM (SELECT doc_id,
+                         string_split(trim(lower(
+                             regexp_replace(text, '\\s+', ' ', 'g'))),
+                             ' ') AS ts
+                  FROM documents)
+        ) WHERE term <> ''
+    ),
+    t0 AS (SELECT doc_id, pos FROM toks WHERE term = 'key'),
+    t1 AS (SELECT doc_id, pos FROM toks WHERE term = 'order'),
+    hits AS (
+        SELECT t0.doc_id FROM t0
+        JOIN t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id ASC LIMIT 10
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over the POSITIONAL posting index
+    (operators/search.py): docs containing the consecutive phrase
+    "key order", ranked by occurrence count. Adjacency is array set
+    algebra — start positions = positions(t0) ∩ (positions(t1) − 1) —
+    against the per-term postings only; the oracle replicates it as a
+    row-level adjacency join over (term, doc, position) tuples."""
+    from .operators.search import build_positional_index, phrase_search
+
+    idx = build_positional_index(t(spark, sf_dir, "documents"))
+    return phrase_search(idx, ["key", "order"], k=10)
+
+
+@register(
     "timeseries_gapfill_hourly",
     oracle="""
     WITH hourly AS (

@@ -1957,3 +1957,33 @@ def test_blocked_linkage_caps_blocks_and_matches_known_pairs(spark):
     ).collect()
     got = {(r.id_a, r.id_b): r.dist for r in out}
     assert got == {(1, 2): 1, (3, 4): 1}  # no cross-block, no capped-block
+
+
+def test_phrase_search_adjacency_and_overlaps(spark):
+    """Positional phrase search (round 6): only consecutive occurrences
+    match ("key order" but not "key x order"); overlapping repeats all
+    count ("batch batch batch" has 2 "batch batch" starts); 3-term
+    phrases chain the shifted intersections correctly (the 2-parameter
+    lambda pitfall — index-vs-offset — is exactly what this pins)."""
+    from cs_tutorial_reporting_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "key order now"),
+         (2, "key x order"),
+         (3, "batch batch batch"),
+         (4, "a key order b key order")],
+        "doc_id bigint, text string",
+    )
+    idx = build_positional_index(docs)
+    two = {r.doc_id: r.n_occurrences
+           for r in phrase_search(idx, ["key", "order"]).collect()}
+    assert two == {1: 1, 4: 2}
+    rep = {r.doc_id: r.n_occurrences
+           for r in phrase_search(idx, ["batch", "batch"]).collect()}
+    assert rep == {3: 2}
+    three = {r.doc_id: r.n_occurrences
+             for r in phrase_search(idx, ["key", "order", "now"]).collect()}
+    assert three == {1: 1}
