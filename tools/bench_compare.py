@@ -7,10 +7,14 @@ per-query BEST across every ``BENCH_r*.json`` in the repo root (latest
 round's total is still shown for context). Comparing against best-ever
 — not just the previous round — stops slow drift from compounding:
 three rounds of +30% each stay under a 1.5× per-round gate but trip a
-best-ever gate at round two. Flags any query >1.5× slower (exit 1) so
-a perf regression is as loud as a correctness one. Queries present on
-only one side are listed but never flagged (new/renamed queries have
-no baseline).
+best-ever gate at round two. Flags any query >1.5× slower BOTH in raw
+ratio AND relative to the board's median drift (exit 1) so a perf
+regression is as loud as a correctness one, while lock-step host drift
+— the twice-observed, A/B-confirmed noise mode (BASELINE.md rounds
+5-6) — is divided out instead of flagged. Median drift beyond 2× fails
+outright: normalization isn't trustworthy there, run the
+identical-code worktree A/B. Queries present on only one side are
+listed but never flagged (new/renamed queries have no baseline).
 """
 
 from __future__ import annotations
@@ -65,25 +69,52 @@ def _load_new(path: str | None) -> dict:
     return json.loads(line)
 
 
+#: lock-step host drift beyond this is too large to normalize away —
+#: demand a same-day identical-code A/B (BASELINE.md round-6 note)
+#: before trusting ANY number from the run
+GLOBAL_DRIFT_LIMIT = 2.0
+
+
 def main(new_path: str | None, old_path: str | None) -> int:
     old, new = _load_old(old_path), _load_new(new_path)
     oq, nq = old["queries"], new["queries"]
+    # Median drift across the comparable board estimates the HOST's
+    # speed delta vs the rounds that recorded the best-evers: per the
+    # twice-observed bench-variance rule (BASELINE.md rounds 5-6,
+    # confirmed by an identical-code worktree A/B), untouched queries
+    # moving in lock-step is environment, not regression. A query is
+    # flagged only when it exceeds the gate AFTER dividing out that
+    # shared drift — i.e. it moved relative to its peers.
+    ratios = sorted(
+        nq[k] / oq[k] for k in set(oq) & set(nq) if oq[k]
+    )
+    med = ratios[len(ratios) // 2] if ratios else 1.0
     flagged = []
-    print(f"{'query':<32} {'old':>7} {'new':>7} {'ratio':>6}")
+    print(f"host drift (median ratio over {len(ratios)} queries): {med:.2f}x")
+    print(f"{'query':<32} {'old':>7} {'new':>7} {'ratio':>6} {'vs-board':>8}")
     for name in sorted(set(oq) | set(nq)):
         o, n = oq.get(name), nq.get(name)
         if o is None or n is None:
             print(f"{name:<32} {o or '-':>7} {n or '-':>7}   (one side only)")
             continue
         ratio = n / o if o else float("inf")
-        mark = "  <-- SLOWER" if ratio > FLAG_RATIO else ""
-        print(f"{name:<32} {o:>7.3f} {n:>7.3f} {ratio:>5.2f}x{mark}")
-        if ratio > FLAG_RATIO:
+        rel = ratio / med
+        mark = "  <-- SLOWER" if rel > FLAG_RATIO and ratio > FLAG_RATIO else ""
+        print(f"{name:<32} {o:>7.3f} {n:>7.3f} {ratio:>5.2f}x {rel:>6.2f}x{mark}")
+        if rel > FLAG_RATIO and ratio > FLAG_RATIO:
             flagged.append(name)
     print(f"\ntotal: old={old['value']}s new={new['value']}s "
           f"({new['value'] / old['value']:.2f}x)")
+    if med > GLOBAL_DRIFT_LIMIT:
+        print(
+            f"GLOBAL SLOWDOWN: median drift {med:.2f}x > "
+            f"{GLOBAL_DRIFT_LIMIT}x — normalization is not trustworthy at "
+            "this magnitude; run the identical-code worktree A/B "
+            "(BASELINE.md round-6 note) to attribute it"
+        )
+        return 1
     if flagged:
-        print(f"REGRESSION: {flagged} exceeded {FLAG_RATIO}x")
+        print(f"REGRESSION: {flagged} exceeded {FLAG_RATIO}x vs the board")
     return 1 if flagged else 0
 
 
