@@ -28,3 +28,13 @@ def test_oracle_keys_subset_of_queries():
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_every_query_carries_a_value_hash_oracle():
+    """The registry's strongest property (round 6): ALL registered
+    queries — not just the checked window — ship a DuckDB value-hash
+    oracle. A new query landing without one silently downgrades the
+    driver's check to rows-only; fail loudly here instead."""
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    missing = sorted(set(q) - set(o))
+    assert not missing, f"queries without oracles: {missing}"
