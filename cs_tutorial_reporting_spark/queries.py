@@ -1051,7 +1051,12 @@ _DEMOTED_TAIL: list[str] = [
     "similarity_topk_ivf_pruned",  # [r5 ✓] partition pruning ⊂ ivfpq_pruned (promoted)
     "similarity_topk_ivfpq",    # [r5 ✓] composed IVF+PQ ⊂ ivfpq_residual (bench)
     "multimodal_feature_extract",  # [r5 ✓] mapInPandas fake ⊂ jpeg/gif/png decodes
-    "multimodal_wav_decode",    # [r5 ✓] RIFF parse ⊂ multimodal codec family
+    # NOTE: multimodal_wav_decode re-windowed mid-round (policy (a)):
+    # decode_wav gained the want_data parameter for the DSP path, so
+    # its r5 row attests superseded code; ngram_jaccard_consecutive
+    # (r1, verify math ⊂ the bench-checked minhash oracle) defers to
+    # the round-7 promotion batch in its place.
+    "ngram_jaccard_consecutive",  # [r1 ✓] verify math ⊂ minhash_lsh_dedup_pairs (bench)
     "constraint_check_report",  # [r5 ✓] K4 enforcement ⊂ incremental_watermark (bench)
     "q9_product_profit",        # [r5 ✓] 5-way join graph ⊂ q5 (bench)
     "q16_supplier_part_counts", # [r5 ✓] NOT-IN + distinct agg ⊂ q4/q21 family
