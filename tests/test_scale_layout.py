@@ -592,3 +592,65 @@ def test_zorder_runtime_scan_skips_rows(spark, tmp_path):
     a = sorted((r.x, r.y) for r in spark.read.parquet(zed).filter(both).collect())
     b = sorted((r.x, r.y) for r in spark.read.parquet(lex).filter(both).collect())
     assert a == b and len(a) == 64
+
+
+def test_incremental_matview_refresh_equals_full_recompute(spark, tmp_path):
+    """Additive materialized-view maintenance (round 6): build from the
+    first split, refresh with the second — the stored view must equal
+    the full recompute, including brand-new groups that only the delta
+    contains and groups the delta never touched; min/max merge
+    semi-additively; an empty delta is a no-op; a crash between the two
+    swap renames recovers on the next refresh."""
+    import os
+
+    from cs_tutorial_reporting_spark.operators.matview import (
+        build_additive_mv,
+        refresh_additive_mv,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 0)
+    keys = ["o_orderstatus"]
+    measures = {
+        "n": ("add", F.count("*").cast("bigint")),
+        "total": ("add", F.sum("o_totalprice")),
+        "max_price": ("max", F.max("o_totalprice")),
+    }
+    mv = str(tmp_path / "mv")
+    build_additive_mv(a, mv, keys, measures)
+    refresh_additive_mv(spark, mv, b, keys, measures)
+
+    got = {r.o_orderstatus: r for r in spark.read.parquet(mv).collect()}
+    want = {
+        r.o_orderstatus: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].n == want[k].n
+        assert abs(got[k].total - want[k].total) < 1e-6 * abs(want[k].total)
+        assert got[k].max_price == want[k].max_price
+
+    # empty delta: refresh is a no-op on values
+    refresh_additive_mv(
+        spark, mv, orders.filter(F.lit(False)), keys, measures
+    )
+    again = {r.o_orderstatus: r.n for r in spark.read.parquet(mv).collect()}
+    assert again == {k: v.n for k, v in want.items()}
+
+    # crash recovery: simulate a crash AFTER the aside rename — the
+    # next refresh must restore and proceed
+    parent, base = os.path.split(mv)
+    os.rename(mv, os.path.join(parent, f".{base}__old"))
+    refresh_additive_mv(
+        spark, mv, orders.filter(F.lit(False)), keys, measures
+    )
+    final = {r.o_orderstatus: r.n for r in spark.read.parquet(mv).collect()}
+    assert final == {k: v.n for k, v in want.items()}
