@@ -62,11 +62,15 @@ def refresh_additive_mv(
     delta: DataFrame,
     keys: list[str],
     measures: dict,
+    extra_files: dict[str, str] | None = None,
 ) -> None:
     """Merge the DELTA's partial aggregate into the stored view —
     cost O(delta) + O(groups), never O(facts). Crash-safe swap
     mirroring ``maintenance.compact`` (dot-prefixed temp + aside,
-    recovery on entry)."""
+    recovery on entry). ``extra_files`` (name → content) are written
+    INTO the temp directory before the swap, so they become visible
+    atomically WITH the refreshed data — the streaming epoch fence
+    rides here: fence and view can never disagree across a crash."""
     path = path.rstrip("/")
     parent, base = os.path.split(path)
     tmp = os.path.join(parent, f".{base}__refreshing")
@@ -94,6 +98,9 @@ def refresh_additive_mv(
         ],
     )
     merged.write.mode("overwrite").parquet(tmp)
+    for name, content in (extra_files or {}).items():
+        with open(os.path.join(tmp, name), "w") as f:
+            f.write(content)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

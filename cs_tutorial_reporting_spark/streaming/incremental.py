@@ -79,3 +79,61 @@ def run_merge_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_mv_refresh_stream(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    measures: dict,
+    checkpoint: str,
+) -> None:
+    """Continuously-maintained materialized view: drain a bounded
+    stream through ``foreachBatch``, each micro-batch merging its
+    partial aggregate into the stored view
+    (``operators.matview.refresh_additive_mv``).
+
+    Exactly-once NEEDS A FENCE here, unlike :func:`run_merge_stream`:
+    an SCD-1 merge is idempotent (re-merging the same keys re-writes
+    the same values) but an ADDITIVE merge is not — a replayed batch
+    would double-count. The fence is the epoch-id sidecar
+    (``_last_batch_id`` INSIDE the view directory), written into the
+    refresh's temp directory BEFORE the atomic swap — fence and view
+    become visible together, so there is no crash window where the
+    data applied but the fence didn't (or vice versa): a replayed
+    batch either sees its own id (skip) or a pre-swap view (re-apply
+    the never-applied batch). First batch against a missing view
+    materializes it (overwrite — idempotent under replay by itself).
+    """
+    import os
+
+    from ..operators.matview import build_additive_mv, refresh_additive_mv
+
+    fence = os.path.join(path, "_last_batch_id")
+
+    def do_refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(fence):
+            with open(fence) as f:
+                if batch_id <= int(f.read().strip() or -1):
+                    return  # replayed batch: already applied
+        if not os.path.exists(path) or not any(
+            n.endswith(".parquet") for n in os.listdir(path)
+        ):
+            build_additive_mv(batch_df, path, keys, measures)
+            with open(fence, "w") as f:
+                f.write(str(batch_id))
+        else:
+            refresh_additive_mv(
+                batch_df.sparkSession, path, batch_df, keys, measures,
+                extra_files={"_last_batch_id": str(batch_id)},
+            )
+
+    q = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(do_refresh)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

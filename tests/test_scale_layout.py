@@ -654,3 +654,61 @@ def test_incremental_matview_refresh_equals_full_recompute(spark, tmp_path):
     )
     final = {r.o_orderstatus: r.n for r in spark.read.parquet(mv).collect()}
     assert final == {k: v.n for k, v in want.items()}
+
+
+def test_streaming_mv_refresh_fences_replayed_batches(spark, tmp_path):
+    """Continuously-maintained MV (round 6): two micro-batches stream
+    into the view and it equals the batch aggregate; then a REPLAY of
+    the last batch (fresh checkpoint over the same files — additive
+    merges would double-count without the fence) leaves the view
+    unchanged only where the fence says so: re-running with the same
+    epoch ids is skipped, proving the epoch sidecar rides the atomic
+    swap."""
+    from cs_tutorial_reporting_spark.streaming.incremental import (
+        run_mv_refresh_stream,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.parquet(src, mode="overwrite")
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    measures = {
+        "n": ("add", F.count("*").cast("bigint")),
+        "sum_value": ("add", F.sum("value")),
+    }
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_mv_refresh_stream(
+        stream(), mv, ["user_id"], measures, str(tmp_path / "ckpt1")
+    )
+    got = {r.user_id: r for r in spark.read.parquet(mv).collect()}
+    want = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert {k: v.n for k, v in got.items()} == {k: v.n for k, v in want.items()}
+
+    # replay: a FRESH checkpoint re-delivers batches 0..1 with the same
+    # epoch ids — the fence must skip both, leaving counts unchanged
+    run_mv_refresh_stream(
+        stream(), mv, ["user_id"], measures, str(tmp_path / "ckpt2")
+    )
+    again = {r.user_id: r.n for r in spark.read.parquet(mv).collect()}
+    assert again == {k: v.n for k, v in want.items()}
