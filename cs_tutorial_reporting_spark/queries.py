@@ -1079,6 +1079,7 @@ _DEMOTED_TAIL: list[str] = [
     "funnel_conversion_stages", # staged conditional mins ⊂ sessionize/asof family
     "record_linkage_blocked",   # blocked levenshtein ⊂ dedup family (bounded blocks)
     "phrase_search_positional", # positional adjacency ⊂ inverted_index_search family
+    "profile_drift_orders",     # one-pass stats + stack unpivot ⊂ constraint/diagnostics family
 ]
 
 _CHECK_WINDOW = 50

@@ -2008,6 +2008,59 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_drift_oracle(cols: list[str]) -> str:
+    """Per-column stats for both snapshot halves, unioned then joined —
+    the SQL twin of operators/profile.py. Only integer deltas and
+    within-engine equality booleans surface, so column-type string
+    formatting never leaks cross-engine."""
+    def split_profile(name: str, pred: str) -> str:
+        blocks = []
+        for c in cols:
+            blocks.append(
+                f"SELECT '{c}' AS col, count(*) AS n_rows, "
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_null, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+                f"CAST(min({c}) AS VARCHAR) AS min_s, "
+                f"CAST(max({c}) AS VARCHAR) AS max_s "
+                f"FROM orders WHERE {pred}"
+            )
+        return f"{name} AS (" + "\n    UNION ALL ".join(blocks) + ")"
+
+    return f"""
+    WITH {split_profile("po", "o_orderkey % 2 = 0")},
+    {split_profile("pn", "o_orderkey % 2 = 1")}
+    SELECT po.col AS "column",
+           pn.n_rows - po.n_rows AS d_rows,
+           pn.n_null - po.n_null AS d_null,
+           pn.n_distinct - po.n_distinct AS d_distinct,
+           (pn.min_s <> po.min_s OR pn.max_s <> po.max_s) AS range_moved
+    FROM po JOIN pn ON po.col = pn.col
+    """
+
+
+_PROFILE_COLS = ["o_orderstatus", "o_custkey", "o_totalprice", "o_orderdate"]
+
+
+@register("profile_drift_orders", oracle=_profile_drift_oracle(_PROFILE_COLS))
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (operators/profile.py): the even-key half
+    of orders as "yesterday", the odd-key half as "today" — per-column
+    row/null/distinct deltas plus whether the observed value range
+    moved. Each profile is ONE aggregation pass (all columns' stats in
+    a single agg, unpivoted via stack); only integer deltas and
+    within-engine equality booleans surface, so float/timestamp string
+    formatting cannot break cross-engine parity."""
+    from .operators.profile import profile_drift
+
+    o = t(spark, sf_dir, "orders")
+    return profile_drift(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        _PROFILE_COLS,
+    )
+
+
 @register(
     "funnel_conversion_stages",
     oracle="""

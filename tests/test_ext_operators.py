@@ -1987,3 +1987,38 @@ def test_phrase_search_adjacency_and_overlaps(spark):
     three = {r.doc_id: r.n_occurrences
              for r in phrase_search(idx, ["key", "order", "now"]).collect()}
     assert three == {1: 1}
+
+
+def test_profile_table_and_drift_hand_computed(spark):
+    """Profiling (round 6): per-column stats from ONE aggregation pass
+    (nulls counted, distincts exact, min/max as strings in the
+    original type's order), and the drift diff flags exactly the
+    columns whose range moved."""
+    from cs_tutorial_reporting_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+        "id bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(4, "a", 10.0), (5, "a", 25.0), (6, None, 30.0), (7, None, 5.0)],
+        "id bigint, s string, v double",
+    )
+    prof = {r.column: r for r in profile_table(old, ["s", "v"]).collect()}
+    assert prof["s"].n_rows == 3 and prof["s"].n_null == 1
+    assert prof["s"].n_distinct == 2  # NULL not counted
+    assert (prof["v"].min_s, prof["v"].max_s) == ("10.0", "30.0")
+
+    drift = {r.column: r for r in profile_drift(old, new, ["s", "v"]).collect()}
+    assert (drift["s"].d_rows, drift["s"].d_null, drift["s"].d_distinct) == (1, 1, -1)
+    assert drift["s"].range_moved  # max 'b' -> 'a'
+    assert (drift["v"].d_null, drift["v"].d_distinct) == (0, 1)
+    assert drift["v"].range_moved  # min 10 -> 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(old, [])
