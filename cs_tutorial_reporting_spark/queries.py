@@ -1080,6 +1080,7 @@ _DEMOTED_TAIL: list[str] = [
     "record_linkage_blocked",   # blocked levenshtein ⊂ dedup family (bounded blocks)
     "phrase_search_positional", # positional adjacency ⊂ inverted_index_search family
     "profile_drift_orders",     # one-pass stats + stack unpivot ⊂ constraint/diagnostics family
+    "snapshot_diff_orders",     # row-level CDC diff ⊂ merge_upsert/profile family
 ]
 
 _CHECK_WINDOW = 50

@@ -2039,6 +2039,68 @@ def _profile_drift_oracle(cols: list[str]) -> str:
     """
 
 
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH newt AS (
+        SELECT o_orderkey,
+               o_custkey, o_orderstatus,
+               o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1.0
+                                   ELSE 0.0 END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    j AS (
+        SELECT CASE
+                 WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                   THEN 'changed'
+                 ELSE 'unchanged'
+               END AS s
+        FROM orders o FULL OUTER JOIN newt n USING (o_orderkey)
+    )
+    SELECT
+      CAST(sum(CASE WHEN s = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      CAST(sum(CASE WHEN s = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      CAST(sum(CASE WHEN s = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(sum(CASE WHEN s = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unchanged
+    FROM j
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots (operators/diff.py): "today" is
+    orders with every 11th key removed, every 7th price bumped, and
+    every 13th key re-inserted under a new id — the diff classifies
+    every key as added/removed/changed/unchanged from ONE full-outer
+    join carrying only (key, md5 digest) per side. The oracle
+    classifies by direct column comparison — equivalent because the
+    separator-framed digest differs iff some canonical column string
+    differs."""
+    from .operators.diff import snapshot_diff
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    bump = F.when(F.col("o_orderkey") % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    new = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + bump
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10000000
+        )
+    )
+    return snapshot_diff(
+        o, new, ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
 _PROFILE_COLS = ["o_orderstatus", "o_custkey", "o_totalprice", "o_orderdate"]
 
 

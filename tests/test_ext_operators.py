@@ -2022,3 +2022,33 @@ def test_profile_table_and_drift_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         profile_table(old, [])
+
+
+def test_snapshot_diff_classifies_and_counts_changed_columns(spark):
+    """Row-level CDC (round 6): added/removed/changed/unchanged classify
+    correctly, a NULL and the literal string 'NULL'-ish value don't
+    collide in the digest, and changed_column_counts attributes the
+    change to the right column."""
+    from cs_tutorial_reporting_spark.operators.diff import (
+        changed_column_counts,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 21.0),        # changed (v)
+         (3, "\x00null", 30.0),  # changed: NULL -> sentinel-looking string
+         (5, "e", 50.0)],       # added; 4 removed
+        "k bigint, s string, v double",
+    )
+    row = snapshot_diff(old, new, ["k"], ["s", "v"]).first()
+    assert (row.n_added, row.n_removed, row.n_changed, row.n_unchanged) == (
+        1, 1, 2, 1,
+    )
+    cc = {r.column: r.n_changed
+          for r in changed_column_counts(old, new, ["k"], ["s", "v"]).collect()}
+    assert cc == {"s": 1, "v": 1}
