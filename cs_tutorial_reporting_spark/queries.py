@@ -1081,6 +1081,8 @@ _DEMOTED_TAIL: list[str] = [
     "phrase_search_positional", # positional adjacency ⊂ inverted_index_search family
     "profile_drift_orders",     # one-pass stats + stack unpivot ⊂ constraint/diagnostics family
     "snapshot_diff_orders",     # row-level CDC diff ⊂ merge_upsert/profile family
+    "event_transition_matrix",  # lead-window pairs ⊂ sessionize/window family
+    "fk_candidate_containment", # distinct-set semi joins ⊂ constraint family
 ]
 
 _CHECK_WINDOW = 50

@@ -2040,6 +2040,113 @@ def _profile_drift_oracle(cols: list[str]) -> str:
 
 
 @register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event stream, count (from_type → to_type) adjacent
+    pairs — the input to Markov-chain session models and anomaly
+    scoring. One window pass ordered by (ts, event_id) for
+    deterministic same-instant ordering; one map-combined count."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "fk_candidate_containment",
+    oracle="""
+    WITH pairs(child_col, parent_col) AS (
+        VALUES ('orders.o_custkey', 'customer.c_custkey'),
+               ('lineitem.l_orderkey', 'orders.o_orderkey'),
+               ('orders.o_orderkey', 'customer.c_custkey')
+    ),
+    m AS (
+        SELECT 'orders.o_custkey' AS child_col,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child,
+               (SELECT count(DISTINCT o_custkey) FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM customer))
+                   AS n_contained
+        UNION ALL
+        SELECT 'lineitem.l_orderkey',
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'orders.o_orderkey',
+               (SELECT count(DISTINCT o_orderkey) FROM orders),
+               (SELECT count(DISTINCT o_orderkey) FROM orders
+                WHERE o_orderkey IN (SELECT c_custkey FROM customer))
+    )
+    SELECT p.child_col, p.parent_col,
+           CAST(m.n_child AS BIGINT) AS n_child,
+           CAST(m.n_contained AS BIGINT) AS n_contained,
+           (m.n_child = m.n_contained) AS is_fk_candidate
+    FROM pairs p JOIN m USING (child_col)
+    """,
+)
+def fk_candidate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery: foreign-key CANDIDATES by distinct-value
+    containment — child column c references parent column p when every
+    distinct c value appears in p (containment 1.0). Checked for two
+    true FKs and one decoy; each check is two small distinct aggregates
+    + one left-semi join on the distinct sets (never the fact rows).
+    The audit a warehouse runs when constraints were never declared."""
+    checks = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_orderkey", "customer", "c_custkey"),
+    ]
+    outs = []
+    for ct, cc, pt, pc in checks:
+        child = t(spark, sf_dir, ct).select(cc).distinct()
+        parent = t(spark, sf_dir, pt).select(F.col(pc).alias(cc)).distinct()
+        contained = child.join(parent, cc, "left_semi")
+        outs.append(
+            child.agg(F.count("*").alias("n_child")).crossJoin(
+                contained.agg(F.count("*").alias("n_contained"))
+            ).select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                F.col("n_child").cast("bigint"),
+                F.col("n_contained").cast("bigint"),
+                (F.col("n_child") == F.col("n_contained")).alias(
+                    "is_fk_candidate"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
     "snapshot_diff_orders",
     oracle="""
     WITH newt AS (
