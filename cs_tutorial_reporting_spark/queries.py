@@ -1085,6 +1085,7 @@ _DEMOTED_TAIL: list[str] = [
     "snapshot_diff_orders",     # row-level CDC diff ⊂ merge_upsert/profile family
     "event_transition_matrix",  # lead-window pairs ⊂ sessionize/window family
     "fk_candidate_containment", # distinct-set semi joins ⊂ constraint family
+    "cohort_retention_weekly",  # cohort triangle ⊂ sessionize/date family
 ]
 
 _CHECK_WINDOW = 50

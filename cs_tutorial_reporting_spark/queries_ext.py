@@ -2040,6 +2040,63 @@ def _profile_drift_oracle(cols: list[str]) -> str:
 
 
 @register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(floor((epoch(date_trunc('week', e.ts))
+                           - epoch(c.cohort_week)) / 604800.0) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.ts >= c.cohort_week
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the product-analytics staple): users grouped
+    by their signup week; each later week of ANY activity counts them
+    active at that week offset — (cohort_week, week_offset, n_active)
+    is the retention triangle. One aggregate for cohorts (broadcast —
+    user-cardinality), one join + distinct + count; all integers, so
+    the oracle is exact. Week offsets from epoch-second division (both
+    engines truncate weeks identically in UTC)."""
+    ev = t(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800.0
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle="""
     WITH seq AS (
