@@ -97,3 +97,45 @@ def hourly_gapfill_interpolate(
         F.coalesce(F.col("__v"), interp).alias("value_fp"),
         F.col("__v").isNotNull().alias("is_observed"),
     )
+
+
+def anomaly_hours_exact(
+    series: DataFrame,
+    key_col: str,
+    val_col: str,
+    z: int = 3,
+) -> DataFrame:
+    """Per-key anomaly counts over a fixed-point series WITHOUT floats:
+    a point is anomalous when its squared deviation from the key's mean
+    exceeds ``z²`` times the population variance — algebraically
+    ``(n·v − S)² > z²·(n·Q − S²)`` with S=Σv, Q=Σv², which needs only
+    integer arithmetic. Everything runs in wide DECIMAL (the cross
+    terms overflow int64 at ~1e19; decimal(38,0) carries the ≤1e22
+    magnitudes exactly), so the flags are bit-identical across engines
+    — no sqrt, no float mean, no tolerance.
+
+    Shape: one stats aggregate per key + one key join back; a constant
+    series has zero variance and zero flags (strict >). Returns
+    (key, n_points, n_anomalies).
+    """
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    v = F.col(val_col)
+    stats = series.groupBy(key_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__q"),  # v ≤ ~5e6 fixed-point → v² fits int64
+    )
+    j = series.join(stats, key_col)
+    lhs = (
+        F.col("__n").cast(d19) * v.cast(d19) - F.col("__s").cast(d19)
+    ).cast(d19)
+    rhs = F.lit(z * z).cast(d19) * (
+        F.col("__n").cast(d19) * F.col("__q").cast(d19)
+        - F.col("__s").cast(d19) * F.col("__s").cast(d19)
+    ).cast(d38)
+    flag = (lhs * lhs).cast(d38) > rhs.cast(d38)
+    return j.groupBy(key_col).agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+    )

@@ -1086,6 +1086,7 @@ _DEMOTED_TAIL: list[str] = [
     "event_transition_matrix",  # lead-window pairs ⊂ sessionize/window family
     "fk_candidate_containment", # distinct-set semi joins ⊂ constraint family
     "cohort_retention_weekly",  # cohort triangle ⊂ sessionize/date family
+    "timeseries_anomaly_hours", # decimal-exact 3σ scan ⊂ gapfill/percentile family
 ]
 
 _CHECK_WINDOW = 50

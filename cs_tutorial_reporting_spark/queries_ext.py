@@ -2393,9 +2393,9 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(idx, ["key", "order"], k=10)
 
 
-@register(
-    "timeseries_gapfill_hourly",
-    oracle="""
+#: shared gap-fill WITH-body (hourly grid + fixed-point interpolation)
+#: — consumed by the gapfill report AND the exact anomaly scan below
+_GAPFILL_CTE = """
     WITH hourly AS (
       SELECT user_id AS k, date_trunc('hour', ts) AS hour,
              CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT) AS v
@@ -2434,7 +2434,12 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pv + (nv - pv) * (CAST(hi - ph AS DOUBLE) / (nh - ph)) + 0.5
              ) AS BIGINT)) AS value_fp
       FROM carried
-    )
+    )"""
+
+
+@register(
+    "timeseries_gapfill_hourly",
+    oracle=_GAPFILL_CTE + """
     SELECT k AS user_id,
            count(*) AS n_hours,
            CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
@@ -2464,6 +2469,46 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - obs).cast("bigint").alias("n_interpolated"),
         F.sum("value_fp").cast("bigint").alias("sum_value_fp"),
     )
+
+
+@register(
+    "timeseries_anomaly_hours",
+    oracle=_GAPFILL_CTE + """,
+    stats AS (
+        SELECT k, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(value_fp) AS HUGEINT) AS s,
+               CAST(sum(CAST(value_fp AS HUGEINT) * value_fp) AS HUGEINT)
+                   AS q
+        FROM filled GROUP BY k
+    )
+    SELECT f.k AS user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN
+                    (st.n * CAST(f.value_fp AS HUGEINT) - st.s)
+                    * (st.n * CAST(f.value_fp AS HUGEINT) - st.s)
+                    > 9 * (st.n * st.q - st.s * st.s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM filled f JOIN stats st USING (k)
+    GROUP BY f.k
+    """,
+)
+def timeseries_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous hours per user over the gap-filled series, WITHOUT
+    floats (operators/timeseries.py anomaly_hours_exact): the 3σ test
+    rewritten as (n·v−S)² > 9·(nQ−S²) — pure integer algebra carried
+    in wide decimal (HUGEINT on the oracle side), so flags are
+    bit-identical across engines with no sqrt, float mean, or
+    tolerance anywhere. Composes the regularization and audit stories:
+    densify, then scan."""
+    from .operators.timeseries import (
+        anomaly_hours_exact,
+        hourly_gapfill_interpolate,
+    )
+
+    dense = hourly_gapfill_interpolate(
+        t(spark, sf_dir, "events"), "user_id", "ts", "value"
+    )
+    return anomaly_hours_exact(dense, "user_id", "value_fp", z=3)
 
 
 @register(

@@ -2052,3 +2052,26 @@ def test_snapshot_diff_classifies_and_counts_changed_columns(spark):
     cc = {r.column: r.n_changed
           for r in changed_column_counts(old, new, ["k"], ["s", "v"]).collect()}
     assert cc == {"s": 1, "v": 1}
+
+
+def test_anomaly_hours_exact_integer_algebra(spark):
+    """Float-free 3σ flags (round 6): a single spike in an otherwise
+    flat-ish series is flagged, a constant series has zero variance
+    and zero flags (strict >), and magnitudes that overflow int64 in
+    the cross terms survive the decimal path exactly."""
+    from cs_tutorial_reporting_spark.operators.timeseries import (
+        anomaly_hours_exact,
+    )
+
+    rows = [(1, i, 5_000_000 if i == 7 else 10_000) for i in range(50)]
+    rows += [(2, i, 123_456) for i in range(40)]  # constant: no flags
+    s = spark.createDataFrame(rows, "k bigint, i bigint, value_fp bigint")
+    out = {r.k: r for r in anomaly_hours_exact(s, "k", "value_fp").collect()}
+    assert (out[1].n_points, out[1].n_anomalies) == (50, 1)
+    assert (out[2].n_points, out[2].n_anomalies) == (40, 0)
+    # cross-check the flagged point against exact Python integers
+    vals = [5_000_000 if i == 7 else 10_000 for i in range(50)]
+    n, S, Q = len(vals), sum(vals), sum(v * v for v in vals)
+    assert sum(
+        1 for v in vals if (n * v - S) ** 2 > 9 * (n * Q - S * S)
+    ) == 1
