@@ -966,9 +966,9 @@ from . import queries_training  # noqa: E402,F401
 #: multimodal_jpeg_decode) plus the FIFTEEN oldest r1/r2-stale rows,
 #: demoting twenty-five [r5 ✓] non-bench shapes with untouched code.
 #: After the round-6 driver run, round 7 owes rows to the TEN
-#: r2-stale entries (the tail's first block), the THIRTEEN round-6
+#: r2-stale entries (the tail's first block), the FIFTEEN round-6
 #: mid-round additions (the tail's last block), and the deferred
-#: ngram_jaccard_consecutive — TWENTY-FOUR promotions, within the
+#: ngram_jaccard_consecutive — TWENTY-SIX promotions, within the
 #: window's 27 non-bench slots; that retires the rotation debt
 #: (every row ≤ 2 rounds old). `tools/freshness_report.py` prints
 #: the live worklist.
