@@ -91,6 +91,13 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
+        missing = only - set(qs)
+        if missing:
+            print(f"ERROR: unknown query names: {sorted(missing)}")
+            return 2
+        if not qs:
+            print("ERROR: selection matched no queries")
+            return 2
     failed = []
     for name, fn in qs.items():
         try:
@@ -135,9 +142,14 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # names may arrive space-separated, comma-separated, or prefixed
+    # with --only — a comma list previously selected NOTHING and
+    # printed a vacuous "0/0 match" (round-6 footgun)
+    raw = [a for a in sys.argv[2:] if a != "--only"]
+    names = {n for a in raw for n in a.split(",") if n}
     sys.exit(
         main(
             sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-            set(sys.argv[2:]) or None,
+            names or None,
         )
     )
