@@ -938,6 +938,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [EXT] + surface registrations live in sibling modules; importing
 # populates QUERIES.
 from . import queries_ext  # noqa: E402,F401  (registry side-effect import)
+from . import queries_scale  # noqa: E402,F401
 from . import queries_surface  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_training  # noqa: E402,F401
@@ -1087,6 +1088,13 @@ _DEMOTED_TAIL: list[str] = [
     "fk_candidate_containment", # distinct-set semi joins ⊂ constraint family
     "cohort_retention_weekly",  # cohort triangle ⊂ sessionize/date family
     "timeseries_anomaly_hours", # decimal-exact 3σ scan ⊂ gapfill/percentile family
+    # round-6 late additions (sketch/scale primitives), no driver row
+    # yet — join the round-7 promotion queue behind the blocks above
+    "hll_portable_distinct",    # md5-register HLL ⊂ approx_count_distinct family
+    "bloom_prefilter_semi",     # literal-bitmap prefilter ⊂ flag_contaminated_docs (broadcast probe)
+    "split_assign_stats",       # salted-hash split ⊂ stratified_sample family
+    "user_activity_islands",    # anchor-window runs ⊂ sessionization/gapfill family
+    "interval_bucket_join",     # hour-bucket equi-join ⊂ asof/range family
 ]
 
 _CHECK_WINDOW = 50

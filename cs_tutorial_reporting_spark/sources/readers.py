@@ -43,7 +43,12 @@ def _read_parquet_ns_aware(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Spark reads its OWN ns files (4.x writes timestamp[ns] with
+        # spark row metadata) natively as TIMESTAMP — only foreign ns
+        # files arrive as raw int64 under nanosAsLong and need the
+        # explicit floor-to-µs conversion.
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,0 +1,132 @@
+"""Portable-sketch operator tests: HLL accuracy + mergeability, Bloom
+no-false-negatives + FP bound, islands boundary semantics, and the
+bucketed interval join's dedupe across bucket-spanning matches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cs_tutorial_reporting_spark.operators.sketches import (
+    BLOOM_M_BITS,
+    HLL_M,
+    bloom_build_words,
+    bloom_might_contain,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_hll_estimate_within_standard_error(spark):
+    """Raw HLL at m=64 has ~13% standard error; assert the portable
+    fixed-point estimate lands within 3 sigma (±40%) on a cardinality
+    far above the small-range regime (no bias correction implemented —
+    the portability contract pins the raw estimator)."""
+    n = 5000
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit("g").alias("grp"))
+    est = hll_estimate(hll_registers(df, ["grp"], "k"), ["grp"]).collect()[0]
+    assert est.n_registers <= HLL_M
+    assert abs(est.hll_estimate - n) / n < 0.40, est.hll_estimate
+
+
+def test_hll_registers_merge_equals_union(spark):
+    """Mergeability: max-merging two register tables ≡ the register
+    table of the unioned inputs — the property that lets daily sketch
+    shards merge without re-reading raw data."""
+    a = spark.range(0, 800).select(F.col("id").alias("k"), F.lit("g").alias("grp"))
+    b = spark.range(500, 1500).select(
+        F.col("id").alias("k"), F.lit("g").alias("grp")
+    )
+    merged = (
+        hll_registers(a, ["grp"], "k")
+        .unionByName(hll_registers(b, ["grp"], "k"))
+        .groupBy("grp", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    direct = hll_registers(a.unionByName(b), ["grp"], "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    words = bloom_build_words(spark, keys, "k")
+    assert len(words) == BLOOM_M_BITS // 32
+    # every inserted key passes
+    n_pass = keys.filter(bloom_might_contain(words, "k")).count()
+    assert n_pass == 200
+    # disjoint probe range: FP rate for 200 keys in 4096 bits with k=3
+    # is (1-exp(-600/4096))^3 ~ 0.3%; assert < 5% with slack
+    probe = spark.range(10_000, 12_000).select(F.col("id").alias("k"))
+    fp = probe.filter(bloom_might_contain(words, "k")).count()
+    assert fp / 2000 < 0.05, fp
+
+
+def test_islands_gap_boundary(spark):
+    """Hours h and h+1 are one island; h and h+2 are two. Longest-run
+    and island counts follow."""
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(hours=1)),
+        (1, base + dt.timedelta(hours=3)),  # gap of one empty hour
+        (2, base),
+        (2, base + dt.timedelta(minutes=10)),  # same hour, dedupes
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp").select(
+        F.lit(0).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        from cs_tutorial_reporting_spark.queries import QUERIES
+
+        out = {
+            r.user_id: (r.n_islands, r.longest_run, r.active_hours)
+            for r in QUERIES["user_activity_islands"].fn(spark, d).collect()
+        }
+    assert out[1] == (2, 2, 3)
+    assert out[2] == (1, 1, 1)
+
+
+def test_interval_join_dedupes_bucket_spanning_pairs(spark):
+    """A click 1.5h after an error falls in two of the error's hour
+    buckets; the pair must count once. A click exactly at +2h is
+    outside the half-open window."""
+    t0 = dt.datetime(2024, 1, 1, 10, 45)
+    rows = [
+        (100, t0, 7, "error"),
+        (101, t0 + dt.timedelta(minutes=90), 7, "click"),  # in, spans buckets
+        (102, t0 + dt.timedelta(hours=2), 7, "click"),  # boundary: out
+        (103, t0 - dt.timedelta(seconds=1), 7, "click"),  # before: out
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        from cs_tutorial_reporting_spark.queries import QUERIES
+
+        row = QUERIES["interval_bucket_join"].fn(spark, d).collect()[0]
+    assert (row.n_pairs, row.n_clicks_in_window, row.n_errors_with_clicks) == (
+        1,
+        1,
+        1,
+    )
