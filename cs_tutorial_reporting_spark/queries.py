@@ -1095,6 +1095,9 @@ _DEMOTED_TAIL: list[str] = [
     "split_assign_stats",       # salted-hash split ⊂ stratified_sample family
     "user_activity_islands",    # anchor-window runs ⊂ sessionization/gapfill family
     "interval_bucket_join",     # hour-bucket equi-join ⊂ asof/range family
+    "udtf_chunk_rows",          # UDTF surface ⊂ doc_chunking_stats (expression twin)
+    "cms_heavy_hitters",        # count-min grid ⊂ vocab/tfidf + hll sketch family
+    "seasonal_hourly_profile",  # hod baseline ⊂ timeseries_anomaly/gapfill family
 ]
 
 _CHECK_WINDOW = 50

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .duck_sql import WORDS_SQL
 from .operators.sketches import (
     BLOOM_K,
     bloom_build_words,
@@ -337,4 +338,230 @@ def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.count_distinct("c_id").alias("n_clicks_in_window"),
         F.count_distinct("e_id").alias("n_errors_with_clicks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (lateral table function)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 50  # words per chunk — matches the oracle's range math
+
+
+@register(
+    "udtf_chunk_rows",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(least({_CHUNK}, nw - i * {_CHUNK}) AS INT) AS n_words,
+           words[i * {_CHUNK} + 1] AS first_word
+    FROM (
+        SELECT doc_id, words, len(words) AS nw
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    ), LATERAL unnest(range(0, (nw + {_CHUNK - 1}) // {_CHUNK})) AS t(i)
+    """,
+)
+def udtf_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-backed Python UDTF exploding each document into fixed
+    50-word chunk rows via a LATERAL join — the one UDF class
+    (table-valued) the registry didn't exercise yet.
+
+    The normalization inside eval() is the Python twin of
+    functions.text.normalize_text (single source: NORM_SQL); the
+    expression-only equivalent of this op is doc_chunking_stats —
+    this registration exists to pin the UDTF API surface (Spark 4
+    ``spark.udtf.register`` + LATERAL correlate), not as the fast
+    path.
+
+    100 TB: a UDTF runs per-partition through Arrow batches like
+    mapInPandas; the lateral correlate adds no shuffle (chunk rows are
+    produced where the document row lives). Output grows ~2x rows,
+    so downstream keys re-shuffle on (doc_id, chunk_idx) only when a
+    later stage asks.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, n_words int, first_word string",
+        useArrow=True,
+    )
+    class Chunks:
+        def eval(self, text: str):
+            import re
+
+            words = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+            for i in range(0, len(words), _CHUNK):
+                c = words[i : i + _CHUNK]
+                yield (i // _CHUNK, len(c), c[0])
+
+    spark.udtf.register("chunks_udtf", Chunks)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word "
+        "FROM __udtf_docs d, LATERAL chunks_udtf(d.text) c"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # sketch depth (independent hash rows)
+_CMS_W = 1024  # counters per row
+_CMS_TOPK = 20
+
+
+def _cms_pos_duck(word_sql: str, j: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat({word_sql}, '#cms{j}')), 1, 15)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+_CMS_TOKENS_SQL = f"""
+    SELECT unnest(words) AS word
+    FROM (SELECT {WORDS_SQL} AS words FROM documents)
+"""
+
+_CMS_SKETCH_SQL = " UNION ALL ".join(
+    f"SELECT {j} AS depth, {_cms_pos_duck('word', j)} AS pos, "
+    f"count(*) AS cnt FROM toks GROUP BY depth, pos"
+    for j in range(_CMS_D)
+)
+
+_CMS_CAND_POS = ", ".join(
+    f"{_cms_pos_duck('word', j)} AS pos{j}" for j in range(_CMS_D)
+)
+_CMS_MIN_EXPR = "least(" + ", ".join(
+    f"(SELECT cnt FROM sketch s WHERE s.depth = {j} AND s.pos = c.pos{j})"
+    for j in range(_CMS_D)
+) + ")"
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS ({_CMS_TOKENS_SQL}),
+         sketch AS ({_CMS_SKETCH_SQL}),
+         exact AS (
+            SELECT word, count(*) AS exact_cnt FROM toks GROUP BY word
+            ORDER BY exact_cnt DESC, word LIMIT {_CMS_TOPK}
+         ),
+         c AS (SELECT word, exact_cnt, {_CMS_CAND_POS} FROM exact)
+    SELECT word, exact_cnt, CAST({_CMS_MIN_EXPR} AS BIGINT) AS cms_estimate
+    FROM c
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, read back for the
+    exact top-20 words (estimate >= exact always; collisions show as
+    overestimates).
+
+    100 TB: the sketch is a FIXED d x w = 4x1024 counter grid no
+    matter the corpus size — each depth row is one map-side-combinable
+    groupBy, shards merge by summing counters (the same exchangeable-
+    dataset property as the HLL register table, sketches.py). The
+    read-back join touches d rows per candidate. The exact top-k here
+    is the oracle's ground truth at test scale; at 100 TB one keeps
+    ONLY the sketch and a candidate stream.
+    """
+    from .functions.text import hash60, normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
+    )
+    sketch = None
+    for j in range(_CMS_D):
+        part = toks.select(
+            F.lit(j).alias("depth"),
+            (
+                hash60(F.concat(F.col("word"), F.lit(f"#cms{j}"))) % _CMS_W
+            ).alias("pos"),
+        ).groupBy("depth", "pos").agg(F.count("*").alias("cnt"))
+        sketch = part if sketch is None else sketch.unionByName(part)
+    exact = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "word")
+        .limit(_CMS_TOPK)
+    )
+    cand = exact.select(
+        "word",
+        "exact_cnt",
+        *[
+            (hash60(F.concat(F.col("word"), F.lit(f"#cms{j}"))) % _CMS_W).alias(
+                f"pos{j}"
+            )
+            for j in range(_CMS_D)
+        ],
+    )
+    out = cand
+    for j in range(_CMS_D):
+        sj = sketch.filter(F.col("depth") == j).select(
+            F.col("pos").alias(f"pos{j}"), F.col("cnt").alias(f"cnt{j}")
+        )
+        out = out.join(F.broadcast(sj), f"pos{j}", "left")
+    return out.select(
+        "word",
+        "exact_cnt",
+        F.least(*[F.col(f"cnt{j}") for j in range(_CMS_D)]).alias("cms_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal hour-of-day profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_hourly_profile",
+    oracle="""
+    SELECT event_type, hod, n_events,
+           CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+           value_sum_e4
+    FROM (
+        SELECT event_type, hod, count(*) AS n_events,
+               sum(count(*)) OVER (PARTITION BY event_type) AS total,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_sum_e4
+        FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hod, value
+              FROM events)
+        GROUP BY event_type, hod
+    )
+    """,
+)
+def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event_type: event counts, each
+    hour's traffic share in ppm (integer-exact), and the fixed-point
+    value mass (x10^4 bigints — the engine's standard float-free
+    pattern, cf. timeseries_gapfill_hourly).
+
+    100 TB: one groupBy on (event_type, hod) — 120 output groups —
+    with map-side partial aggregation doing virtually all the work;
+    the share window runs over 24 rows per type. This profile is the
+    baseline input to the anomaly scan (timeseries_anomaly_hours).
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    grouped = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("int").alias("hod"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v_e4"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").alias("n_events"), F.sum("v_e4").alias("value_sum_e4"))
+    )
+    w = Window.partitionBy("event_type")
+    return grouped.select(
+        "event_type",
+        "hod",
+        "n_events",
+        F.expr(
+            "CAST(n_events * 1000000 div sum(n_events) "
+            "OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("share_ppm"),
+        "value_sum_e4",
     )

@@ -130,3 +130,50 @@ def test_interval_join_dedupes_bucket_spanning_pairs(spark):
         1,
         1,
     )
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """CMS structural guarantee: min over depth rows >= exact count for
+    every candidate (collisions only ADD)."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = [(i, f"w{i % 7} common word", "en", "s", 10) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = QUERIES["cms_heavy_hitters"].fn(spark, d).collect()
+    assert out, "no heavy hitters returned"
+    for r in out:
+        assert r.cms_estimate >= r.exact_cnt, (r.word, r.exact_cnt, r.cms_estimate)
+    by_word = {r.word: r for r in out}
+    assert by_word["common"].exact_cnt == 200
+    assert by_word["word"].exact_cnt == 200
+
+
+def test_udtf_chunk_rows_shape(spark):
+    """120-word doc -> chunks of 50/50/20; chunk first words line up
+    with the normalized word stream."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    text = "  " + "  ".join(f"W{i}" for i in range(120))  # messy whitespace+case
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = sorted(
+            QUERIES["udtf_chunk_rows"].fn(spark, d).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+    assert [(r.chunk_idx, r.n_words, r.first_word) for r in rows] == [
+        (0, 50, "w0"),
+        (1, 50, "w50"),
+        (2, 20, "w100"),
+    ]
