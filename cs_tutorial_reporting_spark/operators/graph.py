@@ -1,0 +1,135 @@
+"""[EXT] Relational graph algorithms: fixed-point PageRank over a
+weighted edge list.
+
+Iterative algorithms on Spark are plan-unrolled joins: each PageRank
+iteration is one (edges x ranks) hash join + one groupBy — the
+classic GraphX/Pregel dataflow expressed in plain DataFrame algebra so
+Catalyst plans it and the DuckDB oracle can replay it as unrolled
+CTEs. All arithmetic is integer ppm (parts-per-million) with
+truncating division, so every engine reproduces ranks bit-for-bit;
+the truncation loses <= 1 ppm per edge per iteration (documented
+contract — this is a RANKING primitive, not a numerics benchmark).
+
+Scale design (100 TB): per iteration the edge list is the only large
+operand — one shuffle by src to attach ranks, one shuffle by dst to
+sum inflows; ranks/out-weights are node-sized. On a real cluster the
+rank frame should be checkpointed every few iterations to truncate
+lineage (local tests unroll 5 iterations, well under plan limits).
+Dangling nodes (no out-edges) keep their damped base share; their
+residual mass is dropped, not redistributed (standard simplification;
+documented).
+
+Reference: no graph surface in the reference engine — this extends
+the training-pipeline mandate (graph-shaped data curation: site rank
+for crawl prioritization, transition salience).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+DAMPING_PPM = 850_000
+
+
+def pagerank_ppm(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    iters: int = 5,
+) -> DataFrame:
+    """Weighted PageRank in exact ppm integer arithmetic.
+
+    rank0 = PPM div N for every node;
+    inflow(v) = sum over edges u->v of (rank(u) * w) div out_w(u);
+    rank'(v) = (PPM - DAMPING) div N + (DAMPING * inflow(v)) div PPM.
+
+    The node count N is a bounded driver scalar (one count over the
+    node frame — the codebook-collect pattern, not a hot-path
+    collect).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    base = (PPM - DAMPING_PPM) // n
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("__out_w"))
+    e = edges.join(out_w, src).select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(weight).cast("bigint").alias("__w"),
+        F.col("__out_w").cast("bigint"),
+    )
+    ranks = nodes.select(
+        "node", F.lit(PPM // n).cast("bigint").alias("rank_ppm")
+    )
+    for _ in range(iters):
+        inflow = (
+            e.join(ranks, e.__src == ranks.node)
+            .select(
+                F.col("__dst").alias("node"),
+                F.expr("(rank_ppm * __w) div __out_w").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(
+                    f"({DAMPING_PPM} * coalesce(__inflow, CAST(0 AS BIGINT)))"
+                    f" div {PPM}"
+                )
+            ).alias("rank_ppm"),
+        )
+    return ranks
+
+
+def pagerank_ppm_sql(
+    edges_sql: str, src: str, dst: str, weight: str, iters: int = 5
+) -> str:
+    """DuckDB twin: the same iteration unrolled as CTEs r0..r{iters}.
+
+    Single-sourced constants (PPM/DAMPING) so the two engines cannot
+    drift; `//` on non-negative hugeints floors exactly like Spark's
+    `div` on bigints.
+    """
+    ctes = [
+        f"edges AS ({edges_sql})",
+        f"nodes AS (SELECT DISTINCT node FROM (SELECT {src} AS node FROM edges"
+        f" UNION SELECT {dst} FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"outw AS (SELECT {src} AS src, CAST(sum({weight}) AS BIGINT) AS out_w"
+        f" FROM edges GROUP BY {src})",
+        "r0 AS (SELECT node, CAST(1000000 // (SELECT n FROM nn) AS BIGINT)"
+        " AS rank_ppm FROM nodes)",
+    ]
+    base = f"({PPM - DAMPING_PPM} // (SELECT n FROM nn))"
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+            SELECT n.node,
+                   CAST({base} + ({DAMPING_PPM} *
+                        COALESCE(inf.inflow, 0)) // {PPM} AS BIGINT)
+                       AS rank_ppm
+            FROM nodes n LEFT JOIN (
+                SELECT e.{dst} AS node,
+                       CAST(sum((r.rank_ppm * e.{weight}) // o.out_w)
+                            AS BIGINT) AS inflow
+                FROM edges e
+                JOIN {prev} r ON r.node = e.{src}
+                JOIN outw o ON o.src = e.{src}
+                GROUP BY e.{dst}
+            ) inf ON inf.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_ppm FROM r{iters}"
+    )

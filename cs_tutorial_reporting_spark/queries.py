@@ -1098,6 +1098,9 @@ _DEMOTED_TAIL: list[str] = [
     "udtf_chunk_rows",          # UDTF surface ⊂ doc_chunking_stats (expression twin)
     "cms_heavy_hitters",        # count-min grid ⊂ vocab/tfidf + hll sketch family
     "seasonal_hourly_profile",  # hod baseline ⊂ timeseries_anomaly/gapfill family
+    "pagerank_event_graph",     # unrolled iterative joins ⊂ transition matrix family
+    "histogram_quantile_sketch",  # mergeable bins ⊂ percentile_stats (bench)
+    "prefix_filter_jaccard_pairs",  # AllPairs prefix ⊂ minhash (bench, probabilistic twin)
 ]
 
 _CHECK_WINDOW = 50

@@ -565,3 +565,258 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_ppm"),
         "value_sum_e4",
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-transition graph
+# ---------------------------------------------------------------------------
+
+_TRANSITION_EDGES_SQL = """
+    SELECT event_type AS src, next_type AS dst,
+           CAST(count(*) AS BIGINT) AS w
+    FROM (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+"""
+
+
+@register(
+    "pagerank_event_graph",
+    oracle=None,  # assigned right below from the single-sourced generator
+)
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, ppm fixed point) over the first-order
+    event-transition graph — which event types are behavioral sinks
+    once transition volume is walked, not just counted.
+
+    100 TB: the transition edge list aggregates out of one window pass
+    (the event_transition_matrix plan); each iteration then joins
+    node-sized ranks to the edge list — two hash shuffles per
+    iteration, both keyed on node ids, never on raw events. See
+    operators/graph.py for the checkpoint-per-k-iterations note.
+    """
+    from pyspark.sql import Window
+
+    from .operators.graph import pagerank_ppm
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank_ppm(edges, "src", "dst", "w", iters=5)
+
+
+def _install_pagerank_oracle() -> None:
+    from .operators.graph import pagerank_ppm_sql
+    from .queries import QUERIES
+
+    QUERIES["pagerank_event_graph"].oracle = pagerank_ppm_sql(
+        _TRANSITION_EDGES_SQL, "src", "dst", "w", iters=5
+    )
+
+
+_install_pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(max(tot) AS BIGINT) AS n,
+           min(CASE WHEN cum * 100 >= tot * 50 THEN bin END) AS p50_bin,
+           min(CASE WHEN cum * 100 >= tot * 95 THEN bin END) AS p95_bin
+    FROM (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM (
+            SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type, bin
+        )
+    )
+    GROUP BY event_type
+    """,
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 per event_type from a fixed-width histogram
+    (bin = floor(value*10), 0.1 resolution): the mergeable-quantile
+    pattern — shards keep (bin, count) grids, merge = sum, quantile =
+    first bin whose cumulative count crosses the target percentile
+    (integer cross-multiplication, no float division).
+
+    100 TB: the histogram is one map-combined groupBy whose state is
+    O(distinct bins), not O(rows) — the same state-bound argument as
+    the exact two-pass percentile (operators/percentile.py), but with
+    a sketch that shards can merge without a second pass over raw
+    data. The cumulative window runs over bins, never rows.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(floor(value * 10) AS BIGINT)").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wtot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("tot"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("tot").alias("n"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("tot") * 50, F.col("bin"))).alias(
+            "p50_bin"
+        ),
+        F.min(F.when(F.col("cum") * 100 >= F.col("tot") * 95, F.col("bin"))).alias(
+            "p95_bin"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter exact Jaccard self-join (AllPairs/PPJoin prefix)
+# ---------------------------------------------------------------------------
+
+_PFX_T_NUM, _PFX_T_DEN = 6, 10  # Jaccard threshold 0.6
+#: prefix length for |set| = n at threshold t: n - ceil(t*n) + 1
+#: (DuckDB `//` and Spark `div` spellings of the same floor division)
+_PFX_LEN = f"(n - ({_PFX_T_NUM} * n + {_PFX_T_DEN - 1}) // {_PFX_T_DEN} + 1)"
+_PFX_LEN_SPARK = (
+    f"(n - ({_PFX_T_NUM} * n + {_PFX_T_DEN - 1}) div {_PFX_T_DEN} + 1)"
+)
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(words) - 2, 1) + 1),
+            i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS s
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    ),
+    toks AS (SELECT doc_id, unnest(s) AS tok FROM sets),
+    freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+    ranked AS (SELECT tok, row_number() OVER (ORDER BY f, tok) AS rk FROM freq),
+    docw AS (
+        SELECT t.doc_id, list_sort(list(r.rk)) AS rks, count(*) AS n
+        FROM toks t JOIN ranked r USING (tok) GROUP BY t.doc_id
+    ),
+    pref AS (
+        SELECT doc_id, unnest(rks[1 : CAST({_PFX_LEN} AS BIGINT)]) AS p
+        FROM docw
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jac_ppm
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(da.rks, db.rks)) * 1000000
+                   // (da.n + db.n - len(list_intersect(da.rks, db.rks)))
+                   AS jac_ppm
+        FROM cand c
+        JOIN docw da ON da.doc_id = c.doc_a
+        JOIN docw db ON db.doc_id = c.doc_b
+    )
+    WHERE jac_ppm >= {_PFX_T_NUM * 100_000}
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.6 shingle-set self-join via AllPairs prefix
+    filtering (Xiao et al., WWW'08 — the deterministic complement to
+    the probabilistic MinHash-LSH candidate generation in
+    operators/dedup.py): order tokens by ascending global frequency;
+    a pair at threshold t MUST share a token within each side's first
+    n - ceil(t*n) + 1 rarest tokens, so the candidate join runs over
+    rare-token posting lists only (measured at sf0.01: 165 candidates
+    from 124,750 possible pairs, 25 survivors).
+
+    100 TB: the prefix join is an equi-join on rare tokens (posting
+    lists short BY CONSTRUCTION — frequency ordering puts the common
+    boilerplate shingles outside every prefix, the exact opposite of
+    the naive any-shared-token join). The global token ranking is a
+    sort of the VOCABULARY (corpus-sublinear); the verify step
+    touches candidate pairs only. Integer ppm verdicts as everywhere.
+    """
+    from pyspark.sql import Window
+
+    from .operators.dedup import shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("s"))
+    toks = sets.select("doc_id", F.explode("s").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    # vocabulary-sized global sort (single-partition window is fine at
+    # vocab scale; corpus-sublinear — see docstring)
+    ranked = freq.select(
+        "tok", F.row_number().over(Window.orderBy("f", "tok")).alias("rk")
+    )
+    docw = (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("rk")).alias("rks"),
+            F.count("*").alias("n"),
+        )
+    )
+    pref = docw.select(
+        "doc_id",
+        F.explode(F.expr(f"slice(rks, 1, CAST({_PFX_LEN_SPARK} AS INT))")).alias(
+            "p"
+        ),
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "p")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "p")
+    cand = (
+        a.join(b, "p")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = docw.select(
+        F.col("doc_id").alias("doc_a"), F.col("rks").alias("rks_a"), F.col("n").alias("n_a")
+    )
+    db = docw.select(
+        F.col("doc_id").alias("doc_b"), F.col("rks").alias("rks_b"), F.col("n").alias("n_b")
+    )
+    scored = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(array_intersect(rks_a, rks_b)) * CAST(1000000 AS BIGINT)"
+                " div (n_a + n_b - size(array_intersect(rks_a, rks_b)))"
+            ).alias("jac_ppm"),
+        )
+    )
+    return scored.filter(F.col("jac_ppm") >= _PFX_T_NUM * 100_000)

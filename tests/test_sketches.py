@@ -177,3 +177,71 @@ def test_udtf_chunk_rows_shape(spark):
         (1, 50, "w50"),
         (2, 20, "w100"),
     ]
+
+
+def test_pagerank_ppm_hand_computed_two_nodes(spark):
+    """A->B (B dangling): after >=2 iterations ranks reach the fixed
+    point rank(A)=base=75000, rank(B)=base+0.85*base=138750 — exact in
+    ppm integer arithmetic."""
+    from cs_tutorial_reporting_spark.operators.graph import pagerank_ppm
+
+    edges = spark.createDataFrame([("A", "B", 1)], "src string, dst string, w bigint")
+    out = {r.node: r.rank_ppm for r in pagerank_ppm(edges, "src", "dst", "w", iters=5).collect()}
+    assert out == {"A": 75000, "B": 138750}
+
+
+def test_prefix_filter_is_lossless_vs_brute_force(spark):
+    """The AllPairs prefix join must find EXACTLY the pairs a brute-
+    force all-pairs Jaccard scan finds (prefix filtering is a lossless
+    candidate reduction, not an approximation)."""
+    import duckdb
+
+    from cs_tutorial_reporting_spark.duck_sql import WORDS_SQL
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_a, r.doc_b, r.jac_ppm)
+        for r in QUERIES["prefix_filter_jaccard_pairs"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    brute = con.execute(f"""
+        WITH sets AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(words) - 2, 1) + 1),
+                i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS s
+            FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+        )
+        SELECT a.doc_id, b.doc_id,
+               len(list_intersect(a.s, b.s)) * 1000000
+                   // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1000000
+                  // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= 600000
+    """).fetchall()
+    assert got == {(a, b, j) for a, b, j in brute}
+
+
+def test_histogram_quantile_crossing_boundary(spark):
+    """cum*100 >= tot*50 at EXACTLY half the mass must pick that bin
+    (>=, not >): two bins of equal count -> p50 is the lower bin."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "view", v, "{}")
+            for i, v in enumerate([0.55] * 5 + [1.25] * 5)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        r = QUERIES["histogram_quantile_sketch"].fn(spark, d).collect()[0]
+    assert (r.n, r.p50_bin, r.p95_bin) == (10, 5, 12)
