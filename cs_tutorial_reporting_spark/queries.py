@@ -1101,6 +1101,9 @@ _DEMOTED_TAIL: list[str] = [
     "pagerank_event_graph",     # unrolled iterative joins ⊂ transition matrix family
     "histogram_quantile_sketch",  # mergeable bins ⊂ percentile_stats (bench)
     "prefix_filter_jaccard_pairs",  # AllPairs prefix ⊂ minhash (bench, probabilistic twin)
+    "streaming_hll_distinct",   # bounded-state stream distinct ⊂ streaming_hourly (bench)
+    "window_rank_spectrum",     # ntile/percent_rank/cume_dist ⊂ window_topk (bench)
+    "posting_gap_encode_stats", # varint audit ⊂ inverted_index/search family
 ]
 
 _CHECK_WINDOW = 50

@@ -820,3 +820,212 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("jac_ppm") >= _PFX_T_NUM * 100_000)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: bounded-state distinct counting in Structured Streaming
+# ---------------------------------------------------------------------------
+
+_SHLL_FROM = (
+    "(SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,"
+    " event_type, user_id FROM events) src"
+)
+_SHLL_REG = hll_registers_sql(
+    key_sql="CAST(user_id AS VARCHAR)",
+    from_sql=_SHLL_FROM,
+    group_sql="day_ms, event_type",
+)
+_SHLL_EST = hll_estimate_sql(_SHLL_REG, group_sql="day_ms, event_type")
+
+
+@register(
+    "streaming_hll_distinct",
+    oracle=f"""
+    SELECT h.day_ms, h.event_type, h.n_registers, h.hll_estimate,
+           x.exact_distinct
+    FROM ({_SHLL_EST}) h
+    JOIN (SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+                 event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY day_ms, event_type) x
+      USING (day_ms, event_type)
+    """,
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users per event_type, estimated by the portable
+    HLL sketch INSIDE Structured Streaming: the register stream is a
+    plain windowed ``max`` aggregation, so streaming state is bounded
+    at windows x groups x 64 registers — the sketch turns streaming
+    COUNT DISTINCT (whose exact form needs every key in state, the
+    dropDuplicates problem) into a fixed-size-state aggregation.
+
+    Drained complete-mode to a memory table; the estimate and the
+    exact-batch comparison run on the materialized registers. 100 TB:
+    identical topology — the stream shuffles (day, type, reg) maxes,
+    never user ids.
+    """
+    from .operators.sketches import hll_registers as _regs
+    from .streaming.sessions import read_event_stream, run_to_memory
+
+    name = "stream_hll_gate"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet").withColumn(
+        "w", F.window("ts", "1 day")
+    )
+    reg_stream = _regs(stream, ["w", "event_type"], "user_id")
+    run_to_memory(reg_stream, name, output_mode="complete")
+    regs = spark.table(name)
+    est = hll_estimate(regs, ["w", "event_type"]).select(
+        (F.unix_timestamp(F.col("w.start")) * 1000).alias("day_ms"),
+        "event_type",
+        "n_registers",
+        "hll_estimate",
+    )
+    ev = t(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("day", "ts")) * 1000).alias("day_ms"),
+        "event_type",
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return est.join(exact, ["day_ms", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Rank-function spectrum (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_spectrum",
+    oracle="""
+    SELECT event_type, quartile, count(*) AS n,
+           CAST(floor(min(pr) * 1000000 + 0.5) AS BIGINT) AS min_pr_e6,
+           CAST(floor(max(cd) * 1000000 + 0.5) AS BIGINT) AS max_cd_e6
+    FROM (
+        SELECT event_type,
+               ntile(4) OVER wv AS quartile,
+               percent_rank() OVER wv AS pr,
+               cume_dist() OVER wv AS cd
+        FROM events
+        WINDOW wv AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    GROUP BY event_type, quartile
+    """,
+)
+def window_rank_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family (ntile, percent_rank, cume_dist) over a
+    deterministic (value, event_id) order, folded to per-quartile
+    stats. percent_rank/cume_dist are exact rationals evaluated with
+    the identical IEEE divide in both engines; the e6 fixed-point
+    round is the engine's standard float-boundary guard.
+
+    100 TB: one shuffle on event_type; within-partition sort feeds all
+    three rank functions from the same window frame.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.ntile(4).over(wv).alias("quartile"),
+        F.percent_rank().over(wv).alias("pr"),
+        F.cume_dist().over(wv).alias("cd"),
+    )
+    return ranked.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(floor(min(pr) * 1000000 + 0.5) AS BIGINT)").alias(
+            "min_pr_e6"
+        ),
+        F.expr("CAST(floor(max(cd) * 1000000 + 0.5) AS BIGINT)").alias(
+            "max_cd_e6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Posting-list delta (varint) compression audit
+# ---------------------------------------------------------------------------
+
+_VARINT_BYTES = """
+    CASE WHEN gap < 128 THEN 1
+         WHEN gap < 16384 THEN 2
+         WHEN gap < 2097152 THEN 3
+         WHEN gap < 268435456 THEN 4
+         ELSE 5 END
+"""
+
+
+@register(
+    "posting_gap_encode_stats",
+    oracle=f"""
+    SELECT band, count(*) AS n_terms,
+           CAST(sum(n_postings) AS BIGINT) AS total_postings,
+           CAST(sum(raw_bytes) AS BIGINT) AS raw_bytes,
+           CAST(sum(varint_bytes) AS BIGINT) AS varint_bytes,
+           CAST(sum(varint_bytes) * 1000000 // sum(raw_bytes) AS BIGINT)
+               AS ratio_ppm
+    FROM (
+        SELECT tok, count(*) AS n_postings,
+               count(*) * 8 AS raw_bytes,
+               CAST(sum({_VARINT_BYTES}) AS BIGINT) AS varint_bytes,
+               length(bin(count(*))) - 1 AS band
+        FROM (
+            SELECT tok, doc_id,
+                   doc_id - coalesce(lag(doc_id) OVER (
+                       PARTITION BY tok ORDER BY doc_id), 0) AS gap
+            FROM (
+                SELECT DISTINCT tok, doc_id
+                FROM (SELECT doc_id, unnest({WORDS_SQL}) AS tok
+                      FROM documents)
+            )
+        )
+        GROUP BY tok
+    )
+    GROUP BY band
+    """,
+)
+def posting_gap_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta + varint compression audit for word posting lists, grouped
+    by posting-length band (floor(log2) via ``length(bin(n)) - 1`` —
+    the engine's no-float-log idiom): gap-encode each sorted posting
+    list, cost each gap at LEB128 varint width, report bytes saved vs
+    raw 8-byte ids per band.
+
+    100 TB: this is the storage model for the inverted-index family
+    (operators/search.py) — posting lists sorted by doc_id gap-encode
+    to ~1-2 bytes/posting. The scan here is one distinct + one
+    window lag + two bounded aggregations, all keyed on term.
+    """
+    from pyspark.sql import Window
+
+    from .functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).distinct()
+    wl = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = postings.select(
+        "tok",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(wl), F.lit(0).cast("bigint"))
+        ).alias("gap"),
+    )
+    per_term = gaps.groupBy("tok").agg(
+        F.count("*").alias("n_postings"),
+        (F.count("*") * 8).alias("raw_bytes"),
+        F.sum(F.expr(_VARINT_BYTES)).alias("varint_bytes"),
+    )
+    banded = per_term.withColumn(
+        "band", F.expr("length(bin(n_postings)) - 1")
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("n_postings").alias("total_postings"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("varint_bytes").alias("varint_bytes"),
+        F.expr(
+            "CAST(sum(varint_bytes) * CAST(1000000 AS BIGINT)"
+            " div sum(raw_bytes) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )

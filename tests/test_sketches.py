@@ -245,3 +245,39 @@ def test_histogram_quantile_crossing_boundary(spark):
         df.write.parquet(f"{d}/events.parquet")
         r = QUERIES["histogram_quantile_sketch"].fn(spark, d).collect()[0]
     assert (r.n, r.p50_bin, r.p95_bin) == (10, 5, 12)
+
+
+def test_streaming_hll_registers_equal_batch(spark):
+    """The streaming register table (complete mode, windowed max) must
+    equal the batch hll_registers over the same day windows — the
+    bounded-state equivalence the streaming sketch rests on."""
+    from cs_tutorial_reporting_spark.operators.sketches import hll_registers
+    from cs_tutorial_reporting_spark.queries import QUERIES
+    from cs_tutorial_reporting_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    # run the streaming query (drains to memory; returns estimates)
+    QUERIES["streaming_hll_distinct"].fn(spark, sf).collect()
+    stream_regs = {
+        (r.w.start, r.event_type, r.reg, r.max_rho)
+        for r in spark.table("stream_hll_gate").collect()
+    }
+    ev = load_table(spark, sf, "events").withColumn(
+        "w", F.window("ts", "1 day")
+    )
+    batch_regs = {
+        (r.w.start, r.event_type, r.reg, r.max_rho)
+        for r in hll_registers(ev, ["w", "event_type"], "user_id").collect()
+    }
+    assert stream_regs == batch_regs
+
+
+def test_varint_width_boundaries(spark):
+    """LEB128 width cases at the exact 7-bit boundaries."""
+    from cs_tutorial_reporting_spark.queries_scale import _VARINT_BYTES
+
+    rows = spark.createDataFrame(
+        [(127,), (128,), (16383,), (16384,), (2097151,), (2097152,)],
+        "gap bigint",
+    ).select(F.expr(_VARINT_BYTES).alias("b")).collect()
+    assert [r.b for r in rows] == [1, 2, 2, 3, 3, 4]
