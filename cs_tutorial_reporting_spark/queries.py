@@ -1104,6 +1104,10 @@ _DEMOTED_TAIL: list[str] = [
     "streaming_hll_distinct",   # bounded-state stream distinct ⊂ streaming_hourly (bench)
     "window_rank_spectrum",     # ntile/percent_rank/cume_dist ⊂ window_topk (bench)
     "posting_gap_encode_stats", # varint audit ⊂ inverted_index/search family
+    "bm25_rank_topk",           # integer-rational ranked retrieval ⊂ search/tfidf family
+    "user_behavior_gini",       # log-free diversity ⊂ agg/diagnostics family
+    "pareto_revenue_coverage",  # cumulative-share window ⊂ q15/top-supplier family
+    "scd2_interval_stats",      # change-point intervals ⊂ sessionize/asof family
 ]
 
 _CHECK_WINDOW = 50

@@ -1029,3 +1029,301 @@ def posting_gap_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(raw_bytes) AS BIGINT)"
         ).alias("ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (integer-rational contract)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "merge", "window")
+_BM25_TOPK = 10
+# k1 = 12/10, b = 3/4 folded into one integer formula (see docstring):
+#   tfn_ppm = 44*tf*T*1e6 / (20*tf*T + 6*T + 18*dl*N)
+#   idf_e6  = (2*(N-df)+1)*1e6 / (2*df+1)   — Robertson ratio WITHOUT the
+#             log (a monotone rational surrogate: fully integer-portable;
+#             this corpus' 31-word vocabulary makes log-idf degenerate —
+#             floor-log2 zeroes every term except the rare marker)
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_rank_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(words) AS tok
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS t_total,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM toks),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ((2 * (c.n_docs - df.df) + 1) * 1000000 // (2 * df.df + 1))
+                   * (44 * tf.tf * c.t_total * 1000000
+                      // (20 * tf.tf * c.t_total + 6 * c.t_total
+                          + 18 * dl.dl * c.n_docs))
+                   // 1000000
+               ) AS BIGINT) AS bm25_e6
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), corpus c
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25_e6 FROM scored
+    ORDER BY bm25_e6 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query, every factor an
+    integer rational so both engines rank identically: k1=1.2 and
+    b=0.75 fold into tfn = 44*tf*T / (20*tf*T + 6*T + 18*dl*N) (T =
+    corpus tokens, N = docs — avgdl never materializes as a float),
+    idf is the Robertson ratio (2(N-df)+1)/(2df+1) in e6 fixed point
+    WITHOUT the log (documented surrogate: monotone in rarity,
+    integer-portable; see oracle comment for why log-idf degenerates
+    on this corpus).
+
+    100 TB: tf/df/dl are the inverted-index aggregates
+    (operators/search.py ingest artifacts); scoring touches only
+    postings of the query terms; corpus totals are a 1-row broadcast
+    (the engine's scalar-crossJoin pattern). Ranking the candidate
+    set is a top-k, not a global sort.
+    """
+    from .functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = toks.agg(
+        F.count("*").cast("bigint").alias("t_total"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    q = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = q.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = q.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                "((2 * (n_docs - df) + 1) * CAST(1000000 AS BIGINT)"
+                " div (2 * df + 1))"
+                " * (44 * tf * t_total * CAST(1000000 AS BIGINT)"
+                "    div (20 * tf * t_total + 6 * t_total + 18 * dl * n_docs))"
+                " div 1000000"
+            ).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("bm25_e6"))
+    )
+    return scored.orderBy(F.desc("bm25_e6"), "doc_id").limit(_BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity (Gini impurity — log-free entropy surrogate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_behavior_gini",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS total_events,
+           CAST((1000000 * (sum(cnt) * sum(cnt) - sum(cnt * cnt)))
+                // (sum(cnt) * sum(cnt)) AS BIGINT) AS gini_ppm
+    FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY user_id, event_type)
+    GROUP BY user_id
+    """,
+)
+def user_behavior_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as Gini impurity
+    1 - sum(p_i^2) in exact ppm integer arithmetic — the log-free
+    surrogate for Shannon entropy (cross-engine ln() is not
+    bit-portable; squared rationals are). 0 = single-type user,
+    -> 800000 = uniform over 5 types.
+
+    100 TB: two map-combinable aggregations keyed on user — no joins,
+    no windows; the inner (user, type) groupBy caps state at
+    users x types.
+    """
+    ev = t(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return cnts.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.expr(
+            "CAST((1000000 * (sum(cnt) * sum(cnt) - sum(cnt * cnt)))"
+            " div (sum(cnt) * sum(cnt)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue coverage (80/20 analysis)
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "pareto_revenue_coverage",
+    oracle=f"""
+    WITH sup_rev AS (
+        SELECT s.s_nationkey, l.l_suppkey, CAST(sum({_CENTS}) AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    ranked AS (
+        SELECT n.n_name, r.l_suppkey, r.cents,
+               sum(r.cents) OVER (PARTITION BY r.s_nationkey
+                   ORDER BY r.cents DESC, r.l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(r.cents) OVER (PARTITION BY r.s_nationkey) AS total
+        FROM sup_rev r JOIN nation n ON n.n_nationkey = r.s_nationkey
+    )
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(max(total) AS BIGINT) AS revenue_cents,
+           CAST(count(*) FILTER (WHERE (cum - cents) * 5 < total * 4)
+                AS BIGINT) AS n_to_80pct,
+           CAST(max(cents) * 1000000 // max(total) AS BIGINT) AS top1_share_ppm
+    FROM ranked
+    GROUP BY n_name
+    """,
+)
+def pareto_revenue_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per nation: how many top suppliers cover
+    80% of lineitem revenue (cents fixed point; the crossing test is
+    prev_cum*5 < total*4 — integer cross-multiplication on the
+    cumulative window).
+
+    100 TB: one fact shuffle on suppkey, broadcast supplier/nation
+    dims, then a per-nation window over SUPPLIERS (dim-sized, never
+    fact-sized). The revenue-desc sort is within nation partitions.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    sup_rev = (
+        li.select("l_suppkey", F.expr(_CENTS).alias("cents"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    wcum = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("cents"), "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("s_nationkey")
+    ranked = sup_rev.select(
+        "n_name",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtot).alias("total"),
+    )
+    return ranked.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.max("total").cast("bigint").alias("revenue_cents"),
+        F.sum(
+            F.when((F.col("cum") - F.col("cents")) * 5 < F.col("total") * 4, 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_to_80pct"),
+        F.expr(
+            "CAST(max(cents) * CAST(1000000 AS BIGINT) div max(total) AS BIGINT)"
+        ).alias("top1_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval derivation (type-2 history from an event log)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_interval_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, event_type, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN valid_to IS NOT NULL
+                    THEN epoch_ms(valid_to) - epoch_ms(ts) END) AS BIGINT)
+               AS closed_dwell_ms,
+           CAST(max(CASE WHEN valid_to IS NOT NULL
+                    THEN epoch_ms(valid_to) - epoch_ms(ts) END) AS BIGINT)
+               AS longest_dwell_ms
+    FROM versions
+    GROUP BY user_id
+    """,
+)
+def scd2_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension derivation from the raw event
+    log: collapse each user's stream to CHANGE points (event_type !=
+    previous), stamp validity intervals [ts, next_change_ts), report
+    version counts and dwell times (the open tail excluded from dwell
+    sums; deterministic (ts, event_id) ordering).
+
+    100 TB: the change-point filter runs inside the same per-user
+    window pass that stamps valid_to — one shuffle on user_id total;
+    version rows (the SCD2 table) are a fraction of event rows, and
+    downstream dwell aggregation is map-combinable.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    versions = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        "ts",
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    dwell = F.when(
+        F.col("valid_to").isNotNull(),
+        F.unix_millis("valid_to") - F.unix_millis("ts"),
+    )
+    return versions.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_versions"),
+        F.sum(dwell).cast("bigint").alias("closed_dwell_ms"),
+        F.max(dwell).cast("bigint").alias("longest_dwell_ms"),
+    )

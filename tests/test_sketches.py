@@ -281,3 +281,92 @@ def test_varint_width_boundaries(spark):
         "gap bigint",
     ).select(F.expr(_VARINT_BYTES).alias("b")).collect()
     assert [r.b for r in rows] == [1, 2, 2, 3, 3, 4]
+
+
+def _write_docs(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{d}/documents.parquet")
+
+
+def test_bm25_saturation_and_exclusion(spark):
+    """More matches rank higher (2x 'dup' > 1x 'dup' at equal dl);
+    docs containing no query term never appear."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, [
+            (1, "dup dup pad pad", "en", "s", 10),
+            (2, "dup pad pad pad", "en", "s", 10),
+            (3, "pad pad pad pad", "en", "s", 10),
+        ])
+        rows = QUERIES["bm25_rank_topk"].fn(spark, d).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids
+    s = {r.doc_id: r.bm25_e6 for r in rows}
+    assert s[1] > s[2] > 0
+
+
+def test_gini_extremes(spark):
+    """Single-type user -> 0; uniform over 5 types -> exactly 800000."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "view", 0.0, "{}") for i in range(10)]
+    rows += [
+        (100 + i, t0, 2, et, 0.0, "{}")
+        for i, et in enumerate(
+            ["view", "click", "signup", "error", "purchase"] * 2
+        )
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        from cs_tutorial_reporting_spark.queries import QUERIES
+
+        out = {
+            r.user_id: r.gini_ppm
+            for r in QUERIES["user_behavior_gini"].fn(spark, d).collect()
+        }
+    assert out[1] == 0
+    assert out[2] == 800000
+
+
+def test_scd2_versions_and_dwell(spark):
+    """view(0m) -> view(5m) -> click(10m) -> view(20m): 3 versions;
+    closed dwell = 10m + 10m; open tail excluded."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + 5 * m, 1, "view"),
+        (3, t0 + 10 * m, 1, "click"),
+        (4, t0 + 20 * m, 1, "view"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props",
+        ).write.parquet(f"{d}/events.parquet")
+        r = QUERIES["scd2_interval_stats"].fn(spark, d).collect()[0]
+    assert (r.n_versions, r.closed_dwell_ms, r.longest_dwell_ms) == (
+        3,
+        20 * 60 * 1000,
+        10 * 60 * 1000,
+    )
