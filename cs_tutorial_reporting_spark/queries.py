@@ -1108,6 +1108,9 @@ _DEMOTED_TAIL: list[str] = [
     "user_behavior_gini",       # log-free diversity ⊂ agg/diagnostics family
     "pareto_revenue_coverage",  # cumulative-share window ⊂ q15/top-supplier family
     "scd2_interval_stats",      # change-point intervals ⊂ sessionize/asof family
+    "skyline_orders_2d",        # window skyline vs NOT-EXISTS oracle ⊂ window family
+    "benford_digit_audit",      # first-digit screen ⊂ constraint/profile family
+    "twap_user_value",          # duration-weighted avg ⊂ gapfill/sessionize family
 ]
 
 _CHECK_WINDOW = 50

@@ -1327,3 +1327,206 @@ def scd2_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dwell).cast("bigint").alias("closed_dwell_ms"),
         F.max(dwell).cast("bigint").alias("longest_dwell_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) via running-max windows
+# ---------------------------------------------------------------------------
+
+_SKY_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "skyline_orders_2d",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey, {_SKY_CENTS} AS cents,
+               CAST(epoch_ms(o_orderdate) AS BIGINT) AS date_ms
+        FROM orders
+    ),
+    flagged AS (
+        SELECT o_orderkey, cents, date_ms,
+               max(date_ms) OVER (ORDER BY cents
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS max_d_higher,
+               max(date_ms) OVER (PARTITION BY cents) AS max_d_equal
+        FROM pts
+    )
+    SELECT o_orderkey, cents, date_ms
+    FROM flagged
+    WHERE (max_d_higher IS NULL OR max_d_higher < date_ms)
+      AND max_d_equal <= date_ms
+    """,
+)
+def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders over (price, recency): rows no other
+    order dominates in both dimensions. The Spark plan is the 2-D
+    skyline's O(n log n) formulation — ONE sort by price with two
+    running-max windows (strictly-higher-price frame via
+    rangeBetween(1, unbounded) on cents, plus an equal-price max).
+    The declarative NOT-EXISTS dominance definition is quadratic
+    (150k orders at sf0.1 = 2.25e10 comparisons — it TIMED OUT as a
+    DuckDB oracle), so the oracle mirrors the window formulation and
+    the INDEPENDENT NOT-EXISTS cross-check runs as a pytest at
+    sf0.001, where quadratic is cheap (the prefix-filter brute-force
+    pattern).
+
+    100 TB: the naive skyline is that quadratic self-join; the window
+    formulation is one range-partitioned sort. Equal (price, date)
+    duplicates don't dominate each other and all surface (standard
+    weak-dominance contract, pytest-pinned).
+    """
+    from pyspark.sql import Window
+
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(_SKY_CENTS).alias("cents"),
+        F.unix_millis("o_orderdate").alias("date_ms"),
+    )
+    # max date among STRICTLY higher-priced rows: ascending cents order,
+    # range frame starting 1 above the current price
+    w_higher = (
+        Window.orderBy("cents").rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_equal = Window.partitionBy("cents")
+    flagged = pts.select(
+        "o_orderkey",
+        "cents",
+        "date_ms",
+        F.max("date_ms").over(w_higher).alias("max_d_higher"),
+        F.max("date_ms").over(w_equal).alias("max_d_equal"),
+    )
+    return flagged.filter(
+        (F.col("max_d_higher").isNull() | (F.col("max_d_higher") < F.col("date_ms")))
+        & (F.col("max_d_equal") <= F.col("date_ms"))
+    ).select("o_orderkey", "cents", "date_ms")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+#: expected first-digit frequencies log10(1 + 1/d) in ppm — Python is
+#: the single source; both engines consume the same literals
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, start=1)
+)
+
+
+@register(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH exp(digit, exp_ppm) AS (VALUES {_BENFORD_VALUES}),
+    obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+    SELECT e.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(o.n, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(abs(coalesce(o.n, 0) * 1000000 // t.total - e.exp_ppm)
+                AS BIGINT) AS dev_ppm
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit, tot t
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) audit of order totals — the fraud/data-
+    quality screen: observed digit shares vs log10(1+1/d) expectation
+    (expectations are pinned Python ppm constants, the single source
+    for both engines), deviation in exact ppm.
+
+    100 TB: one map-combined 9-group aggregation; digit extraction is
+    a string head on the integer part — no float log anywhere.
+    """
+    ev = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    obs = (
+        ev.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+                " AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = obs.agg(F.sum("n").alias("total"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_PPM, start=1)],
+        "digit int, exp_ppm bigint",
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(coalesce(n, 0) * CAST(1000000 AS BIGINT) div total"
+                " AS BIGINT)"
+            ).alias("obs_ppm"),
+            "exp_ppm",
+            F.expr(
+                "CAST(abs(coalesce(n, 0) * CAST(1000000 AS BIGINT) div total"
+                " - exp_ppm) AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dur_ms) AS BIGINT) AS span_ms,
+           CAST(sum(v_e4 * dur_ms) // sum(dur_ms) AS BIGINT) AS twap_e4
+    FROM (
+        SELECT user_id,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+               epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) - epoch_ms(ts) AS dur_ms
+        FROM events
+    )
+    WHERE dur_ms IS NOT NULL AND dur_ms > 0
+    GROUP BY user_id
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value holds
+    until the next event (step interpolation); the average weights by
+    holding duration in ms — all integer (x10^4 values x ms weights;
+    one integral divide at the end).
+
+    100 TB: one per-user window pass to stamp durations, one
+    map-combinable aggregation. Zero-duration intervals (same-instant
+    events) are excluded rather than silently collapsing into the
+    divisor.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stamped = ev.select(
+        "user_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v_e4"),
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")).alias(
+            "dur_ms"
+        ),
+    ).filter(F.col("dur_ms").isNotNull() & (F.col("dur_ms") > 0))
+    return stamped.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("dur_ms").cast("bigint").alias("span_ms"),
+        F.expr("CAST(sum(v_e4 * dur_ms) div sum(dur_ms) AS BIGINT)").alias(
+            "twap_e4"
+        ),
+    )

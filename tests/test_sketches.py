@@ -370,3 +370,60 @@ def test_scd2_versions_and_dwell(spark):
         20 * 60 * 1000,
         10 * 60 * 1000,
     )
+
+
+def test_skyline_matches_not_exists_brute_force(spark):
+    """Independent algorithm cross-check: the window-based skyline must
+    equal the declarative NOT-EXISTS dominance scan (quadratic — run
+    at sf0.001 only)."""
+    import duckdb
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.o_orderkey, r.cents, r.date_ms)
+        for r in QUERIES["skyline_orders_2d"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    brute = con.execute("""
+        WITH pts AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(epoch_ms(o_orderdate) AS BIGINT) AS date_ms
+            FROM orders
+        )
+        SELECT o_orderkey, cents, date_ms FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.cents >= a.cents AND b.date_ms >= a.date_ms
+              AND (b.cents > a.cents OR b.date_ms > a.date_ms)
+        )
+    """).fetchall()
+    assert got == set(brute)
+    assert got, "empty skyline"
+
+
+def test_skyline_duplicate_points_both_surface(spark):
+    """Two identical non-dominated points must BOTH be in the frontier
+    (weak dominance: equal pairs don't dominate each other)."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = [
+        (1, 10, "O", 100.0, dt.datetime(2024, 1, 5), "1-URGENT"),
+        (2, 11, "O", 100.0, dt.datetime(2024, 1, 5), "1-URGENT"),
+        (3, 12, "O", 50.0, dt.datetime(2024, 1, 1), "1-URGENT"),  # dominated
+        (4, 13, "O", 40.0, dt.datetime(2024, 1, 9), "1-URGENT"),  # frontier
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        ids = {r.o_orderkey for r in QUERIES["skyline_orders_2d"].fn(spark, d).collect()}
+    assert ids == {1, 2, 4}
