@@ -49,6 +49,9 @@ GUARDED = [
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_frames",
+    # round-6 continuation: the prefix join consumes shingles() (HOF
+    # transform) downstream of heavy plan churn — same guard class
+    "prefix_filter_jaccard_pairs",
 ]
 
 #: how many registry entries to replay before checking — comfortably

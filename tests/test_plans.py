@@ -436,3 +436,39 @@ def test_gapfill_windows_share_one_sort(spark):
     assert p.count("Window") == 1, p
     assert len(re.findall(r"\bSort\b", p)) == 1, p
     assert "partial_sum" in p, p
+
+
+def test_scale_primitive_joins_stay_hash_based(spark):
+    """The round-6-continuation join shapes must never degrade to a
+    cartesian/nested-loop plan: the prefix-filter candidate join and
+    the interval bucket join are equi-joins by construction; the
+    bloom probe evaluates with NO join at all (the bitmap is a plan
+    literal)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+    from .conftest import SF_SMOKE
+
+    for name in ("prefix_filter_jaccard_pairs", "interval_bucket_join"):
+        p = QUERIES[name].fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.sketches import (
+        bloom_build_words,
+        bloom_might_contain,
+    )
+    from cs_tutorial_reporting_spark.sources.readers import load_table
+
+    dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+        .distinct()
+    )
+    words = bloom_build_words(spark, dim, "c_custkey")
+    probe = load_table(spark, SF_SMOKE, "orders").filter(
+        bloom_might_contain(words, "o_custkey")
+    )
+    p = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, "bloom probe must be join-free"
+    assert "Exchange" not in p, "bloom probe must be shuffle-free"
