@@ -31,6 +31,21 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     names = [n for n, q in QUERIES.items() if q.bench] or list(QUERIES)
+    # Round-6 continuation: scale-primitive entrants benched WITHOUT the
+    # registry bench flag (the 50-slot correctness window is full; the
+    # flag would force them into it). Same best-of-4 protocol; new rows
+    # are unflagged by bench_compare until they hold a baseline.
+    names += [
+        n
+        for n in (
+            "hll_portable_distinct",
+            "bloom_prefilter_semi",
+            "prefix_filter_jaccard_pairs",
+            "pagerank_event_graph",
+            "skyline_orders_2d",
+        )
+        if n in QUERIES
+    ]
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn

@@ -1111,6 +1111,9 @@ _DEMOTED_TAIL: list[str] = [
     "skyline_orders_2d",        # window skyline vs NOT-EXISTS oracle ⊂ window family
     "benford_digit_audit",      # first-digit screen ⊂ constraint/profile family
     "twap_user_value",          # duration-weighted avg ⊂ gapfill/sessionize family
+    "event_type_lift_pairs",    # support/confidence/lift ⊂ transition/gini family
+    "hll_merge_shards",         # lossless merge proof ⊂ hll_portable_distinct
+    "equidepth_partition_bounds",  # quantile cuts ⊂ histogram_quantile_sketch
 ]
 
 _CHECK_WINDOW = 50

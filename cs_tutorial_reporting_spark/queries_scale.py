@@ -1383,23 +1383,31 @@ def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SKY_CENTS).alias("cents"),
         F.unix_millis("o_orderdate").alias("date_ms"),
     )
-    # max date among STRICTLY higher-priced rows: ascending cents order,
-    # range frame starting 1 above the current price
-    w_higher = (
-        Window.orderBy("cents").rangeBetween(1, Window.unboundedFollowing)
+    # Aggregate per price FIRST (max date among equal-priced rows), then
+    # the strictly-higher-price suffix max is a linear ROWS-frame
+    # running max over the distinct-price frame ordered descending.
+    # MEASURED: the one-window RANGE-frame formulation
+    # (rangeBetween(1, unboundedFollowing) on raw rows) took 376 s at
+    # sf0.1 — Spark re-evaluates a moving RANGE bound per row
+    # (quadratic); the grouped ROWS form runs in well under a second
+    # and is the right 100 TB shape anyway (window over DISTINCT
+    # prices, not rows).
+    grp = pts.groupBy("cents").agg(F.max("date_ms").alias("max_d_equal"))
+    w_prev = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w_equal = Window.partitionBy("cents")
-    flagged = pts.select(
-        "o_orderkey",
-        "cents",
-        "date_ms",
-        F.max("date_ms").over(w_higher).alias("max_d_higher"),
-        F.max("date_ms").over(w_equal).alias("max_d_equal"),
+    grp = grp.withColumn("max_d_higher", F.max("max_d_equal").over(w_prev))
+    return (
+        pts.join(grp, "cents")
+        .filter(
+            (
+                F.col("max_d_higher").isNull()
+                | (F.col("max_d_higher") < F.col("date_ms"))
+            )
+            & (F.col("max_d_equal") <= F.col("date_ms"))
+        )
+        .select("o_orderkey", "cents", "date_ms")
     )
-    return flagged.filter(
-        (F.col("max_d_higher").isNull() | (F.col("max_d_higher") < F.col("date_ms")))
-        & (F.col("max_d_equal") <= F.col("date_ms"))
-    ).select("o_orderkey", "cents", "date_ms")
 
 
 # ---------------------------------------------------------------------------
@@ -1529,4 +1537,218 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(v_e4 * dur_ms) div sum(dur_ms) AS BIGINT)").alias(
             "twap_e4"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association lift (market-basket over event types)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_lift_pairs",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+    per_type AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+                 FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           CAST(p.n_ab * 1000000 // n.n_users AS BIGINT) AS support_ppm,
+           CAST(p.n_ab * 1000000 // ta.n_t AS BIGINT) AS confidence_ppm,
+           CAST(p.n_ab * n.n_users * 1000000 // (ta.n_t * tb.n_t) AS BIGINT)
+               AS lift_ppm
+    FROM pairs p
+    JOIN per_type ta ON ta.event_type = p.type_a
+    JOIN per_type tb ON tb.event_type = p.type_b, n
+    """,
+)
+def event_type_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics over event-type co-occurrence
+    per user: support, confidence and lift in exact ppm (lift =
+    P(a,b)/(P(a)P(b)) computed as n_ab*N / (n_a*n_b) — one integral
+    divide, no float probabilities).
+
+    100 TB: the distinct (user, type) reduction happens map-side; the
+    pair self-join fans out per user by itemset size (5 types max →
+    ≤10 pairs/user), the bounded-fanout regime where AllPairs-style
+    candidate pruning isn't needed. Totals are broadcast scalars.
+    """
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    per_type = ut.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_t")
+    )
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.expr(
+                "CAST(n_ab * CAST(1000000 AS BIGINT) div n_users AS BIGINT)"
+            ).alias("support_ppm"),
+            F.expr(
+                "CAST(n_ab * CAST(1000000 AS BIGINT) div n_a AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                "CAST(n_ab * n_users * CAST(1000000 AS BIGINT)"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL shard merge (mergeability as a checked result)
+# ---------------------------------------------------------------------------
+
+_SHARD_FROM = (
+    "(SELECT event_type, user_id, user_id % 2 AS shard FROM events) src"
+)
+_MERGE_REG = hll_registers_sql(
+    key_sql="CAST(user_id AS VARCHAR)",
+    from_sql=_SHARD_FROM,
+    group_sql="shard, event_type",
+)
+_DIRECT_REG = hll_registers_sql(
+    key_sql="CAST(user_id AS VARCHAR)",
+    from_sql="events",
+    group_sql="event_type",
+)
+_MERGED_EST = hll_estimate_sql(
+    f"""SELECT event_type, reg, CAST(max(max_rho) AS INT) AS max_rho
+        FROM ({_MERGE_REG}) GROUP BY event_type, reg""",
+    group_sql="event_type",
+)
+_DIRECT_EST = hll_estimate_sql(_DIRECT_REG, group_sql="event_type")
+
+
+@register(
+    "hll_merge_shards",
+    oracle=f"""
+    SELECT m.event_type, m.hll_estimate AS merged_estimate,
+           d.hll_estimate AS direct_estimate,
+           (m.hll_estimate = d.hll_estimate) AS merge_exact
+    FROM ({_MERGED_EST}) m
+    JOIN ({_DIRECT_EST}) d USING (event_type)
+    """,
+)
+def hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability AS A CHECKED RESULT: split events into two
+    shards (user parity), build per-shard register tables, max-merge
+    them, and emit the merged estimate NEXT TO the direct single-pass
+    estimate with an equality flag — the lossless-merge property the
+    100 TB story rests on (daily shards → one registry table), here
+    verified by the value-hash gate on every run.
+    """
+    ev = t(spark, sf_dir, "events").withColumn(
+        "shard", F.col("user_id") % 2
+    )
+    sharded = hll_registers(ev, ["shard", "event_type"], "user_id")
+    merged_regs = sharded.groupBy("event_type", "reg").agg(
+        F.max("max_rho").cast("int").alias("max_rho")
+    )
+    merged = hll_estimate(merged_regs, ["event_type"]).select(
+        "event_type", F.col("hll_estimate").alias("merged_estimate")
+    )
+    direct = hll_estimate(
+        hll_registers(t(spark, sf_dir, "events"), ["event_type"], "user_id"),
+        ["event_type"],
+    ).select("event_type", F.col("hll_estimate").alias("direct_estimate"))
+    return merged.join(direct, "event_type").withColumn(
+        "merge_exact", F.col("merged_estimate") == F.col("direct_estimate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth partition bounds (range-partitioner design)
+# ---------------------------------------------------------------------------
+
+_EQD_PARTS = 8
+
+
+@register(
+    "equidepth_partition_bounds",
+    oracle=f"""
+    SELECT event_type, k,
+           min(CASE WHEN cum * {_EQD_PARTS} >= tot * k THEN bin END)
+               AS bound_bin
+    FROM (
+        SELECT event_type, bin,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM (SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+                     count(*) AS cnt
+              FROM events GROUP BY event_type, bin)
+    ), (SELECT unnest(range(1, {_EQD_PARTS})) AS k)
+    GROUP BY event_type, k
+    """,
+)
+def equidepth_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundaries per event_type: the k/8
+    quantile cut points read off the mergeable histogram (the design
+    input for a range partitioner / sorted-table splitter — Spark's
+    own RangePartitioner samples; this computes exact bounds from
+    bin counts, deterministic and engine-portable).
+
+    100 TB: histogram state is O(bins); the boundary scan is a window
+    over bins crossed with 7 k-values — no second pass over rows.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(floor(value * 10) AS BIGINT)").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("bin")
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("tot"),
+    )
+    ks = spark.range(1, _EQD_PARTS).select(F.col("id").cast("int").alias("k"))
+    return (
+        cum.crossJoin(F.broadcast(ks))
+        .groupBy("event_type", "k")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * _EQD_PARTS >= F.col("tot") * F.col("k"),
+                    F.col("bin"),
+                )
+            ).alias("bound_bin")
+        )
     )

@@ -427,3 +427,58 @@ def test_skyline_duplicate_points_both_surface(spark):
         ).write.parquet(f"{d}/orders.parquet")
         ids = {r.o_orderkey for r in QUERIES["skyline_orders_2d"].fn(spark, d).collect()}
     assert ids == {1, 2, 4}
+
+
+def test_hll_merge_is_exact_on_harness_data(spark):
+    """Max-merging parity shards must reproduce the single-pass
+    estimate EXACTLY for every group (lossless merge)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["hll_merge_shards"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.merge_exact for r in rows)
+
+
+def test_lift_hand_computed(spark):
+    """3 users: u1 {a,b}, u2 {a}, u3 {a,b}. n_ab=2, n_a=3, n_b=2,
+    N=3 -> lift = 2*3/(3*2) = 1.0 -> 1000000 ppm; confidence(a->b)
+    = 2/3 -> 666666 ppm."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click"), (2, t0, 1, "view"),
+        (3, t0, 2, "click"),
+        (4, t0, 3, "click"), (5, t0, 3, "view"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props",
+        ).write.parquet(f"{d}/events.parquet")
+        out = QUERIES["event_type_lift_pairs"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_ab) == ("click", "view", 2)
+    assert (r.support_ppm, r.confidence_ppm, r.lift_ppm) == (666666, 666666, 1000000)
+
+
+def test_equidepth_bounds_are_monotone_and_cover(spark):
+    """Bounds must be non-decreasing in k and each bound's cumulative
+    mass must reach k/8 of the total."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["equidepth_partition_bounds"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.k] = r.bound_bin
+    for et, bounds in by_type.items():
+        assert sorted(bounds) == list(range(1, 8)), et
+        seq = [bounds[k] for k in range(1, 8)]
+        assert seq == sorted(seq), (et, seq)
