@@ -56,6 +56,8 @@ def pagerank_ppm(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_ppm: empty edge list (no nodes)")
     base = (PPM - DAMPING_PPM) // n
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("__out_w"))
     e = edges.join(out_w, src).select(

@@ -1114,6 +1114,8 @@ _DEMOTED_TAIL: list[str] = [
     "event_type_lift_pairs",    # support/confidence/lift ⊂ transition/gini family
     "hll_merge_shards",         # lossless merge proof ⊂ hll_portable_distinct
     "equidepth_partition_bounds",  # quantile cuts ⊂ histogram_quantile_sketch
+    "weighted_sample_topk",     # priority sampling ⊂ stratified/split family
+    "label_centroid_inertia",   # fixed-point k-means audit ⊂ similarity/quantize family
 ]
 
 _CHECK_WINDOW = 50

@@ -389,6 +389,8 @@ def udtf_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re
 
+            if text is None:
+                return
             words = re.sub(r"\s+", " ", text).strip().lower().split(" ")
             for i in range(0, len(words), _CHUNK):
                 c = words[i : i + _CHUNK]
@@ -1751,4 +1753,134 @@ def equidepth_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bound_bin")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (priority sampling, A-ES shaped)
+# ---------------------------------------------------------------------------
+
+_WS_M = 1 << 20  # priority modulus
+_WS_K = 3
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, pri
+    FROM (
+        SELECT source, doc_id, n_chars, pri,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY pri DESC, doc_id) AS rn
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   CAST(n_chars * {_WS_M} // (1 +
+                       CAST(concat('0x', substr(md5(concat('ws#',
+                            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % {_WS_M}) AS BIGINT) AS pri
+            FROM documents
+        )
+    )
+    WHERE rn <= {_WS_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: 3 docs per source with
+    inclusion bias proportional to n_chars, via integer priority
+    pri = w * 2^20 div (1 + h60(salted id) mod 2^20) — the A-ES
+    (exponential-jump) priority shape with the float u^(1/w) replaced
+    by an integer rational (documented contract: deterministic,
+    monotone in weight, engine-portable; NOT exact A-ES inclusion
+    probabilities — cross-engine ln()/pow() are not bit-portable).
+
+    100 TB: a pure map to stamp priorities + one per-source top-k
+    window — the same reproducibility story as split_assign_stats
+    (re-ingest cannot change the sample).
+    """
+    from pyspark.sql import Window
+
+    from .functions.text import hash60
+
+    docs = t(spark, sf_dir, "documents")
+    pri = F.expr(
+        f"CAST(n_chars * {_WS_M} div (1 + "
+        "CAST(conv(substring(md5(concat('ws#', CAST(doc_id AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT) % {_WS_M}) AS BIGINT)"
+    ).alias("pri")
+    w = Window.partitionBy("source").orderBy(F.desc("pri"), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars", pri)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_K)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label centroid inertia (clustering-quality audit over embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroid_inertia",
+    oracle="""
+    WITH vals AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS v_e6
+        FROM embeddings,
+             LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(sum(v_e6) // count(*) AS BIGINT) AS c_e6
+        FROM vals GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(sum((v_e6 - c_e6) * (v_e6 - c_e6)) AS BIGINT) AS inertia_e12,
+           CAST(sum((v_e6 - c_e6) * (v_e6 - c_e6))
+                // count(DISTINCT vec_id) AS BIGINT) AS avg_inertia_e12
+    FROM vals JOIN cent USING (label, pos)
+    GROUP BY label
+    """,
+)
+def label_centroid_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster inertia per embedding label: centroid = per-dim
+    integer mean of x10^6 fixed-point components, inertia = summed
+    squared distance to it — the k-means quality audit (is a labeled
+    partition tight?) with NO floating accumulation: float sums are
+    order-dependent under distributed reduction, so the components
+    are snapped to e6 integers first and every aggregate is exact.
+
+    100 TB: posexplode fans 64x, then two map-combinable groupBys
+    keyed on (label, pos) / label; the centroid table (labels x dims)
+    broadcasts back for the distance join.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v_e6"),
+    )
+    cent = vals.groupBy("label", "pos").agg(
+        F.expr("CAST(sum(v_e6) div count(*) AS BIGINT)").alias("c_e6")
+    )
+    joined = vals.join(F.broadcast(cent), ["label", "pos"])
+    return joined.groupBy("label").agg(
+        F.count_distinct("vec_id").cast("bigint").alias("n_vectors"),
+        F.sum(
+            (F.col("v_e6") - F.col("c_e6")) * (F.col("v_e6") - F.col("c_e6"))
+        ).cast("bigint").alias("inertia_e12"),
+        F.expr(
+            "CAST(sum((v_e6 - c_e6) * (v_e6 - c_e6))"
+            " div count(DISTINCT vec_id) AS BIGINT)"
+        ).alias("avg_inertia_e12"),
     )

