@@ -1116,6 +1116,7 @@ _DEMOTED_TAIL: list[str] = [
     "equidepth_partition_bounds",  # quantile cuts ⊂ histogram_quantile_sketch
     "weighted_sample_topk",     # priority sampling ⊂ stratified/split family
     "label_centroid_inertia",   # fixed-point k-means audit ⊂ similarity/quantize family
+    "multimodal_tiff_decode",   # PackBits strips ⊂ gif/png compressed-codec family
 ]
 
 _CHECK_WINDOW = 50

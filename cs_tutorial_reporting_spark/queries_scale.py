@@ -1884,3 +1884,53 @@ def label_centroid_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(DISTINCT vec_id) AS BIGINT)"
         ).alias("avg_inertia_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: PackBits TIFF (third compressed codec family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_tiff_decode",
+    oracle="""
+    SELECT doc_id,
+           16 AS width,
+           CAST(greatest((octet_length(encode(text)) + 15) // 16, 1) AS INTEGER)
+               AS height,
+           16 * greatest((octet_length(encode(text)) + 15) // 16, 1) AS n_pixels,
+           CAST((greatest((octet_length(encode(text)) + 15) // 16, 1) + 3) // 4
+                AS INTEGER) AS n_strips,
+           CAST(coalesce(list_sum(list_transform(
+                   range(0, CAST(octet_length(encode(text)) AS BIGINT)),
+                   i -> CAST(concat('0x', substr(hex(encode(text)),
+                                                 CAST(i * 2 + 1 AS INTEGER), 2))
+                             AS BIGINT))), 0) AS BIGINT) AS sum_gray,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                     ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                               AS INTEGER)
+                END AS INTEGER) AS head_px
+    FROM documents
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PackBits-compressed TIFF decode (multimodal/tiff.py): each
+    document's bytes become a striped grayscale TIFF 6.0 file
+    (RowsPerStrip=4, Compression=32773) and the pure-Python reader
+    walks the IFD, inflates every strip with an output-bounded
+    PackBits decoder (the GIF-LZW expansion lesson), and reassembles
+    the pixel stream — the third compressed codec family after
+    GIF-LZW and PNG-DEFLATE. Stats are payload-pure so the oracle
+    never parses TIFF; strip assembly itself is proven by n_strips
+    (ceil(height/4)) and the round-trip property test.
+
+    100 TB: strips are TIFF's row-group analog — per-strip decode is
+    the parallelism unit; the Arrow pass fuses build+parse so
+    container bytes never shuffle.
+    """
+    from .multimodal.tiff import synth_and_decode_tiff
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_decode_tiff(d, payload_col="content", id_col="doc_id")

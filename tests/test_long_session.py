@@ -49,6 +49,7 @@ GUARDED = [
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_frames",
+    "multimodal_tiff_decode",
     # round-6 continuation: the prefix join consumes shingles() (HOF
     # transform) downstream of heavy plan churn — same guard class
     "prefix_filter_jaccard_pairs",

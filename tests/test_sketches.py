@@ -519,3 +519,63 @@ def test_centroid_inertia_zero_for_identical_vectors(spark):
     assert out[7].inertia_e12 == 0
     # label 8: vectors (0,..) and (1,..): centroid 0.5e6 -> inertia 2*(5e5)^2
     assert out[8].inertia_e12 == 2 * 500_000 * 500_000
+
+
+def test_tiff_packbits_roundtrip_and_foreign_decode():
+    """Property: encode->decode is identity for adversarial payloads
+    (runs at the 128 boundary, alternating bytes, empty); a foreign
+    single-strip PackBits TIFF also decodes; malformed inputs raise."""
+    import pytest
+
+    from cs_tutorial_reporting_spark.multimodal.tiff import (
+        decode_tiff,
+        packbits_decode,
+        packbits_encode,
+        tiff_bytes,
+    )
+
+    cases = [
+        b"",
+        b"\x00" * 300,
+        bytes(range(256)),
+        b"ab" * 200,
+        b"x" * 127 + b"y" + b"z" * 129,
+        bytes([7]) * 128,
+    ]
+    for payload in cases:
+        enc = packbits_encode(payload)
+        assert packbits_decode(enc, len(payload)) == payload
+        stats = decode_tiff(tiff_bytes(payload))
+        n = max(-(-len(payload) // 16), 1)
+        assert stats["height"] == n
+        assert stats["n_strips"] == -(-n // 4)
+        assert stats["sum_gray"] == sum(payload)
+        assert stats["head_px"] == (payload[0] if payload else 0)
+
+    # foreign file: hand-built single-strip image, different tag order
+    import struct
+
+    px = bytes([9, 8, 7, 6])
+    strip = packbits_encode(px)
+    entries = b"".join(
+        struct.pack("<HHII", *e)
+        for e in [
+            (256, 4, 1, 4), (257, 4, 1, 1), (258, 3, 1, 8),
+            (259, 3, 1, 32773), (262, 3, 1, 1),
+            (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 4),
+            (279, 4, 1, len(strip)),
+        ]
+    )
+    ifd = struct.pack("<H", 9) + entries + struct.pack("<I", 0)
+    foreign = struct.pack("<2sHI", b"II", 42, 8 + len(strip)) + strip + ifd
+    s = decode_tiff(foreign)
+    assert (s["width"], s["height"], s["sum_gray"], s["head_px"]) == (4, 1, 30, 9)
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"MM\x00\x2a" + b"\x00" * 8)  # big-endian unsupported
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x05ab", 6)  # literal overruns input
+    bad = bytearray(tiff_bytes(b"hello world"))
+    bad[4] = 0xFF  # IFD offset garbage
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
