@@ -1117,6 +1117,8 @@ _DEMOTED_TAIL: list[str] = [
     "weighted_sample_topk",     # priority sampling ⊂ stratified/split family
     "label_centroid_inertia",   # fixed-point k-means audit ⊂ similarity/quantize family
     "multimodal_tiff_decode",   # PackBits strips ⊂ gif/png compressed-codec family
+    "table_ndv_profile",        # per-column HLL NDV ⊂ profile/sketch families
+    "interval_union_coverage",  # merged-window coverage ⊂ islands/interval family
 ]
 
 _CHECK_WINDOW = 50

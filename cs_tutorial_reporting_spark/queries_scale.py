@@ -1934,3 +1934,138 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return synth_and_decode_tiff(d, payload_col="content", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Column NDV profile (sketch x profiling composition)
+# ---------------------------------------------------------------------------
+
+_NDV_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+def _ndv_branch_sql(col: str) -> str:
+    # the column-name literal is aliased INSIDE from_sql — group_sql
+    # must stay a plain column list (it is spliced into GROUP BY)
+    reg = hll_registers_sql(
+        key_sql="CAST(k AS VARCHAR)",
+        from_sql=f"(SELECT '{col}' AS col, {col} AS k FROM orders) src",
+        group_sql="col",
+    )
+    est = hll_estimate_sql(reg, group_sql="col")
+    return (
+        f"SELECT h.col, h.hll_estimate AS ndv_hll, x.ndv_exact"
+        f" FROM ({est}) h JOIN (SELECT '{col}' AS col,"
+        f" CAST(count(DISTINCT {col}) AS BIGINT) AS ndv_exact FROM orders) x"
+        f" USING (col)"
+    )
+
+
+@register(
+    "table_ndv_profile",
+    oracle=" UNION ALL ".join(_ndv_branch_sql(c) for c in _NDV_COLS),
+)
+def table_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-style NDV profile of the orders table: per-column
+    distinct-count estimates from the portable HLL sketch next to the
+    exact counts — the statistics a cost-based optimizer (or a
+    partition-strategy review) feeds on, computable in ONE pass per
+    column group at 100 TB because the sketch state is 64 registers
+    per column regardless of row count.
+    """
+    orders = t(spark, sf_dir, "orders")
+    out = None
+    for c in _NDV_COLS:
+        regs = hll_registers(
+            orders.select(F.lit(c).alias("col"), F.col(c).alias("k")),
+            ["col"],
+            "k",
+        )
+        est = hll_estimate(regs, ["col"]).select(
+            "col", F.col("hll_estimate").alias("ndv_hll")
+        )
+        exact = orders.agg(
+            F.count_distinct(c).cast("bigint").alias("ndv_exact")
+        ).select(F.lit(c).alias("col"), "ndv_exact")
+        branch = est.join(F.broadcast(exact), "col")
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage (merge overlapping windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, epoch_ms(ts) AS s,
+               epoch_ms(ts) + {_IVL_HOURS} * 3600000 AS e
+        FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s <= max(e) OVER (PARTITION BY user_id
+                        ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    grouped AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT island) AS BIGINT) AS n_merged,
+           CAST(sum(len) AS BIGINT) AS covered_ms
+    FROM (
+        SELECT user_id, island, max(e) - min(s) AS len
+        FROM grouped GROUP BY user_id, island
+    )
+    GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of each user's 2-hour error windows: merge overlapping
+    intervals (the classic running-max-end island scan: an interval
+    starts a new island iff its start exceeds every prior end) and
+    report merged-interval counts plus total covered wall-clock.
+
+    100 TB: one shuffle on user_id; both window passes share the
+    (user, start) sort; downstream length aggregation is
+    map-combinable. The NULL first-row case (empty preceding frame)
+    is a new island by definition — CASE handles the NULL max.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + _IVL_HOURS * 3600000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") <= F.max("e").over(w_prev), 0).otherwise(1),
+    ).withColumn("island", F.sum("new_island").over(w_cum))
+    per_island = flagged.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count_distinct("island").cast("bigint").alias("n_merged"),
+        F.sum("len").cast("bigint").alias("covered_ms"),
+    )

@@ -579,3 +579,29 @@ def test_tiff_packbits_roundtrip_and_foreign_decode():
     bad[4] = 0xFF  # IFD offset garbage
     with pytest.raises(ValueError):
         decode_tiff(bytes(bad))
+
+
+def test_interval_union_merges_overlaps(spark):
+    """Two overlapping windows merge to one island; a disjoint third
+    stands alone. Coverage = union length, not sum of lengths."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 5, "error"),            # [8, 10)
+        (2, t0 + h, 5, "error"),        # [9, 11) overlaps -> [8, 11)
+        (3, t0 + 5 * h, 5, "error"),    # [13, 15) disjoint
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props",
+        ).write.parquet(f"{d}/events.parquet")
+        r = QUERIES["interval_union_coverage"].fn(spark, d).collect()[0]
+    assert (r.n_merged, r.covered_ms) == (2, 5 * 3600 * 1000)
