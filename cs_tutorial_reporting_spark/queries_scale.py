@@ -788,6 +788,12 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("rk")).alias("rks"),
             F.count("*").alias("n"),
         )
+        # consumed THREE times below (prefix explode + both verify
+        # sides); without materialization each consumer rebuilds the
+        # shingle->rank pipeline — measured 4.37 s vs 2.0 s at sf0.1.
+        # localCheckpoint (not persist): materialized eagerly, GC-
+        # reclaimed, no cross-call cache accumulation (minhash pattern).
+        .localCheckpoint()
     )
     pref = docw.select(
         "doc_id",
