@@ -1119,6 +1119,8 @@ _DEMOTED_TAIL: list[str] = [
     "multimodal_tiff_decode",   # PackBits strips ⊂ gif/png compressed-codec family
     "table_ndv_profile",        # per-column HLL NDV ⊂ profile/sketch families
     "interval_union_coverage",  # merged-window coverage ⊂ islands/interval family
+    "cms_join_size_estimate",   # sketch inner product ⊂ cms/fk-containment family
+    "kmv_distinct_estimate",    # bottom-k order statistics ⊂ hll sketch family
 ]
 
 _CHECK_WINDOW = 50

@@ -2075,3 +2075,178 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("island").cast("bigint").alias("n_merged"),
         F.sum("len").cast("bigint").alias("covered_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product: join-size estimation without the join
+# ---------------------------------------------------------------------------
+
+
+def _cms_grid_sql(key_sql: str, from_sql: str, j: int) -> str:
+    return (
+        f"SELECT {j} AS depth, "
+        f"{_cms_pos_duck(key_sql, j)} AS pos, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM {from_sql} GROUP BY depth, pos"
+    )
+
+
+_CMS_A_SQL = " UNION ALL ".join(
+    _cms_grid_sql("CAST(o_orderkey AS VARCHAR)", "orders", j)
+    for j in range(_CMS_D)
+)
+_CMS_B_SQL = " UNION ALL ".join(
+    _cms_grid_sql("CAST(l_orderkey AS VARCHAR)", "lineitem", j)
+    for j in range(_CMS_D)
+)
+
+
+@register(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH a AS ({_CMS_A_SQL}), b AS ({_CMS_B_SQL}),
+    per_depth AS (
+        SELECT a.depth, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+        FROM a JOIN b ON a.depth = b.depth AND a.pos = b.pos
+        GROUP BY a.depth
+    )
+    SELECT (SELECT CAST(min(ip) AS BIGINT) FROM per_depth) AS est_join_size,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+               AS exact_join_size
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT executing the join: the
+    count-min inner product (AGMS/CM classic) — |A ⋈ B on k| =
+    sum_v f_A(v)·f_B(v), over-approximated per sketch row by
+    sum_p cms_A[j][p]·cms_B[j][p] and tightened by min over depths.
+    The exact join count rides alongside so the estimate's error is
+    in the checked result.
+
+    100 TB: the estimator reads two 4x1024 grids — the cost-based-
+    optimizer shape (estimate shuffle sizes BEFORE committing to a
+    join strategy); each grid is one map-combinable pass over its
+    table, mergeable across shards by summing.
+    """
+    from .functions.text import hash60
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def grid(df: DataFrame, col: str) -> DataFrame:
+        out = None
+        for j in range(_CMS_D):
+            part = (
+                df.select(
+                    (
+                        hash60(
+                            F.concat(
+                                F.col(col).cast("string"), F.lit(f"#cms{j}")
+                            )
+                        )
+                        % _CMS_W
+                    ).alias("pos")
+                )
+                .groupBy("pos")
+                .agg(F.count("*").cast("bigint").alias("cnt"))
+                .select(F.lit(j).alias("depth"), "pos", "cnt")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    a = grid(orders, "o_orderkey")
+    b = grid(li, "l_orderkey")
+    per_depth = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.depth") == F.col("b.depth"))
+            & (F.col("a.pos") == F.col("b.pos")),
+        )
+        .groupBy(F.col("a.depth"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    est = per_depth.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+    exact = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).agg(F.count("*").cast("bigint").alias("exact_join_size"))
+    return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct estimation — the order-statistics sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_RANGE = 1 << 60
+
+
+@register(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(concat('kmv#',
+                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_distinct
+        FROM h
+    )
+    SELECT event_type,
+           CAST(n_distinct AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN n_distinct <= {_KMV_K} THEN n_distinct
+                ELSE ({_KMV_K - 1}::HUGEINT * {_KMV_RANGE}) // hv
+                END AS BIGINT)
+               AS kmv_estimate
+    FROM ranked WHERE rn = {_KMV_K} OR (n_distinct < {_KMV_K} AND rn = n_distinct)
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct estimation per event_type: keep the k
+    smallest salted hashes; the k-th smallest at position h estimates
+    n ≈ (k-1)·2^60/h (uniform order statistics) — the order-
+    statistics counterpart to the HLL register sketch, one integral
+    divide, no floats. Groups with fewer than k distinct keys report
+    exactly (the sketch IS the key set there).
+
+    100 TB: bottom-k sets merge by union+truncate (mergeable like
+    registers); state is k hashes per group. The window here ranks
+    per-group hashes once — at scale the k smallest flow through a
+    partial top-k (sort-limit per partition, then merge).
+    """
+    from pyspark.sql import Window
+
+    from .functions.text import hash60
+
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        hash60(
+            F.concat(F.lit("kmv#"), F.col("user_id").cast("string"))
+        ).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wn = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_distinct"),
+    )
+    picked = ranked.filter(
+        (F.col("rn") == _KMV_K)
+        | ((F.col("n_distinct") < _KMV_K) & (F.col("rn") == F.col("n_distinct")))
+    )
+    return picked.select(
+        "event_type",
+        F.col("n_distinct").cast("bigint").alias("exact_distinct"),
+        F.expr(
+            f"CAST(CASE WHEN n_distinct <= {_KMV_K} THEN CAST(n_distinct"
+            f" AS DECIMAL(38,0)) ELSE (CAST({_KMV_K - 1} AS DECIMAL(38,0))"
+            f" * {_KMV_RANGE}) div hv END AS BIGINT)"
+        ).alias("kmv_estimate"),
+    )

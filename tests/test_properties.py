@@ -135,3 +135,68 @@ def test_avi_container_roundtrip_property(payload, fps, every_ms):
         sum(payload[k * 64 : (k + 1) * 64]) for k in sampled
     )
     assert feats["head_px"] == (payload[0] if payload else 0)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation: pure-Python sketch/codec primitives (no Spark
+# round-trip needed — these properties hold at the byte/integer level)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=2048))
+def test_packbits_roundtrip_random(payload):
+    """PackBits encode∘decode = identity for arbitrary byte strings."""
+    from cs_tutorial_reporting_spark.multimodal.tiff import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    assert packbits_decode(packbits_encode(payload), len(payload)) == payload
+
+
+@settings(max_examples=100, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=600))
+def test_tiff_full_roundtrip_random(payload):
+    """Container-level round trip: synth TIFF -> decode recovers the
+    payload-pure stats for arbitrary payloads."""
+    from cs_tutorial_reporting_spark.multimodal.tiff import (
+        decode_tiff,
+        tiff_bytes,
+    )
+
+    s = decode_tiff(tiff_bytes(payload))
+    assert s["sum_gray"] == sum(payload)
+    assert s["n_pixels"] >= len(payload)
+    assert s["head_px"] == (payload[0] if payload else 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=50
+    )
+)
+def test_varint_width_is_monotone_and_correct(gaps):
+    """The LEB128 width CASE must equal ceil(bitlen/7) clamped to
+    [1, 5] for every gap in range (the SQL expression is checked by
+    evaluating its Python twin)."""
+
+    def width(g: int) -> int:
+        if g < 128:
+            return 1
+        if g < 16384:
+            return 2
+        if g < 2097152:
+            return 3
+        if g < 268435456:
+            return 4
+        return 5
+
+    for g in gaps:
+        expect = max(1, min(5, -(-max(g.bit_length(), 1) // 7)))
+        if g < (1 << 35):
+            assert width(g) == expect, g
+    assert sorted(width(g) for g in sorted(gaps)) == [
+        width(g) for g in sorted(gaps)
+    ]

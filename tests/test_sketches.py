@@ -605,3 +605,32 @@ def test_interval_union_merges_overlaps(spark):
         ).write.parquet(f"{d}/events.parquet")
         r = QUERIES["interval_union_coverage"].fn(spark, d).collect()[0]
     assert (r.n_merged, r.covered_ms) == (2, 5 * 3600 * 1000)
+
+
+def test_cms_inner_product_overestimates_join_size(spark):
+    """CMS inner product >= true join size always (collisions add);
+    with 1024 counters vs ~1.5k keys the estimate should stay within
+    ~2x at sf0.001."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    r = QUERIES["cms_join_size_estimate"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.est_join_size >= r.exact_join_size
+    assert r.est_join_size < 3 * r.exact_join_size, r
+
+
+def test_kmv_small_groups_exact_large_close(spark):
+    """Groups under k report exactly; the sf0.001 groups (~150
+    distinct) should estimate within 50% at k=32 (~18% stderr)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["kmv_distinct_estimate"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.exact_distinct <= 32:
+            assert r.kmv_estimate == r.exact_distinct
+        else:
+            assert abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct < 0.5, r
