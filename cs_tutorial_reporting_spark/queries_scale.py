@@ -473,15 +473,27 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
     )
-    sketch = None
-    for j in range(_CMS_D):
-        part = toks.select(
-            F.lit(j).alias("depth"),
-            (
-                hash60(F.concat(F.col("word"), F.lit(f"#cms{j}"))) % _CMS_W
-            ).alias("pos"),
-        ).groupBy("depth", "pos").agg(F.count("*").alias("cnt"))
-        sketch = part if sketch is None else sketch.unionByName(part)
+    # ONE corpus scan for all depths: per token, explode the 4
+    # (depth, pos) pairs (audited: the union-per-depth form rescanned
+    # the source once per depth)
+    pos_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                (
+                    hash60(F.concat(F.col("word"), F.lit(f"#cms{j}")))
+                    % _CMS_W
+                ).alias("pos"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    sketch = (
+        toks.select(F.explode(pos_structs).alias("x"))
+        .select("x.depth", "x.pos")
+        .groupBy("depth", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
     exact = (
         toks.groupBy("word")
         .agg(F.count("*").alias("exact_cnt"))
@@ -2134,10 +2146,13 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
 
     def grid(df: DataFrame, col: str) -> DataFrame:
-        out = None
-        for j in range(_CMS_D):
-            part = (
-                df.select(
+        # one table scan for all depths (explode the per-row
+        # (depth, pos) pairs) — audited: the union form scanned the
+        # table once per depth
+        pos_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("depth"),
                     (
                         hash60(
                             F.concat(
@@ -2145,14 +2160,17 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         )
                         % _CMS_W
-                    ).alias("pos")
+                    ).alias("pos"),
                 )
-                .groupBy("pos")
-                .agg(F.count("*").cast("bigint").alias("cnt"))
-                .select(F.lit(j).alias("depth"), "pos", "cnt")
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+                for j in range(_CMS_D)
+            ]
+        )
+        return (
+            df.select(F.explode(pos_structs).alias("x"))
+            .select("x.depth", "x.pos")
+            .groupBy("depth", "pos")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
 
     a = grid(orders, "o_orderkey")
     b = grid(li, "l_orderkey")

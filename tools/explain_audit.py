@@ -66,7 +66,14 @@ def main() -> None:
     from cs_tutorial_reporting_spark.session import get_spark
 
     spark = get_spark(app_name="explain_audit")
-    names = [n for n, q in QUERIES.items() if q.bench and (not only or n in only)]
+    # explicit names audit ANY registered query; default = bench set
+    if only:
+        unknown = only - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        names = [n for n in QUERIES if n in only]
+    else:
+        names = [n for n, q in QUERIES.items() if q.bench]
     rows = []
     details = []
     for name in names:
