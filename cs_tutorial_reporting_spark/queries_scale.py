@@ -1601,7 +1601,8 @@ def event_type_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pruning isn't needed. Totals are broadcast scalars.
     """
     ev = t(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # consumed by three aggregations + the self-join — materialize once
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
     n_users = ut.agg(
         F.count_distinct("user_id").cast("bigint").alias("n_users")
     )
@@ -1991,22 +1992,40 @@ def table_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column regardless of row count.
     """
     orders = t(spark, sf_dir, "orders")
-    out = None
-    for c in _NDV_COLS:
-        regs = hll_registers(
-            orders.select(F.lit(c).alias("col"), F.col(c).alias("k")),
-            ["col"],
-            "k",
+    # ONE scan for every column's register table: per row, explode the
+    # (col, key) pairs (audited: the per-column union form scanned the
+    # table twice per column — 8 scans for 4 columns)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"), F.col(c).cast("string").alias("k")
+            )
+            for c in _NDV_COLS
+        ]
+    )
+    keyed = orders.select(F.explode(pairs).alias("x")).select(
+        "x.col", "x.k"
+    )
+    est = hll_estimate(hll_registers(keyed, ["col"], "k"), ["col"]).select(
+        "col", F.col("hll_estimate").alias("ndv_hll")
+    )
+    # ONE scan for every exact NDV: a single multi-count-distinct agg
+    # (Catalyst plans it with one Expand), melted to rows via stack
+    exact = (
+        orders.agg(
+            *[
+                F.count_distinct(c).cast("bigint").alias(c)
+                for c in _NDV_COLS
+            ]
+        ).selectExpr(
+            "stack("
+            + str(len(_NDV_COLS))
+            + ", "
+            + ", ".join(f"'{c}', {c}" for c in _NDV_COLS)
+            + ") AS (col, ndv_exact)"
         )
-        est = hll_estimate(regs, ["col"]).select(
-            "col", F.col("hll_estimate").alias("ndv_hll")
-        )
-        exact = orders.agg(
-            F.count_distinct(c).cast("bigint").alias("ndv_exact")
-        ).select(F.lit(c).alias("col"), "ndv_exact")
-        branch = est.join(F.broadcast(exact), "col")
-        out = branch if out is None else out.unionByName(branch)
-    return out
+    )
+    return est.join(F.broadcast(exact), "col")
 
 
 # ---------------------------------------------------------------------------
