@@ -1116,10 +1116,11 @@ def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_text
 
     docs = t(spark, sf_dir, "documents")
+    # four consumers (dl, corpus totals, tf, df) — tokenize ONCE
     toks = docs.select(
         "doc_id",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
-    )
+    ).localCheckpoint()
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = toks.agg(
         F.count("*").cast("bigint").alias("t_total"),
