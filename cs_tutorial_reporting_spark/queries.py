@@ -1121,6 +1121,8 @@ _DEMOTED_TAIL: list[str] = [
     "interval_union_coverage",  # merged-window coverage ⊂ islands/interval family
     "cms_join_size_estimate",   # sketch inner product ⊂ cms/fk-containment family
     "kmv_distinct_estimate",    # bottom-k order statistics ⊂ hll sketch family
+    "hopping_window_traffic",   # sliding windows ⊂ streaming_hourly/seasonal family
+    "period_over_period_revenue",  # MoM lag deltas ⊂ window/date family
 ]
 
 _CHECK_WINDOW = 50

@@ -2288,3 +2288,118 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {_KMV_RANGE}) div hv END AS BIGINT)"
         ).alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hopping_window_traffic",
+    oracle="""
+    SELECT w_start_ms, event_type, n_events, value_sum_e4
+    FROM (
+        SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT)
+                   - 3600000 * off AS w_start_ms,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_sum_e4
+        FROM events, (SELECT unnest([0, 1]) AS off)
+        GROUP BY w_start_ms, event_type
+    )
+    """,
+)
+def hopping_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 2-hour windows sliding every hour via
+    ``F.window(ts, '2 hours', '1 hour')`` — each event lands in
+    exactly two windows (the oracle states that directly: every event
+    contributes to the window starting at its hour and the one
+    before).
+
+    100 TB: Spark expands the slide inside the aggregation (fan-out =
+    window/slide = 2, a constant); state and shuffle grow by that
+    factor, never quadratically — same argument as the interval
+    bucket join.
+    """
+    ev = t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("value_sum_e4"),
+        )
+    )
+    return agg.select(
+        (F.unix_timestamp(F.col("w.start")) * 1000).alias("w_start_ms"),
+        "event_type",
+        "n_events",
+        "value_sum_e4",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "period_over_period_revenue",
+    oracle="""
+    SELECT month_ms, revenue_cents, prev_cents,
+           CASE WHEN prev_cents IS NULL THEN NULL
+                ELSE CAST((revenue_cents - prev_cents) * 1000000
+                          // prev_cents AS BIGINT) END AS mom_delta_ppm
+    FROM (
+        SELECT CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT)
+                   AS month_ms,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               lag(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT)) OVER (ORDER BY
+                   date_trunc('month', o_orderdate)) AS prev_cents
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    )
+    """,
+)
+def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas in ppm (the period-comparison
+    reporting staple): cents fixed point, lag over the month series,
+    integer delta ratio; the first month reports NULL rather than a
+    fake zero.
+
+    100 TB: the heavy work is one map-combined month aggregation; the
+    lag window runs over MONTHS (dozens of rows). Note the integer
+    delta can be negative — ``div`` truncation toward zero is
+    identical in both engines for either sign.
+    """
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("revenue_cents")
+        )
+    )
+    w = Window.orderBy("m")
+    return monthly.select(
+        (F.unix_timestamp("m") * 1000).alias("month_ms"),
+        "revenue_cents",
+        F.lag("revenue_cents").over(w).alias("prev_cents"),
+    ).withColumn(
+        "mom_delta_ppm",
+        F.expr(
+            "CASE WHEN prev_cents IS NULL THEN NULL ELSE"
+            " CAST((revenue_cents - prev_cents) * CAST(1000000 AS BIGINT)"
+            " div prev_cents AS BIGINT) END"
+        ),
+    )
