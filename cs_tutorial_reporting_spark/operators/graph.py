@@ -142,3 +142,119 @@ def pagerank_ppm_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, rank_ppm FROM r{iters}"
     )
+
+
+def hits_ppm(
+    edges: DataFrame, src: str, dst: str, weight: str, iters: int = 4
+) -> DataFrame:
+    """HITS hub/authority scores in exact ppm integer arithmetic —
+    the second iterative algorithm on the PageRank machinery (same
+    join+agg-per-iteration dataflow, different recurrence):
+
+    auth_raw(v) = sum over u->v of w * hub(u);
+    hub_raw(u)  = sum over u->v of w * auth(v);
+    each normalized to ppm of its own total per iteration
+    (DECIMAL(38,0) multiply before the integral divide — raw*1e6
+    overflows int64 on large graphs).
+
+    Nodes with no in-edges get authority 0 (and mirror for hubs) —
+    they still appear in the output via the node frame left join.
+    """
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.count() == 0:
+        raise ValueError("hits_ppm: empty edge list")
+    e = edges.select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(weight).cast("bigint").alias("__w"),
+    )
+    hub = nodes.select("node", F.lit(PPM).cast("bigint").alias("hub_ppm"))
+    auth = None
+    for _ in range(iters):
+        auth_raw = (
+            e.join(hub, e.__src == hub.node)
+            .select(F.col("__dst").alias("node"), (F.col("__w") * F.col("hub_ppm")).alias("__r"))
+            .groupBy("node")
+            .agg(F.sum("__r").alias("__raw"))
+        )
+        auth = _normalize_ppm(nodes, auth_raw, "auth_ppm")
+        hub_raw = (
+            e.join(auth, e.__dst == auth.node)
+            .select(F.col("__src").alias("node"), (F.col("__w") * F.col("auth_ppm")).alias("__r"))
+            .groupBy("node")
+            .agg(F.sum("__r").alias("__raw"))
+        )
+        hub = _normalize_ppm(nodes, hub_raw, "hub_ppm")
+    return hub.join(auth, "node")
+
+
+def _normalize_ppm(nodes: DataFrame, raw: DataFrame, out_col: str) -> DataFrame:
+    """ppm-normalize a raw score frame over ALL nodes (missing = 0)."""
+    total = raw.agg(F.sum("__raw").alias("__t"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            F.expr(
+                "CAST(CASE WHEN __t IS NULL OR __t = 0 THEN 0 ELSE"
+                " (CAST(coalesce(__raw, 0) AS DECIMAL(38,0)) * 1000000)"
+                f" div __t END AS BIGINT)"
+            ).alias(out_col),
+        )
+    )
+
+
+def hits_ppm_sql(
+    edges_sql: str, src: str, dst: str, weight: str, iters: int = 4
+) -> str:
+    """DuckDB twin of hits_ppm: unrolled CTEs h0, a1, h1, ... — one
+    generator emits both engines' recipes (the pagerank pattern)."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        f"nodes AS (SELECT DISTINCT node FROM (SELECT {src} AS node FROM edges"
+        f" UNION SELECT {dst} FROM edges))",
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_ppm FROM nodes)",
+    ]
+
+    # Every raw frame is referenced twice (join + total) and chains to
+    # the previous iteration's CTE; DuckDB INLINES plain CTEs, so the
+    # naive form expands 2^iters-fold (OOM'd at sf0.1). MATERIALIZED
+    # pins each level to one evaluation.
+    def norm(raw_name: str, out: str, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(CASE WHEN t.t IS NULL OR t.t = 0 THEN 0 ELSE
+                        (COALESCE(r.raw, 0)::HUGEINT * 1000000) // t.t
+                   END AS BIGINT) AS {out}
+            FROM nodes n
+            LEFT JOIN {raw_name} r ON r.node = n.node,
+                 (SELECT sum(raw) AS t FROM {raw_name}) t)"""
+
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED ("
+            f"SELECT e.{dst} AS node, CAST(sum(e.{weight} * h.hub_ppm)"
+            f" AS HUGEINT) AS raw FROM edges e"
+            f" JOIN h{i - 1} h ON h.node = e.{src} GROUP BY e.{dst})"
+        )
+        ctes.append(norm(f"ar{i}", "auth_ppm", f"a{i}"))
+        ctes.append(
+            f"hr{i} AS MATERIALIZED ("
+            f"SELECT e.{src} AS node, CAST(sum(e.{weight} * a.auth_ppm)"
+            f" AS HUGEINT) AS raw FROM edges e"
+            f" JOIN a{i} a ON a.node = e.{dst} GROUP BY e.{src})"
+        )
+        ctes.append(norm(f"hr{i}", "hub_ppm", f"h{i}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h.node, h.hub_ppm, a.auth_ppm"
+        f" FROM h{iters} h JOIN a{iters} a USING (node)"
+    )

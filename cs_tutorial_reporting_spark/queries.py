@@ -1123,6 +1123,7 @@ _DEMOTED_TAIL: list[str] = [
     "kmv_distinct_estimate",    # bottom-k order statistics ⊂ hll sketch family
     "hopping_window_traffic",   # sliding windows ⊂ streaming_hourly/seasonal family
     "period_over_period_revenue",  # MoM lag deltas ⊂ window/date family
+    "hits_event_graph",         # hub/authority iterations ⊂ pagerank family
 ]
 
 _CHECK_WINDOW = 50

@@ -2403,3 +2403,46 @@ def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div prev_cents AS BIGINT) END"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the transition graph
+# ---------------------------------------------------------------------------
+
+
+@register("hits_event_graph", oracle=None)  # installed below (generator)
+def hits_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores (4 iterations, ppm fixed point) over
+    the event-transition graph — which event types FEED high-traffic
+    states (hubs) vs ABSORB traffic (authorities); the second
+    iterative algorithm sharing PageRank's join+agg dataflow and its
+    unrolled-CTE oracle generator (operators/graph.py).
+    """
+    from pyspark.sql import Window
+
+    from .operators.graph import hits_ppm
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return hits_ppm(edges, "src", "dst", "w", iters=4)
+
+
+def _install_hits_oracle() -> None:
+    from .operators.graph import hits_ppm_sql
+    from .queries import QUERIES
+
+    QUERIES["hits_event_graph"].oracle = hits_ppm_sql(
+        _TRANSITION_EDGES_SQL, "src", "dst", "w", iters=4
+    )
+
+
+_install_hits_oracle()

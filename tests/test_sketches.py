@@ -634,3 +634,18 @@ def test_kmv_small_groups_exact_large_close(spark):
             assert r.kmv_estimate == r.exact_distinct
         else:
             assert abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct < 0.5, r
+
+
+def test_hits_two_node_fixed_point(spark):
+    """A->B: A is the pure hub (hub=1e6, auth=0), B the pure authority
+    (auth=1e6, hub=0) — reached in one iteration and stable."""
+    from cs_tutorial_reporting_spark.operators.graph import hits_ppm
+
+    edges = spark.createDataFrame(
+        [("A", "B", 3)], "src string, dst string, w bigint"
+    )
+    out = {
+        r.node: (r.hub_ppm, r.auth_ppm)
+        for r in hits_ppm(edges, "src", "dst", "w", iters=4).collect()
+    }
+    assert out == {"A": (1000000, 0), "B": (0, 1000000)}
