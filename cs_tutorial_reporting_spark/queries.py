@@ -1124,6 +1124,9 @@ _DEMOTED_TAIL: list[str] = [
     "hopping_window_traffic",   # sliding windows ⊂ streaming_hourly/seasonal family
     "period_over_period_revenue",  # MoM lag deltas ⊂ window/date family
     "hits_event_graph",         # hub/authority iterations ⊂ pagerank family
+    "hourly_trend_slope_exact", # closed-form OLS ⊂ grouped_trend_slope (UDF twin)
+    "cumulative_new_users",     # growth accounting ⊂ cohort/date family
+    "multitouch_attribution_linear",  # fractional credit ⊂ asof/interval family
 ]
 
 _CHECK_WINDOW = 50

@@ -2446,3 +2446,197 @@ def _install_hits_oracle() -> None:
 
 
 _install_hits_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact OLS trend slope (closed form, no UDF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_trend_slope_exact",
+    oracle="""
+    SELECT event_type, n_hours,
+           CAST(CASE WHEN den = 0 THEN NULL
+                ELSE (num::HUGEINT * 1000000) // den END AS BIGINT)
+               AS slope_ppm_e4_per_hour
+    FROM (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS HUGEINT)
+                   AS num,
+               CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS HUGEINT)
+                   AS den
+        FROM (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+                       - 473352 AS x,
+                   CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events
+            GROUP BY event_type, x
+        )
+        GROUP BY event_type
+    )
+    """,
+)
+def hourly_trend_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT least-squares trend slope per event_type over the hourly
+    value series, in closed form: slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) — all integer sums (x = hour index re-based to the
+    dataset epoch so squares stay small; y = hourly value mass e4),
+    one wide-decimal divide at the end. The relational exact twin of
+    the Arrow applyInPandas regression (grouped_trend_slope): same
+    statistic, zero Python, bit-portable.
+
+    100 TB: two map-combinable aggregations (hourly rollup, then the
+    five OLS sums); no window, no UDF. Constant series (den=0 when a
+    type has one hour) report NULL, not a crash.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (
+                F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+                - F.lit(473352)
+            ).alias("x"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("v").alias("y"))
+    )
+    sums = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.expr(
+            "CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr(
+            "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DECIMAL(38,0))"
+        ).alias("den"),
+    )
+    return sums.select(
+        "event_type",
+        "n_hours",
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN NULL"
+            " ELSE (num * 1000000) div den END AS BIGINT)"
+        ).alias("slope_ppm_e4_per_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative new users (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_new_users",
+    oracle="""
+    SELECT day_ms, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day_ms) AS BIGINT)
+               AS cumulative_users
+    FROM (
+        SELECT CAST(epoch_ms(first_day) AS BIGINT) AS day_ms,
+               CAST(count(*) AS BIGINT) AS n_new
+        FROM (SELECT user_id, min(date_trunc('day', ts)) AS first_day
+              FROM events GROUP BY user_id)
+        GROUP BY first_day
+    )
+    """,
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: first-seen day per user -> daily new-user
+    counts -> running cumulative total (the new-vs-returning
+    denominator every growth dashboard starts from).
+
+    100 TB: the user reduction (min day per user) is one
+    map-combinable agg; the cumulative window runs over DAYS.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = first.groupBy("first_day").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("first_day")
+    return daily.select(
+        (F.unix_timestamp("first_day") * 1000).alias("day_ms"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multitouch_attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.p_id, c.event_id AS c_id,
+               count(*) OVER (PARTITION BY p.p_id) AS n_touch
+        FROM purchases p
+        JOIN events c
+          ON c.event_type = 'click' AND c.user_id = p.user_id
+         AND c.ts <= p.p_ts AND c.ts > p.p_ts - INTERVAL {_IVL_HOURS} HOUR
+    )
+    SELECT CAST(count(DISTINCT p_id) AS BIGINT) AS n_attributed_purchases,
+           CAST(count(*) AS BIGINT) AS n_touchpoints,
+           CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_ppm_total
+    FROM touches
+    """,
+)
+def multitouch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 2 hours
+    before a purchase shares the credit equally (credit = 1e6 div
+    n_touches ppm per touch — the truncation remainder is the
+    documented rounding loss, visible because credit_ppm_total <
+    n_purchases * 1e6). Complements the last-click as-of join
+    (asof_join_last_click) with the fractional-credit model.
+
+    100 TB: the purchase-click pairing is the bucketed interval join
+    shape (same user key + bounded window); credit fan-out is
+    bounded by clicks-per-user-per-2h.
+    """
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = (
+        purchases.join(clicks, purchases.p_user == clicks.c_user)
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                > F.col("p_ts") - F.expr(f"INTERVAL {_IVL_HOURS} HOURS")
+            )
+        )
+        .withColumn(
+            "n_touch", F.count("*").over(Window.partitionBy("p_id"))
+        )
+    )
+    return touches.agg(
+        F.count_distinct("p_id").cast("bigint").alias("n_attributed_purchases"),
+        F.count("*").cast("bigint").alias("n_touchpoints"),
+        F.sum(
+            F.expr("CAST(1000000 AS BIGINT) div n_touch")
+        ).cast("bigint").alias("credit_ppm_total"),
+    )

@@ -649,3 +649,40 @@ def test_hits_two_node_fixed_point(spark):
         for r in hits_ppm(edges, "src", "dst", "w", iters=4).collect()
     }
     assert out == {"A": (1000000, 0), "B": (0, 1000000)}
+
+
+def test_ols_slope_hand_computed(spark):
+    """Perfect line y = 2e4 * x per hour -> slope_ppm_e4_per_hour
+    exactly 2e4 * 1e6... in ppm scale: slope = 20000 => 20000*1e6 ppm
+    of e4 units; verify the closed form on a 3-point exact line."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate([1.0, 3.0, 5.0]):  # +2.0 per hour
+        rows.append((i, t0 + dt.timedelta(hours=i), 1, "view", v, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        r = QUERIES["hourly_trend_slope_exact"].fn(spark, d).collect()[0]
+    # y_e4 steps by 20000 per hour -> slope 20000 e4/hour -> x1e6 ppm
+    assert (r.n_hours, r.slope_ppm_e4_per_hour) == (3, 20000 * 1000000)
+
+
+def test_multitouch_credit_conservation(spark):
+    """Each attributed purchase distributes ~1e6 ppm across its
+    touches (minus integer-div remainder < n_touch)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    r = QUERIES["multitouch_attribution_linear"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_attributed_purchases > 0
+    assert r.credit_ppm_total <= r.n_attributed_purchases * 1_000_000
+    assert r.credit_ppm_total > r.n_attributed_purchases * 1_000_000 - r.n_touchpoints
