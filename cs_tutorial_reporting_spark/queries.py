@@ -1127,6 +1127,8 @@ _DEMOTED_TAIL: list[str] = [
     "hourly_trend_slope_exact", # closed-form OLS ⊂ grouped_trend_slope (UDF twin)
     "cumulative_new_users",     # growth accounting ⊂ cohort/date family
     "multitouch_attribution_linear",  # fractional credit ⊂ asof/interval family
+    "cluster_best_representative",  # keep-best policy ⊂ dedup_transitive family
+    "quota_waterfall_mix",      # per-source caps ⊂ mixture/training family
 ]
 
 _CHECK_WINDOW = 50

@@ -3178,3 +3178,81 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "score", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+_REP_LABELS_SQL = f"""
+WITH RECURSIVE pairs AS (
+    {_MINHASH_ORACLE}
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+    SELECT u AS node, u AS r FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+),
+labels AS (
+    SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+)
+"""
+
+
+@register(
+    "cluster_best_representative",
+    oracle=_REP_LABELS_SQL
+    + """
+    SELECT cluster_id, rep_doc_id, rep_n_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM (
+        SELECT l.cluster_id,
+               d.doc_id AS rep_doc_id, d.n_chars AS rep_n_chars,
+               count(*) OVER (PARTITION BY l.cluster_id) AS n_docs,
+               row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM labels l JOIN documents d ON d.doc_id = l.node
+    )
+    WHERE rn = 1
+    """,
+)
+def cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade dedup: within each transitive near-dup cluster
+    keep the BEST document (longest, doc_id tiebreak) rather than the
+    smallest id — the representative-selection step a real corpus
+    pipeline runs after clustering (keep-min is an ID policy;
+    keep-best is a QUALITY policy). Reuses the minhash-LSH pair set
+    and min-label connected components verbatim.
+
+    100 TB: adds one doc-keyed join + a per-cluster top-1 window to
+    the clustering cost; cluster count << doc count so the window
+    partitions are small.
+    """
+    from pyspark.sql import Window
+
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.5
+    )
+    labels = connected_components(pairs)
+    joined = labels.join(
+        d.select("doc_id", "n_chars"), labels.node == F.col("doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            F.count("*").over(wc).alias("n_docs"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -2640,3 +2640,102 @@ def multitouch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("CAST(1000000 AS BIGINT) div n_touch")
         ).cast("bigint").alias("credit_ppm_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quota waterfall: per-source corpus assembly with redistribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quota_waterfall_mix",
+    oracle="""
+    WITH avail AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS avail
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(avail) * 6 // 10 AS BIGINT) AS target,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM avail
+    ),
+    r1 AS (
+        SELECT a.source, a.avail,
+               CAST(t.target // t.n_sources AS BIGINT) AS quota_r1,
+               CAST(least(a.avail, t.target // t.n_sources) AS BIGINT)
+                   AS taken_r1
+        FROM avail a, tot t
+    ),
+    left_over AS (
+        SELECT CAST((SELECT target FROM tot) - sum(taken_r1) AS BIGINT)
+                   AS leftover,
+               CAST(sum(avail - taken_r1) AS BIGINT) AS total_cap
+        FROM r1
+    )
+    SELECT r.source, r.avail, r.quota_r1, r.taken_r1,
+           CAST(extra AS BIGINT) AS extra_r2,
+           CAST(r.taken_r1 + least(extra, r.avail - r.taken_r1) AS BIGINT)
+               AS final_take
+    FROM (
+        SELECT r.*, CASE WHEN lo.total_cap = 0 THEN 0
+                    ELSE lo.leftover * (r.avail - r.taken_r1) // lo.total_cap
+                    END AS extra
+        FROM r1 r, left_over lo
+    ) r
+    """,
+)
+def quota_waterfall_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus assembly with a two-round quota waterfall:
+    round 1 gives every source an equal share of the 60% target;
+    sources with less supply than quota contribute their whole stock,
+    and the unfilled remainder redistributes to the others
+    PROPORTIONALLY TO SPARE CAPACITY (integer waterfall, truncating —
+    final_take can undershoot the target by < n_sources, the
+    documented remainder). The per-source cap is the curation control
+    that stops one crawl from dominating a training mix.
+
+    100 TB: two scalar aggregates (target/leftover) broadcast over a
+    source-sized frame; assignment is pure arithmetic — the actual
+    row selection then composes with deterministic_sample /
+    weighted_sample_topk per source.
+    """
+    docs = t(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("avail")
+    ).localCheckpoint()
+    tot = avail.agg(
+        F.expr("CAST(sum(avail) * 6 div 10 AS BIGINT)").alias("target"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    r1 = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.expr("CAST(target div n_sources AS BIGINT)").alias("quota_r1"),
+        F.expr(
+            "CAST(least(avail, target div n_sources) AS BIGINT)"
+        ).alias("taken_r1"),
+        "target",
+    )
+    lo = r1.agg(
+        F.expr("CAST(max(target) - sum(taken_r1) AS BIGINT)").alias("leftover"),
+        F.expr("CAST(sum(avail - taken_r1) AS BIGINT)").alias("total_cap"),
+    )
+    return (
+        r1.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "avail",
+            "quota_r1",
+            "taken_r1",
+            F.expr(
+                "CAST(CASE WHEN total_cap = 0 THEN 0 ELSE"
+                " leftover * (avail - taken_r1) div total_cap END AS BIGINT)"
+            ).alias("extra_r2"),
+        )
+        .withColumn(
+            "final_take",
+            F.expr(
+                "CAST(taken_r1 + least(extra_r2, avail - taken_r1) AS BIGINT)"
+            ),
+        )
+    )

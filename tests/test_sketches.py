@@ -686,3 +686,51 @@ def test_multitouch_credit_conservation(spark):
     assert r.n_attributed_purchases > 0
     assert r.credit_ppm_total <= r.n_attributed_purchases * 1_000_000
     assert r.credit_ppm_total > r.n_attributed_purchases * 1_000_000 - r.n_touchpoints
+
+
+def test_quota_waterfall_invariants(spark):
+    """final_take <= avail always; the total take lands within
+    n_sources of the 60% target (truncation remainder only)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["quota_waterfall_mix"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total_avail = sum(r.avail for r in rows)
+    target = total_avail * 6 // 10
+    take = sum(r.final_take for r in rows)
+    for r in rows:
+        assert 0 <= r.final_take <= r.avail, r
+        assert r.taken_r1 <= r.quota_r1
+    assert take <= target
+    assert take > target - 2 * len(rows), (take, target)
+
+
+def test_cluster_representative_is_best_member(spark):
+    """The representative must be the longest member of its cluster
+    (doc_id tiebreak) and clusters must be >= 2 docs (pairs-derived)."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from cs_tutorial_reporting_spark.queries import QUERIES
+    from cs_tutorial_reporting_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    reps = QUERIES["cluster_best_representative"].fn(spark, sf).collect()
+    assert reps
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    pairs = minhash_lsh_pairs(
+        d.join(load_table(spark, sf, "documents").select("doc_id", "text"), "doc_id"),
+        "text", "doc_id", num_hashes=8, band_size=2, jaccard_threshold=0.5,
+    )
+    labels = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    chars = {r.doc_id: r.n_chars for r in d.collect()}
+    by_cluster: dict = {}
+    for node, cid in labels.items():
+        by_cluster.setdefault(cid, []).append(node)
+    for r in reps:
+        members = by_cluster[r.cluster_id]
+        assert r.n_docs == len(members) >= 2
+        best = sorted(members, key=lambda n: (-chars[n], n))[0]
+        assert r.rep_doc_id == best
