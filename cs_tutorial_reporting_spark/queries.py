@@ -1129,6 +1129,7 @@ _DEMOTED_TAIL: list[str] = [
     "multitouch_attribution_linear",  # fractional credit ⊂ asof/interval family
     "cluster_best_representative",  # keep-best policy ⊂ dedup_transitive family
     "quota_waterfall_mix",      # per-source caps ⊂ mixture/training family
+    "arrow_native_tokenstats",  # mapInArrow class ⊂ multimodal Arrow family
 ]
 
 _CHECK_WINDOW = 50

@@ -2739,3 +2739,58 @@ def quota_waterfall_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow surface (RecordBatch-native, no pandas materialization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrow_native_tokenstats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_arrow,
+           CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT)
+               AS n_a
+    FROM documents
+    """,
+)
+def arrow_native_tokenstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface pin — the one Arrow UDF class the
+    registry didn't exercise (pandas_udf, grouped map/agg,
+    mapInPandas, applyInPandasWithState and the UDTF are covered
+    elsewhere): the batch iterator yields pyarrow RecordBatches and
+    the kernel runs entirely in pyarrow.compute — NO pandas
+    materialization, so string columns never copy out of Arrow
+    buffers. The expression twin is trivial SQL (that's the point:
+    this pins the API class, and the per-batch zero-copy shape is
+    what a real vectorized kernel — tokenizers, hashing — plugs
+    into).
+
+    100 TB: identical plumbing to mapInPandas (Arrow batches per
+    partition) minus the pandas conversion tax on wide string
+    batches.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def op(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            text = tbl.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("doc_id").combine_chunks(),
+                    pc.cast(pc.utf8_length(text), pa.int64()).combine_chunks(),
+                    pc.cast(
+                        pc.count_substring(text, "a"), pa.int64()
+                    ).combine_chunks(),
+                ],
+                names=["doc_id", "n_chars_arrow", "n_a"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        op, schema="doc_id bigint, n_chars_arrow bigint, n_a bigint"
+    )
