@@ -1130,6 +1130,7 @@ _DEMOTED_TAIL: list[str] = [
     "cluster_best_representative",  # keep-best policy ⊂ dedup_transitive family
     "quota_waterfall_mix",      # per-source caps ⊂ mixture/training family
     "arrow_native_tokenstats",  # mapInArrow class ⊂ multimodal Arrow family
+    "simhash_hamming_census",   # pigeonhole band blocking ⊂ simhash/minhash family
 ]
 
 _CHECK_WINDOW = 50

@@ -3256,3 +3256,78 @@ def cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "simhash_hamming_census",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id, {_simhash_sql(16)} AS fp
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    )
+    SELECT CAST(bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) AS INT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= 3
+    GROUP BY hamming
+    """,
+)
+def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup census over 16-bit SimHash fingerprints:
+    pair counts at Hamming distance 0-3, found by PIGEONHOLE BAND
+    BLOCKING (4 bands of 4 bits: any pair within distance 3 differs in
+    at most 3 bit positions, so at least one band matches exactly —
+    the candidate equi-join is LOSSLESS for the radius, the Hamming
+    analog of the AllPairs prefix filter). The oracle computes the
+    same census by brute-force xor popcount over ALL pairs — the two
+    engines verify each other through different algorithms.
+
+    100 TB: the naive census is O(n²) popcounts; banding reduces it
+    to per-band equi-join buckets (4x16 buckets here), and the
+    verify touches candidates only. A pair matching in k bands is
+    seen k times — the distinct-pair dedupe BEFORE counting is
+    load-bearing. Aggregate (4-row) output keeps the result bounded
+    on a corpus whose near-dup density is high (313k pairs at sf0.1
+    would be the row-level result).
+    """
+    from .operators.dedup import simhash_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", simhash_fingerprint(F.col("text"), 16).alias("fp")
+    ).localCheckpoint()  # consumed by 2 band sides + 2 verify sides
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"CAST(shiftright(fp, {4 * j}) & 15 AS INT)").alias(
+                            "bv"
+                        ),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", "b.j", "b.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "j", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "j", "bv"
+    )
+    cand = (
+        a.join(b, ["j", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    pairs = cand.select(
+        F.expr("CAST(bit_count(fp_a ^ fp_b) AS INT)").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )

@@ -734,3 +734,47 @@ def test_cluster_representative_is_best_member(spark):
         assert r.n_docs == len(members) >= 2
         best = sorted(members, key=lambda n: (-chars[n], n))[0]
         assert r.rep_doc_id == best
+
+
+def test_hamming_band_blocking_is_lossless(spark):
+    """Pigeonhole: 4 bands of 4 bits find EVERY pair within Hamming
+    distance 3 — cross-check the banded census against brute force on
+    crafted fingerprints including a distance-4 pair that must NOT
+    appear (it can still band-match; the popcount filter drops it)."""
+    import itertools
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # craft docs whose simhash we don't control — instead check the
+    # BANDING LOGIC directly on a literal fingerprint table
+    fps = [0b0000000000000000, 0b0000000000000001, 0b0000000000000111,
+           0b0000000000001111, 0b1111000000000000]
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "doc_id bigint, fp bigint"
+    )
+    bands = df.select(
+        "doc_id", "fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.expr(f"CAST(shiftright(fp, {4 * j}) & 15 AS INT)").alias("bv"))
+            for j in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "fp", "b.j", "b.bv")
+    a = bands.select(F.col("doc_id").alias("da"), F.col("fp").alias("fa"), "j", "bv")
+    b = bands.select(F.col("doc_id").alias("db"), F.col("fp").alias("fb"), "j", "bv")
+    got = {
+        (r.da, r.db)
+        for r in (
+            a.join(b, ["j", "bv"]).filter(F.col("da") < F.col("db"))
+            .select("da", "db", "fa", "fb").distinct()
+            .filter(F.expr("bit_count(fa ^ fb) <= 3"))
+        ).collect()
+    }
+    brute = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(fps)), 2)
+        if bin(fps[i] ^ fps[j]).count("1") <= 3
+    }
+    assert got == brute
+    assert (0, 3) not in got  # distance 4: band-matches but filtered
