@@ -1131,6 +1131,7 @@ _DEMOTED_TAIL: list[str] = [
     "quota_waterfall_mix",      # per-source caps ⊂ mixture/training family
     "arrow_native_tokenstats",  # mapInArrow class ⊂ multimodal Arrow family
     "simhash_hamming_census",   # pigeonhole band blocking ⊂ simhash/minhash family
+    "layout_locality_audit",    # similarity-clustered ordering ⊂ zorder/simhash family
 ]
 
 _CHECK_WINDOW = 50

@@ -3331,3 +3331,84 @@ def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+@register(
+    "layout_locality_audit",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, {_simhash_sql(16)} AS fp,
+               list_distinct(list_transform(
+                   range(1, greatest(len(words) - 2, 1) + 1),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS s
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    ),
+    orders_ AS (
+        SELECT 'simhash' AS ordering, doc_id, s,
+               row_number() OVER (ORDER BY fp, doc_id) AS rn
+        FROM sets
+        UNION ALL
+        SELECT 'doc_id' AS ordering, doc_id, s,
+               row_number() OVER (ORDER BY doc_id) AS rn
+        FROM sets
+    )
+    SELECT a.ordering,
+           CAST(count(*) AS BIGINT) AS n_adjacent_pairs,
+           CAST(sum(len(list_intersect(a.s, b.s)) * 1000000
+                    // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+                // count(*) AS BIGINT) AS avg_jac_ppm
+    FROM orders_ a JOIN orders_ b
+      ON a.ordering = b.ordering AND b.rn = a.rn + 1
+    GROUP BY a.ordering
+    """,
+)
+def layout_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-for-compression audit: order documents by their SimHash
+    fingerprint and measure the average Jaccard similarity of ADJACENT
+    pairs vs the naive doc_id order — the number that tells you how
+    much a similarity-clustered file layout will help page-level
+    compression and dedup-adjacent scans (the text analog of Z-order:
+    one physical ordering that colocates near-dups).
+
+    100 TB: fingerprint ordering is a sort by a 16-bit key (a range
+    partition in practice); the audit itself joins each row to its
+    successor (window rank + equi-join, never all pairs). The avg is
+    an integer mean of ppm Jaccards (sum div count).
+    """
+    from pyspark.sql import Window
+
+    from .operators.dedup import shingles, simhash_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        simhash_fingerprint(F.col("text"), 16).alias("fp"),
+        shingles(F.col("text"), 3).alias("s"),
+    ).localCheckpoint()  # two orderings consume it, + both join sides
+
+    def census(df: DataFrame, order_cols, label: str) -> DataFrame:
+        rn = F.row_number().over(Window.orderBy(*order_cols))
+        ranked = df.select(
+            F.lit(label).alias("ordering"), "doc_id", "s", rn.alias("rn")
+        )
+        a = ranked.select("ordering", F.col("s").alias("s_a"), "rn")
+        b = ranked.select(
+            "ordering", F.col("s").alias("s_b"), (F.col("rn") - 1).alias("rn")
+        )
+        pairs = a.join(b, ["ordering", "rn"])
+        jac = F.expr(
+            "size(array_intersect(s_a, s_b)) * CAST(1000000 AS BIGINT)"
+            " div (size(s_a) + size(s_b) - size(array_intersect(s_a, s_b)))"
+        )
+        return pairs.select("ordering", jac.alias("jac_ppm")).groupBy(
+            "ordering"
+        ).agg(
+            F.count("*").cast("bigint").alias("n_adjacent_pairs"),
+            F.expr(
+                "CAST(sum(jac_ppm) div count(*) AS BIGINT)"
+            ).alias("avg_jac_ppm"),
+        )
+
+    return census(base, [F.col("fp"), F.col("doc_id")], "simhash").unionByName(
+        census(base, [F.col("doc_id")], "doc_id")
+    )
