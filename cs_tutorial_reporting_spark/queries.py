@@ -1132,6 +1132,9 @@ _DEMOTED_TAIL: list[str] = [
     "arrow_native_tokenstats",  # mapInArrow class ⊂ multimodal Arrow family
     "simhash_hamming_census",   # pigeonhole band blocking ⊂ simhash/minhash family
     "layout_locality_audit",    # similarity-clustered ordering ⊂ zorder/simhash family
+    "bitmap_retention_days",    # bitmap-index mask rollup ⊂ hll/sketch + cohort family
+    "kmv_jaccard_sources",      # bottom-k set-overlap estimate ⊂ kmv/minhash family
+    "keyset_pagination_orders", # seek-method cursor page ⊂ limit_offset (scale twin)
 ]
 
 _CHECK_WINDOW = 50

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .duck_sql import WORDS_SQL
+from .queries_ext import SHINGLES_SQL
 from .operators.sketches import (
     BLOOM_K,
     bloom_build_words,
@@ -2793,4 +2794,275 @@ def arrow_native_tokenstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(
         op, schema="doc_id bigint, n_chars_arrow bigint, n_a bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap retention rollup (DAU / trailing-7-day / monthly actives)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitmap_retention_days",
+    oracle="""
+    WITH bm AS (
+        SELECT user_id,
+               bit_or(1::BIGINT << (CAST(extract(day FROM ts) AS INTEGER) - 1))
+                   AS bits
+        FROM events GROUP BY user_id
+    ),
+    days AS (
+        SELECT DISTINCT CAST(extract(day FROM ts) AS INTEGER) AS d FROM events
+    )
+    SELECT CAST(d AS BIGINT) AS day_of_month,
+           CAST(sum(CASE WHEN (bits >> (d - 1)) & 1 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN bits
+                         & ((1::BIGINT << d) - (1::BIGINT << greatest(d - 7, 0)))
+                         <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS wau_7d,
+           CAST(sum(CASE WHEN bits <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS mau_month
+    FROM bm, days
+    GROUP BY d
+    """,
+)
+def bitmap_retention_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index retention rollup: compress each user's month of
+    activity into ONE 31-bit day bitmap (``bit_or(1 << day-1)``), then
+    answer DAU / trailing-7-day actives / monthly actives for every
+    observed day with pure mask arithmetic — the classic bitmap-index
+    trick that turns N-day retention scans into bitwise AND against a
+    per-user integer.
+
+    100 TB: the events→bitmap groupBy is the ONLY event-sized shuffle;
+    after it the working set is |users| rows of one BIGINT each.  The
+    day grid (≤31 rows) is broadcast and fanned out with a crossJoin —
+    31·|users| cheap mask tests replace 31 windowed re-scans of the
+    fact table.  Bitmaps for longer horizons shard into (user, epoch)
+    words and merge with bit_or, exactly like the HLL registers.
+    """
+    ev = t(spark, sf_dir, "events")
+    bm = ev.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1))"
+        ).alias("bits")
+    )
+    days = ev.select(F.dayofmonth("ts").alias("d")).distinct()
+    return (
+        bm.crossJoin(F.broadcast(days))
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN (shiftright(bits, d - 1) & 1) = 1"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("dau"),
+            F.expr(
+                "CAST(sum(CASE WHEN (bits &"
+                " (shiftleft(CAST(1 AS BIGINT), d)"
+                "  - shiftleft(CAST(1 AS BIGINT), greatest(d - 7, 0)))) != 0"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("wau_7d"),
+            F.expr(
+                "CAST(sum(CASE WHEN bits != 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("mau_month"),
+        )
+        .select(
+            F.col("d").cast("bigint").alias("day_of_month"),
+            "dau",
+            "wau_7d",
+            "mau_month",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k Jaccard between source corpora
+# ---------------------------------------------------------------------------
+
+_KMVJ_K = 32
+
+
+def _kmvj_pair_expand_sql(rows: str) -> str:
+    """Pair-expand ``rows`` (a CTE named ``{rows}`` with (source, hv))
+    over the source-pair dim: one row per (sa, sb, hv) with membership
+    flags — the shared shape of the sketch and exact paths."""
+    return f"""
+        SELECT sa, sb, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT d.sa, d.sb, s.hv, 1 AS in_a, 0 AS in_b
+            FROM dim d JOIN {rows} s ON s.source = d.sa
+            UNION ALL
+            SELECT d.sa, d.sb, s.hv, 0 AS in_a, 1 AS in_b
+            FROM dim d JOIN {rows} s ON s.source = d.sb
+        ) GROUP BY sa, sb, hv
+    """
+
+
+@register(
+    "kmv_jaccard_sources",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substr(md5(concat('kmvj#', g)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM (SELECT source, unnest({{shingles}}) AS g
+              FROM (SELECT source, {{words}} AS words FROM documents))
+    ),
+    srcs AS (SELECT DISTINCT source FROM sh),
+    dim AS (SELECT a.source AS sa, b.source AS sb
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+    sk AS MATERIALIZED (
+        SELECT source, hv FROM (
+            SELECT source, hv,
+                   row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM sh)
+        WHERE rn <= {_KMVJ_K}
+    ),
+    m_sk AS ({{expand_sk}}),
+    ranked AS (
+        SELECT sa, sb, in_a, in_b,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+        FROM m_sk
+    ),
+    est AS (
+        SELECT sa, sb, CAST(max(rn) AS BIGINT) AS k_eff,
+               sum(in_a * in_b) AS n_both
+        FROM ranked WHERE rn <= {_KMVJ_K} GROUP BY sa, sb
+    ),
+    m_all AS ({{expand_all}}),
+    exact AS (
+        SELECT sa, sb, count(*) AS n_union, sum(in_a * in_b) AS n_inter
+        FROM m_all GROUP BY sa, sb
+    )
+    SELECT est.sa, est.sb, k_eff,
+           CAST(n_both * 1000000 // k_eff AS BIGINT) AS est_jac_ppm,
+           CAST(n_inter * 1000000 // n_union AS BIGINT) AS exact_jac_ppm
+    FROM est JOIN exact ON est.sa = exact.sa AND est.sb = exact.sb
+    """.format(
+        shingles=SHINGLES_SQL,
+        words=WORDS_SQL,
+        expand_sk=_kmvj_pair_expand_sql("sk"),
+        expand_all=_kmvj_pair_expand_sql("sh"),
+    ),
+)
+def kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus overlap: estimate the shingle-set Jaccard of
+    every source pair from each source's bottom-k (KMV) hash sketch —
+    J ≈ |bottom-k(A∪B) ∩ A ∩ B| / k, the order-statistics estimator
+    that powers cross-dataset contamination triage before any full
+    pairwise pass.  The exact Jaccard rides along as the audit column
+    (same role as embedding_near_dup's exact baseline).
+
+    100 TB: each corpus compresses to k=32 hashes in ONE pass (the
+    bottom-k is a per-source top-k, mergeable by union+truncate), so
+    the pairwise stage touches k·|sources| rows — pairs of sketches,
+    never pairs of documents.  The exact audit path is the sf-small
+    verification baseline only.
+    """
+    from pyspark.sql import Window
+
+    from .functions.text import hash60
+    from .operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(shingles(F.col("text"), 3)).alias("g"))
+        .select(
+            "source",
+            hash60(F.concat(F.lit("kmvj#"), F.col("g"))).alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint()  # sketch + exact paths + source dim share it
+    )
+    srcs = sh.select("source").distinct()
+    dim = F.broadcast(
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+    )
+
+    def expand(rows: DataFrame) -> DataFrame:
+        m1 = dim.join(rows, F.col("sa") == F.col("source")).select(
+            "sa", "sb", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+        )
+        m2 = dim.join(rows, F.col("sb") == F.col("source")).select(
+            "sa", "sb", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+        )
+        return (
+            m1.unionByName(m2)
+            .groupBy("sa", "sb", "hv")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        )
+
+    w = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMVJ_K)
+        .drop("rn")
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("hv")
+    ranked = (
+        expand(sk)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _KMVJ_K)
+    )
+    est = ranked.groupBy("sa", "sb").agg(
+        F.max("rn").cast("bigint").alias("k_eff"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    exact = expand(sh).groupBy("sa", "sb").agg(
+        F.count("*").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+    )
+    return est.join(exact, ["sa", "sb"]).select(
+        "sa",
+        "sb",
+        "k_eff",
+        F.expr(
+            "CAST(n_both * CAST(1000000 AS BIGINT) div k_eff AS BIGINT)"
+        ).alias("est_jac_ppm"),
+        F.expr(
+            "CAST(n_inter * CAST(1000000 AS BIGINT) div n_union AS BIGINT)"
+        ).alias("exact_jac_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyset (seek-method) pagination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "keyset_pagination_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1997-09-15 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1997-09-15 00:00:00'
+           AND o_orderkey > 1000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+)
+def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: resume a stable scan AFTER the
+    cursor ``(o_orderdate, o_orderkey) = ('1997-09-15', 1000)`` via the
+    tuple-compare predicate, never via OFFSET — the scale-correct twin
+    of limit_offset_pagination.
+
+    100 TB: OFFSET n scans and discards n rows per page (O(n²) to walk
+    a table); the keyset predicate is sargable — ``o_orderdate >
+    cursor`` reaches the parquet scan as a pushed filter (min/max page
+    skipping prunes every earlier file), and the global sort is a
+    top-k (TakeOrderedAndProject), not a full order-by.
+    """
+    cur = F.lit("1997-09-15 00:00:00").cast("timestamp")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") > cur)
+            | ((F.col("o_orderdate") == cur) & (F.col("o_orderkey") > 1000))
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .limit(20)
     )

@@ -472,3 +472,28 @@ def test_scale_primitive_joins_stay_hash_based(spark):
     p = probe._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p, "bloom probe must be join-free"
     assert "Exchange" not in p, "bloom probe must be shuffle-free"
+
+
+def test_keyset_pagination_pushes_tuple_cursor_and_takes_topk(spark):
+    """The seek-method page must be a single pruned scan with the OR'd
+    tuple-compare cursor pushed to parquet and a top-k physical sort
+    (TakeOrderedAndProject), never a global Sort + Limit — that pair
+    is what makes cursor paging O(page) at 100 TB."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    p = plan_text(QUERIES["keyset_pagination_orders"].fn(spark, SF), "formatted")
+    pushed = p.split("PushedFilters")[1].split("\n")[0]
+    assert "o_orderdate" in pushed and "o_orderkey" in pushed, pushed
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p, "keyset page must not shuffle"
+
+
+def test_bitmap_retention_single_event_shuffle(spark):
+    """The bitmap rollup's only event-sized movement is the
+    user-bitmap groupBy; the day grid joins as a broadcast (the
+    crossJoin fan-out is the ≤31-row dim, never event×event)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    p = plan_text(QUERIES["bitmap_retention_days"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 31-row broadcast day grid
