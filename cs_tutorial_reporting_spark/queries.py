@@ -1135,6 +1135,7 @@ _DEMOTED_TAIL: list[str] = [
     "bitmap_retention_days",    # bitmap-index mask rollup ⊂ hll/sketch + cohort family
     "kmv_jaccard_sources",      # bottom-k set-overlap estimate ⊂ kmv/minhash family
     "keyset_pagination_orders", # seek-method cursor page ⊂ limit_offset (scale twin)
+    "triangle_count_copurchase",  # degree-oriented closure ⊂ pagerank/hits graph family
 ]
 
 _CHECK_WINDOW = 50
