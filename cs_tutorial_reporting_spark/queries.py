@@ -1136,6 +1136,7 @@ _DEMOTED_TAIL: list[str] = [
     "kmv_jaccard_sources",      # bottom-k set-overlap estimate ⊂ kmv/minhash family
     "keyset_pagination_orders", # seek-method cursor page ⊂ limit_offset (scale twin)
     "triangle_count_copurchase",  # degree-oriented closure ⊂ pagerank/hits graph family
+    "hll_intersection_overlap", # inclusion-exclusion register math ⊂ hll_merge_shards
 ]
 
 _CHECK_WINDOW = 50

@@ -3205,3 +3205,123 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL audience overlap (inclusion-exclusion intersection estimate)
+# ---------------------------------------------------------------------------
+
+_HLLI_DIM_SQL = """
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM (SELECT DISTINCT event_type FROM events) a
+    JOIN (SELECT DISTINCT event_type FROM events) b
+      ON a.event_type < b.event_type
+"""
+
+_HLLI_PAIR_REGS = f"""
+    SELECT d.ta, d.tb, r.reg, max(r.max_rho) AS max_rho
+    FROM ({_HLLI_DIM_SQL}) d
+    JOIN ({_HLL_REG_SQL}) r
+      ON r.event_type = d.ta OR r.event_type = d.tb
+    GROUP BY d.ta, d.tb, r.reg
+"""
+
+
+@register(
+    "hll_intersection_overlap",
+    oracle=f"""
+    WITH singles AS MATERIALIZED (
+        SELECT event_type, hll_estimate FROM ({_HLL_EST_SQL})
+    ),
+    pair_est AS (
+        SELECT ta, tb, hll_estimate AS est_union
+        FROM ({hll_estimate_sql(_HLLI_PAIR_REGS, group_sql="ta, tb")})
+    ),
+    exact AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               count(*) AS exact_inter
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.ta, p.tb,
+           sa.hll_estimate AS est_a,
+           sb.hll_estimate AS est_b,
+           p.est_union,
+           CAST(sa.hll_estimate + sb.hll_estimate - p.est_union AS BIGINT)
+               AS est_inter,
+           CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter
+    FROM pair_est p
+    JOIN singles sa ON sa.event_type = p.ta
+    JOIN singles sb ON sb.event_type = p.tb
+    LEFT JOIN exact x ON x.ta = p.ta AND x.tb = p.tb
+    """,
+)
+def hll_intersection_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from sketches alone: estimate the distinct-user
+    INTERSECTION of every event_type pair by inclusion-exclusion over
+    portable HLL sketches — |A∩B| ≈ E(A) + E(B) − E(A∪B), where the
+    union estimate reads the MAX-MERGED register tables (the HLL union
+    is lossless, so no third pass over events is ever needed).  The
+    exact intersection rides along as the audit column; the estimate
+    may legitimately go negative at small cardinalities — it is
+    reported signed, as the sketch algebra produces it.
+
+    100 TB: per-type register tables (64 rows each) are the ONLY state
+    the pairwise stage touches — overlap across N sources costs
+    O(N²·m) register math, never a second scan of the fact table; the
+    exact audit join is the sf-small verification baseline.
+    """
+    ev = t(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id").localCheckpoint()
+    types = regs.select("event_type").distinct()
+    dim = F.broadcast(
+        types.toDF("ta")
+        .join(types.toDF("tb"), F.col("ta") < F.col("tb"))
+    )
+    pair_regs = (
+        dim.join(
+            regs,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "reg")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+    est_union = hll_estimate(pair_regs, ["ta", "tb"]).select(
+        "ta", "tb", F.col("hll_estimate").alias("est_union")
+    )
+    singles = hll_estimate(regs, ["event_type"])
+    est_a = singles.select(
+        F.col("event_type").alias("ta"), F.col("hll_estimate").alias("est_a")
+    )
+    est_b = singles.select(
+        F.col("event_type").alias("tb"), F.col("hll_estimate").alias("est_b")
+    )
+    m = ev.select("event_type", "user_id").distinct()
+    exact = (
+        m.toDF("ta", "uid")
+        .join(m.toDF("tb", "uid"), "uid")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        est_union.join(F.broadcast(est_a), "ta")
+        .join(F.broadcast(est_b), "tb")
+        .join(exact, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("bigint")
+            .alias("est_inter"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_inter"),
+        )
+    )
