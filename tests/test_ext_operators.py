@@ -2075,3 +2075,78 @@ def test_anomaly_hours_exact_integer_algebra(spark):
     assert sum(
         1 for v in vals if (n * v - S) ** 2 > 9 * (n * Q - S * S)
     ) == 1
+
+
+def test_transform_with_state_lifecycle(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): cross-batch
+    max-gap state over two TIME-SPLIT files must equal the batch
+    lag-window answer. ENVIRONMENT-BLOCKED today: the TWS Python worker
+    protocol imports google.protobuf, absent from this container
+    (streaming/stateful.py module note) — this test activates the
+    moment protobuf appears."""
+    pytest.importorskip("google.protobuf")
+    from cs_tutorial_reporting_spark.streaming.stateful import (
+        user_lifecycle_state,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = ev.selectExpr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ts) p").collect()[0].p
+    src = str(tmp_path / "tws_src")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(src, mode="overwrite")
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_lifecycle_state(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert q.lastProgress["batchId"] >= 1
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(key, prev)
+
+    got = {
+        r.user_id: (r.n_events, r.max_gap_ms)
+        for r in spark.sql(
+            """SELECT user_id, max(n_events) n_events, max(max_gap_ms) max_gap_ms
+               FROM tws_out GROUP BY user_id"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.max_gap_ms)
+        for r in ev.selectExpr(
+            "user_id",
+            "unix_millis(ts) AS ts_ms",
+            "unix_millis(ts) - lag(unix_millis(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_ms"),
+        )
+        .collect()
+    }
+    assert got == want
