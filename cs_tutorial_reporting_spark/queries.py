@@ -1137,6 +1137,8 @@ _DEMOTED_TAIL: list[str] = [
     "keyset_pagination_orders", # seek-method cursor page ⊂ limit_offset (scale twin)
     "triangle_count_copurchase",  # degree-oriented closure ⊂ pagerank/hits graph family
     "hll_intersection_overlap", # inclusion-exclusion register math ⊂ hll_merge_shards
+    "hard_negative_mining",     # label-filtered exact ANN ⊂ similarity_topk_bruteforce
+    "bfs_levels_copurchase",    # unrolled frontier relaxation ⊂ pagerank/hits family
 ]
 
 _CHECK_WINDOW = 50

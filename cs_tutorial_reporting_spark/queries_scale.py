@@ -3325,3 +3325,122 @@ def hll_intersection_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path levels (unrolled Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle_sql(rounds: int) -> str:
+    """Unrolled BFS oracle — the SAME recipe the Spark side iterates
+    (Bellman-Ford relaxation: l_k = min(l_{k-1}, neighbor+1)), emitted
+    as MATERIALIZED CTEs (DuckDB inlines plain CTEs referenced twice —
+    the HITS 2^iters lesson)."""
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT pa AS u, pb AS v FROM e0
+            UNION ALL SELECT pb AS u, pa AS v FROM e0
+        )""",
+        """deg AS MATERIALIZED (
+            SELECT u AS node, count(*) AS deg FROM e GROUP BY u
+        )""",
+        """l0 AS MATERIALIZED (
+            SELECT node, 0 AS dist FROM (
+                SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1
+            )
+        )""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM l{k - 1}
+                UNION ALL
+                SELECT e.v AS node, l{k - 1}.dist + 1 AS dist
+                FROM l{k - 1} JOIN e ON e.u = l{k - 1}.node
+            ) GROUP BY node
+        )""")
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    {', '.join(ctes)}
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{rounds} GROUP BY dist
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST((SELECT count(*) FROM deg)
+                - (SELECT count(*) FROM l{rounds}) AS BIGINT)
+    """
+
+
+@register("bfs_levels_copurchase", oracle=_bfs_oracle_sql(_BFS_ROUNDS))
+def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path level census from the co-purchase graph's
+    hub (max-degree node, min-id tie-break): how many parts sit at
+    distance 0..4, plus the unreached remainder (dist −1) — the
+    reachability profile that sizes recommendation fan-outs and
+    detects disconnected catalog islands. Unrolled Bellman-Ford
+    relaxation (l_k = min(l_{k-1}, neighbor+1)); ONE Python loop
+    drives both the Spark iteration and the generated DuckDB CTE
+    chain, so the recipes cannot drift (the PageRank pattern).
+
+    100 TB: each round is one node-keyed join + min-agg on the
+    ASSIGNED set (≤ reachable nodes, ≤ rounds·avg-degree growth);
+    per-round localCheckpoint keeps lineage O(1) — the plan, not the
+    data, is what doubles per unrolled level otherwise. Rounds are a
+    fixed unroll: distance-bounded BFS is the production shape
+    (frontier iteration to fixpoint adds a driver loop, same joins).
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e0 = (
+        li.toDF("okey", "pa")
+        .join(li.toDF("okey", "pb"), "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    sym = (
+        e0.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(e0.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint()  # joined every round + degree/source scan
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    lev = (
+        deg.orderBy(F.col("deg").desc(), F.col("node"))
+        .limit(1)
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_ROUNDS):
+        nxt = lev.join(sym, lev["node"] == sym["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        lev = (
+            lev.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()  # bound lineage: O(1) plan per round
+        )
+    hist = lev.groupBy("dist").agg(F.count("*").alias("n_nodes")).select(
+        F.col("dist").cast("bigint"), F.col("n_nodes").cast("bigint")
+    )
+    unreached = deg.agg(F.count("*").alias("n")).crossJoin(
+        lev.agg(F.count("*").alias("m"))
+    ).select(
+        F.lit(-1).cast("bigint").alias("dist"),
+        (F.col("n") - F.col("m")).cast("bigint").alias("n_nodes"),
+    )
+    return hist.unionByName(unreached)

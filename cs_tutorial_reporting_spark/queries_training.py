@@ -519,3 +519,65 @@ def doc_length_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mad(F.col("len")), 1).alias("mad_len"),
         n_rows(F.col("len")).alias("n_docs"),
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    SELECT query_id, query_label, vec_id, neg_label, cos, rank FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label, e.vec_id,
+               e.label AS neg_label,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 6) AS cos,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                  q.embedding::DOUBLE[]), 6) DESC, e.vec_id
+               ) AS BIGINT) AS rank
+        FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        WHERE e.label <> q.label
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-5 most-similar vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    what makes a contrastive batch informative (random negatives are
+    trivially separable). Exact cosine baseline (the mining twin of
+    similarity_topk_bruteforce with the label-mismatch predicate).
+
+    100 TB: anchors broadcast (mining runs per anchor block); the
+    label-mismatch filter lands pre-window, so ranked state is k per
+    (anchor, partition). At full scale the same predicate rides the
+    IVF/PQ probe path instead of the exact scan — mining accuracy
+    degrades gracefully with the index's recall, and the label filter
+    is free either way.
+    """
+    from pyspark.sql.window import Window
+
+    from .functions.vectors import cosine_flat
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(
+        F.col("label") != F.col("query_label")
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(cosine_flat("embedding", "query_vec", 64), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
