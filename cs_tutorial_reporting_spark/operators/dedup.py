@@ -226,6 +226,110 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    new_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup pairs: only pairs TOUCHING the new batch
+    (``new_col`` boolean marks new docs) against the full corpus — the
+    production shape for continuous crawls, where intra-corpus pairs
+    were already found in earlier runs and must not be re-derived.
+
+    Same signature/band/cap/verify contract as ``minhash_lsh_pairs``
+    (identical hashes, identical max_bucket guard), but pair
+    generation is a new-side × index band JOIN rather than in-bucket
+    combination, so the quadratic term is |new| × bucket, never
+    |corpus| × bucket. Returns (id_a, id_b, jaccard), id_a < id_b,
+    distinct, each pair containing ≥1 new doc.
+
+    100 TB: the corpus side's (id, band) rows and shingle sets are
+    exactly what a persisted dedup index stores — in production they
+    are READ, not recomputed (the ANN partitioned-codes append
+    analog); the harness recomputes both sides because the parquet
+    tables are its only input. Each run then pays: new-batch
+    signatures + one band join against the index + verify joins that
+    touch only candidate ids.
+    """
+    n_bands = num_hashes // band_size
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__txt"),
+        F.col(new_col).alias("__new"),
+    )
+    sh_df = src.select(
+        "__id", "__new", shingles(F.col("__txt"), shingle_n).alias("__sh")
+    ).localCheckpoint(eager=True)
+    salted_mins = [
+        F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("__s")))).alias(f"__mh{j}")
+        for j in range(num_hashes)
+    ]
+    mh = (
+        sh_df.select("__id", F.explode("__sh").alias("__s"))
+        .groupBy("__id")
+        .agg(*salted_mins)
+    )
+    bands = mh.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"__mh{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band"),
+    ).join(sh_df.select("__id", "__new"), "__id")
+    ok = (
+        bands.groupBy("__band")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("__band")
+    )
+    idx = bands.join(ok, "__band").localCheckpoint(eager=True)
+    new_side = idx.filter(F.col("__new")).select(
+        "__band", F.col("__id").alias("__id_n")
+    )
+    cand = (
+        new_side.join(
+            idx.select("__band", F.col("__id").alias("__id_o")), "__band"
+        )
+        .filter(F.col("__id_n") != F.col("__id_o"))
+        .select(
+            F.least("__id_n", "__id_o").alias("id_a"),
+            F.greatest("__id_n", "__id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        sh_df.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+        "id_a",
+    ).join(
+        sh_df.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = (F.size("__sh_a") + F.size("__sh_b")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup(
     df: DataFrame, text_col: str, id_col: str, **kwargs
 ) -> DataFrame:

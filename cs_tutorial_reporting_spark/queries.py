@@ -1139,6 +1139,7 @@ _DEMOTED_TAIL: list[str] = [
     "hll_intersection_overlap", # inclusion-exclusion register math ⊂ hll_merge_shards
     "hard_negative_mining",     # label-filtered exact ANN ⊂ similarity_topk_bruteforce
     "bfs_levels_copurchase",    # unrolled frontier relaxation ⊂ pagerank/hits family
+    "dedup_incremental_new_batch",  # new×index band join ⊂ minhash (bench) family
 ]
 
 _CHECK_WINDOW = 50

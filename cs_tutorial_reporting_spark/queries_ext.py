@@ -3412,3 +3412,32 @@ def layout_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census(base, [F.col("fp"), F.col("doc_id")], "simhash").unionByName(
         census(base, [F.col("doc_id")], "doc_id")
     )
+
+
+@register(
+    "dedup_incremental_new_batch",
+    oracle=f"""
+    SELECT id_a, id_b, jaccard FROM ({_MINHASH_ORACLE})
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """,
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: near-dup pairs of the NEW batch (docs
+    with doc_id % 10 = 0 play the fresh crawl) against the full corpus
+    — intra-corpus pairs are excluded because earlier runs already
+    found them. Same hashes/bands/cap/threshold as the benched
+    minhash_lsh_dedup_pairs; pair generation is the new-side × band-
+    index JOIN (operators/dedup.py::minhash_lsh_pairs_incremental), so
+    the per-run quadratic term is |new| × bucket. The oracle is the
+    full-corpus pair oracle restricted to pairs touching the batch —
+    pinning that the incremental path finds EXACTLY the pairs a full
+    re-run would attribute to these docs, no more, no fewer.
+    """
+    from .operators.dedup import minhash_lsh_pairs_incremental
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") % 10 == 0
+    )
+    return minhash_lsh_pairs_incremental(
+        d, "text", "doc_id", "is_new"
+    )

@@ -53,6 +53,9 @@ GUARDED = [
     # round-6 continuation: the prefix join consumes shingles() (HOF
     # transform) downstream of heavy plan churn — same guard class
     "prefix_filter_jaccard_pairs",
+    # round-6 fifth wave: the incremental band-join variant consumes
+    # shingles() + the salted-min signature — same guard class
+    "dedup_incremental_new_batch",
 ]
 
 #: how many registry entries to replay before checking — comfortably
