@@ -1140,6 +1140,7 @@ _DEMOTED_TAIL: list[str] = [
     "hard_negative_mining",     # label-filtered exact ANN ⊂ similarity_topk_bruteforce
     "bfs_levels_copurchase",    # unrolled frontier relaxation ⊂ pagerank/hits family
     "dedup_incremental_new_batch",  # new×index band join ⊂ minhash (bench) family
+    "kcore_copurchase",         # unrolled peeling ⊂ bfs/pagerank graph family
 ]
 
 _CHECK_WINDOW = 50

@@ -3444,3 +3444,120 @@ def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("m")).cast("bigint").alias("n_nodes"),
     )
     return hist.unionByName(unreached)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (unrolled peeling with a self-certifying flag)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 14
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling oracle — the same recipe the Spark side
+    iterates, MATERIALIZED per round (the HITS CTE-inlining lesson)."""
+    ctes = [
+        """r0 AS MATERIALIZED (
+            SELECT pa AS u, pb AS v FROM e0
+            UNION ALL SELECT pb AS u, pa AS v FROM e0
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""k{i} AS MATERIALIZED (
+            SELECT u AS node FROM r{i - 1} GROUP BY u
+            HAVING count(*) >= {k}
+        ), r{i} AS MATERIALIZED (
+            SELECT r.u, r.v FROM r{i - 1} r
+            WHERE r.u IN (SELECT node FROM k{i})
+              AND r.v IN (SELECT node FROM k{i})
+        )""")
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    {', '.join(ctes)}
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST((SELECT count(DISTINCT u) FROM r{rounds}) AS BIGINT)
+               AS n_core_nodes,
+           CAST((SELECT count(*) FROM r{rounds}) // 2 AS BIGINT)
+               AS n_core_edges,
+           ((SELECT count(*) FROM r{rounds})
+             = (SELECT count(*) FROM r{rounds - 1})) AS converged
+    """
+
+
+@register(
+    "kcore_copurchase", oracle=_kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS)
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-purchase graph (k=3): iteratively peel nodes of
+    degree < k until the stable core remains — the standard dense-
+    substructure filter (spam rings, must-stock product cores,
+    community seeds). Peeling is unrolled to 14 relaxation rounds with
+    a SELF-CERTIFYING ``converged`` flag (edge count unchanged over
+    the final round — the hll_merge_shards in-result-proof pattern),
+    so an under-unrolled run is visible in the answer, not silent.
+    One Python recipe drives both engines (the PageRank/BFS pattern).
+
+    100 TB: each round is one degree agg + two semi joins on the
+    SURVIVING edge set (monotonically shrinking); localCheckpoint per
+    round keeps the unrolled lineage O(1). Production iterates the
+    same joins under a driver loop to fixpoint; the flag certifies
+    the fixed unroll reached it.
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e0 = (
+        li.toDF("okey", "pa")
+        .join(li.toDF("okey", "pb"), "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    edges = (
+        e0.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(e0.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        prev = edges
+        edges = (
+            edges.join(keep.toDF("u"), "u", "semi")
+            .join(keep.toDF("v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()  # bound unrolled lineage per round
+        )
+    core_nodes = edges.agg(
+        F.count_distinct("u").alias("n_core_nodes")
+    )
+    core_edges = edges.agg(
+        F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_core_edges"),
+        F.count("*").alias("__n_last"),
+    )
+    prev_edges = prev.agg(F.count("*").alias("__n_prev"))
+    return (
+        core_nodes.crossJoin(core_edges)
+        .crossJoin(prev_edges)
+        .select(
+            F.lit(_KCORE_K).cast("bigint").alias("k"),
+            F.col("n_core_nodes").cast("bigint"),
+            "n_core_edges",
+            (F.col("__n_last") == F.col("__n_prev")).alias("converged"),
+        )
+    )
