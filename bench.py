@@ -43,6 +43,12 @@ def main() -> None:
             "prefix_filter_jaccard_pairs",
             "pagerank_event_graph",
             "skyline_orders_2d",
+            # round-6 fifth/sixth wave: graph + incremental-dedup
+            # entrants (same unflagged protocol)
+            "triangle_count_copurchase",
+            "kcore_copurchase",
+            "dedup_incremental_new_batch",
+            "bitmap_retention_days",
         )
         if n in QUERIES
     ]

@@ -970,9 +970,12 @@ from . import queries_training  # noqa: E402,F401
 #: r2-stale entries (the tail's first block), the FIFTEEN round-6
 #: mid-round additions (the tail's last block), and the deferred
 #: ngram_jaccard_consecutive — TWENTY-SIX promotions, within the
-#: window's 27 non-bench slots; that retires the rotation debt
-#: (every row ≤ 2 rounds old). `tools/freshness_report.py` prints
-#: the live worklist.
+#: window's 27 non-bench slots. Round 8 owes the 21 continuation
+#: entries (hll_portable_distinct … twap_user_value); round 9 the
+#: remaining continuation + fifth/sixth-wave entrants (hll_merge
+#: onward through kcore_copurchase, ~24 rows). After r9 every row is
+#: ≤ 2 rounds old. `tools/freshness_report.py` prints the live
+#: worklist.
 _DEMOTED_TAIL: list[str] = [
     # ---- still-stale r2 rows: the LAST rotation debt, scheduled for
     # the round-7 window (round-6 promoted the 15 oldest; these ten
