@@ -1144,6 +1144,7 @@ _DEMOTED_TAIL: list[str] = [
     "bfs_levels_copurchase",    # unrolled frontier relaxation ⊂ pagerank/hits family
     "dedup_incremental_new_batch",  # new×index band join ⊂ minhash (bench) family
     "kcore_copurchase",         # unrolled peeling ⊂ bfs/pagerank graph family
+    "embedding_dim_covariance_topk",  # Arrow XᵀX partials ⊂ inertia/quantize family
 ]
 
 _CHECK_WINDOW = 50

@@ -581,3 +581,126 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "embedding_dim_covariance_topk",
+    oracle="""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                    AS BIGINT) AS v
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    ),
+    nn AS (SELECT count(*)::HUGEINT AS n FROM embeddings),
+    s1 AS MATERIALIZED (SELECT i, sum(v)::HUGEINT AS s FROM x GROUP BY i),
+    s2 AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, sum(a.v * b.v)::HUGEINT AS sij
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    vi AS (SELECT i, sij AS sii FROM s2 WHERE i = j)
+    SELECT CAST(s2.i AS BIGINT) AS dim_i,
+           CAST(s2.j AS BIGINT) AS dim_j,
+           CAST(nn.n * s2.sij - sa.s * sb.s AS BIGINT) AS cov_num,
+           CAST(nn.n * va.sii - sa.s * sa.s AS BIGINT) AS var_i_num,
+           CAST(nn.n * vb.sii - sb.s * sb.s AS BIGINT) AS var_j_num
+    FROM s2
+    JOIN s1 sa ON sa.i = s2.i
+    JOIN s1 sb ON sb.i = s2.j
+    JOIN vi va ON va.i = s2.i
+    JOIN vi vb ON vb.i = s2.j
+    CROSS JOIN nn
+    WHERE s2.i < s2.j
+    ORDER BY abs(CAST(nn.n * s2.sij - sa.s * sb.s AS BIGINT)) DESC,
+             s2.i, s2.j
+    LIMIT 10
+    """,
+)
+def embedding_dim_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-correlation audit: the 10 most-covarying embedding
+    dimension pairs, in EXACT integer arithmetic — e4 fixed-point per
+    element (float32 promoted to DOUBLE before the snap, the measured
+    round-6 gotcha), then cov_num = n·Σxy − Σx·Σy alongside the two
+    variance numerators so correlation is one offline divide away.
+    Redundant/duplicated dimensions (a projection-head bug, a repeated
+    feature) surface here before any training run.
+
+    100 TB: the reduction is an Arrow ``mapInArrow`` matmul — each
+    batch emits its Xᵀ·X partial (64×64 ints) and column sums, so the
+    shuffle carries ~2 k scalars per batch regardless of row count
+    (the canonical map-side-combine outer product); integer partials
+    are exact under any summation order, which is what keeps the
+    DuckDB join-form oracle bit-identical. The alternative explode +
+    self-join form shuffles n·d² rows — measured as the oracle's own
+    plan, it is the shape this operator exists to avoid.
+    """
+    DIM = 64
+
+    def op(batches):
+        import pyarrow as pa
+
+        for tbl in batches:
+            if tbl.num_rows == 0:
+                continue
+            col = tbl.column(0)
+            arr = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in col.to_pylist()]
+            )
+            x = np.floor(arr * 10000.0 + 0.5).astype(np.int64)
+            s1 = x.sum(axis=0)
+            s2 = x.T @ x
+            iu, ju = np.triu_indices(DIM)
+            i_out = np.concatenate(
+                [iu + 1, np.arange(1, DIM + 1), np.array([-1])]
+            ).astype(np.int32)
+            j_out = np.concatenate(
+                [ju + 1, np.full(DIM, -1), np.array([-1])]
+            ).astype(np.int32)
+            v_out = np.concatenate(
+                [s2[iu, ju], s1, np.array([tbl.num_rows])]
+            ).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(i_out), pa.array(j_out), pa.array(v_out)],
+                names=["i", "j", "v"],
+            )
+
+    e = t(spark, sf_dir, "embeddings").select("embedding")
+    parts = e.mapInArrow(op, schema="i int, j int, v bigint")
+    agg = parts.groupBy("i", "j").agg(F.sum("v").alias("v")).localCheckpoint()
+    n = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    s1 = agg.filter((F.col("i") > 0) & (F.col("j") == -1)).select(
+        "i", F.col("v").alias("s")
+    )
+    s2 = agg.filter((F.col("i") > 0) & (F.col("j") > 0)).select(
+        "i", "j", F.col("v").alias("sij")
+    )
+    vi = s2.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("vd"), F.col("sij").alias("sii")
+    )
+    out = (
+        s2.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(s1.toDF("i", "sa")), "i")
+        .join(F.broadcast(s1.toDF("j", "sb")), "j")
+        .join(F.broadcast(vi.toDF("i", "via")), "i")
+        .join(F.broadcast(vi.toDF("j", "vib")), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
+            .cast("bigint")
+            .alias("cov_num"),
+            (F.col("n") * F.col("via") - F.col("sa") * F.col("sa"))
+            .cast("bigint")
+            .alias("var_i_num"),
+            (F.col("n") * F.col("vib") - F.col("sb") * F.col("sb"))
+            .cast("bigint")
+            .alias("var_j_num"),
+        )
+    )
+    return out.orderBy(
+        F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j"
+    ).limit(10)
