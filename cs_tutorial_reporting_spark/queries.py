@@ -1145,6 +1145,8 @@ _DEMOTED_TAIL: list[str] = [
     "dedup_incremental_new_batch",  # new×index band join ⊂ minhash (bench) family
     "kcore_copurchase",         # unrolled peeling ⊂ bfs/pagerank graph family
     "embedding_dim_covariance_topk",  # Arrow XᵀX partials ⊂ inertia/quantize family
+    "rendezvous_shard_rebalance",  # HRW argmax assignment ⊂ split/shard hash family
+    "corpus_cleaning_funnel",   # composed quality/lang/dedup gates ⊂ those families
 ]
 
 _CHECK_WINDOW = 50

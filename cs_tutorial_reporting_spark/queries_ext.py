@@ -3441,3 +3441,84 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_incremental(
         d, "text", "doc_id", "is_new"
     )
+
+
+@register(
+    "corpus_cleaning_funnel",
+    oracle=f"""
+    WITH keepers AS MATERIALIZED (
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5({NORM_SQL.format(col='text')})
+    ),
+    flags AS (
+        SELECT source,
+               (n_chars BETWEEN 100 AND 500) AS len_ok,
+               ({_QUALITY_SQL}) >= 0.5 AS q_ok,
+               ({_PRED_SQL}) = lang AS lang_ok,
+               doc_id IN (SELECT doc_id FROM keepers) AS uniq_ok
+        FROM (SELECT doc_id, source, lang, text, n_chars, {_SCORES_SQL},
+                     CAST({_occ_sql('text', ' ')} + 1 AS DOUBLE) AS nw
+              FROM documents)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_len_ok,
+           CAST(sum(CASE WHEN len_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_ok,
+           CAST(sum(CASE WHEN len_ok AND q_ok AND lang_ok
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+           CAST(sum(CASE WHEN len_ok AND q_ok AND lang_ok AND uniq_ok
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+    FROM flags GROUP BY source
+    """,
+)
+def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning acceptance funnel, per source: total docs →
+    length gate (100–500 chars) → quality gate (composite score ≥ 0.5)
+    → language gate (heuristic lang-id agrees with the label) → exact
+    dedup keep-min survivors — the stage-by-stage survivor report every
+    training-data pipeline publishes, composed from the engine's own
+    primitives (quality_score, lang_id, exact_dedup) so the report and
+    the pipeline can never disagree.
+
+    100 TB: ONE corpus scan computes all stage flags as expressions;
+    the only shuffle is the 16-byte-key exact-dedup groupBy (keep-min
+    is a semi-join against the keeper ids). Stages are cumulative ANDs
+    — each row contributes to every stage count in the same pass, so
+    adding a stage costs an expression, not a scan.
+    """
+    from .functions.text import fingerprint, lang_id, quality_score
+
+    d = t(spark, sf_dir, "documents")
+    keepers = (
+        d.select("doc_id", fingerprint(F.col("text")).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # hint-free: Catalyst broadcasts the keeper ids while they fit and
+    # falls back to a shuffle semi at scale (keepers ≈ corpus-sized)
+    flags = d.join(
+        keepers.withColumn("__keep", F.lit(True)), "doc_id", "left"
+    ).select(
+        "source",
+        F.col("n_chars").between(100, 500).alias("len_ok"),
+        (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+        (lang_id(F.col("text")) == F.col("lang")).alias("lang_ok"),
+        F.coalesce(F.col("__keep"), F.lit(False)).alias("uniq_ok"),
+    )
+
+    def cum(*cols):
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        cum("len_ok").alias("n_len_ok"),
+        cum("len_ok", "q_ok").alias("n_quality_ok"),
+        cum("len_ok", "q_ok", "lang_ok").alias("n_lang_ok"),
+        cum("len_ok", "q_ok", "lang_ok", "uniq_ok").alias("n_unique"),
+    )

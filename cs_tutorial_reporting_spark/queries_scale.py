@@ -3561,3 +3561,93 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n_last") == F.col("__n_prev")).alias("converged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard assignment + rebalance audit
+# ---------------------------------------------------------------------------
+
+_HRW_N_OLD = 8
+_HRW_N_NEW = 9
+
+
+def _hrw_assign_sql(n: int, alias: str) -> str:
+    """Per-user HRW winner among ``n`` shards: argmax over shards of
+    md5-60bit('hrw#{shard}#{user}') — 60-bit hashes make ties
+    phenomenally improbable and the harness data is fixed, so max_by
+    is deterministic on both engines."""
+    return f"""
+        SELECT user_id, max_by(s, h) AS {alias} FROM (
+            SELECT u.user_id, g.s,
+                   CAST(concat('0x', substr(md5(concat('hrw#', g.s, '#',
+                        CAST(u.user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT unnest(range(0, {n})) AS s) g
+        ) GROUP BY user_id
+    """
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    oracle=f"""
+    WITH a8 AS MATERIALIZED ({_hrw_assign_sql(_HRW_N_OLD, "s_old")}),
+    a9 AS MATERIALIZED ({_hrw_assign_sql(_HRW_N_NEW, "s_new")})
+    SELECT CAST(s_new AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved_in
+    FROM a8 JOIN a9 USING (user_id)
+    GROUP BY s_new
+    """,
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment and the
+    8→9 rebalance audit: each key's shard is the argmax over shards of
+    hash(shard, key), so adding a shard moves ONLY the keys the new
+    shard now wins — ~1/9 of them — where mod-N hashing would reshuffle
+    ~8/9. The output is the per-new-shard key count and how many keys
+    moved in; the moved total ≈ n_keys/9 is the property that makes
+    HRW the assignment function for stateful services (state migration
+    cost ∝ capacity change, not cluster size).
+
+    100 TB: assignment is a pure per-key expression (shard fan-out is
+    the constant N inside one map stage + a max_by agg per key — no
+    ring metadata, no coordination); the audit joins two assignment
+    tables keyed by user. 60-bit hashes make argmax ties phenomenally
+    improbable (and the fixed harness data has none — the value-hash
+    gate would catch an engine divergence).
+    """
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+
+    def assign(n: int, alias: str) -> DataFrame:
+        from .functions.text import hash60
+
+        shards = spark.range(n).select(F.col("id").cast("int").alias("s"))
+        h = F.concat(
+            F.lit("hrw#"),
+            F.col("s").cast("string"),
+            F.lit("#"),
+            F.col("user_id").cast("string"),
+        )
+        return (
+            users.crossJoin(F.broadcast(shards))
+            .select("user_id", "s", hash60(h).alias("h"))
+            .groupBy("user_id")
+            .agg(F.max_by("s", "h").alias(alias))
+        )
+
+    a8 = assign(_HRW_N_OLD, "s_old")
+    a9 = assign(_HRW_N_NEW, "s_new")
+    return (
+        a8.join(a9, "user_id")
+        .groupBy("s_new")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum(
+                F.when(F.col("s_old") != F.col("s_new"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_moved_in"),
+        )
+        .select(F.col("s_new").cast("bigint").alias("shard"), "n_keys", "n_moved_in")
+    )
