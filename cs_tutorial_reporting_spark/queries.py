@@ -1147,6 +1147,7 @@ _DEMOTED_TAIL: list[str] = [
     "embedding_dim_covariance_topk",  # Arrow XᵀX partials ⊂ inertia/quantize family
     "rendezvous_shard_rebalance",  # HRW argmax assignment ⊂ split/shard hash family
     "corpus_cleaning_funnel",   # composed quality/lang/dedup gates ⊂ those families
+    "dedup_substring_spans",    # ExactSubstr k-gram spans ⊂ minhash/winnow dedup family
 ]
 
 _CHECK_WINDOW = 50

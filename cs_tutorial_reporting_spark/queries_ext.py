@@ -3522,3 +3522,53 @@ def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum("len_ok", "q_ok", "lang_ok").alias("n_lang_ok"),
         cum("len_ok", "q_ok", "lang_ok", "uniq_ok").alias("n_unique"),
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, n_chars, u.pos AS pos, u.g AS g
+        FROM (
+            SELECT doc_id, n_chars,
+                   unnest(list_transform(
+                       range(1, greatest(length(text) - 29, 0) + 1),
+                       i -> {'pos': i, 'g': md5(substr(text, i, 30))})) AS u
+            FROM documents)
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+    ), hits AS (
+        SELECT doc_id, n_chars, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM grams WHERE g IN (SELECT g FROM dup)
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 30
+                         THEN 30 ELSE pos - prev END) AS BIGINT) AS dup_chars,
+           CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 30
+                         THEN 30 ELSE pos - prev END) * 1000000
+                // any_value(n_chars) AS BIGINT) AS dup_ppm
+    FROM hits GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. 2022 ExactSubstr,
+    arXiv:2107.06499) at k=30 chars: per document, the maximal spans
+    whose every k-window occurs more than once corpus-wide, with the
+    exact union character count and its ppm of the document — the
+    signal ExactSubstr dedup cuts on. Complements the document-level
+    families (exact/minhash/simhash): it finds VERBATIM REUSE inside
+    otherwise-distinct documents (licenses, boilerplate, quoted spans)
+    that whole-document Jaccard dilutes away.
+
+    Relational shape: operators/dedup.py::substring_dup_spans — gram
+    md5 count + join-back (16-byte shuffle keys), one per-doc window,
+    telescoping interval-union (no span-id second shuffle).
+    """
+    from .operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "n_chars", k=30
+    )

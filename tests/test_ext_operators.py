@@ -2150,3 +2150,47 @@ def test_transform_with_state_lifecycle(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_substring_dup_spans_semantics(spark):
+    """Pins the ExactSubstr span algebra (operators/dedup.py::
+    substring_dup_spans) on a hand-built corpus at k=10:
+
+    - a 10-char block shared by two docs marks exactly that window;
+    - overlapping duplicated windows chain into ONE span whose char
+      count is the interval union (telescoping min(k, gap) rule);
+    - self-repetition inside one document counts (corpus-wide >1);
+    - a document with no duplicated k-gram emits NO row;
+    - text shorter than k emits no grams at all.
+    """
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    block = "ABCDEFGHIJ"  # the shared 10-gram
+    rows = [
+        # doc 1 / doc 2: block at positions 3 and 1 respectively, with
+        # otherwise-unique filler (digits chosen to never repeat a
+        # 10-gram elsewhere)
+        (1, "xy" + block + "qrstuvw123", len("xy" + block + "qrstuvw123")),
+        (2, block + "zzpony45678", len(block + "zzpony45678")),
+        # doc 3: block twice back-to-back — self-repetition; the two
+        # occurrences' windows [1..10] and [11..20] touch (gap 10 = k)
+        # and the 9 bridging grams ("BCDEFGHIJA"...) appear only here,
+        # so the duplicated positions are 1 and 11 -> ONE span of 20
+        (3, block + block, 20),
+        # doc 4: all-unique text -> no output row
+        (4, "no repeats here at all 999", 26),
+        # doc 5: shorter than k -> no grams
+        (5, "tiny", 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n long")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_chars, r.dup_ppm)
+        for r in substring_dup_spans(df, "text", "doc_id", "n", k=10).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (1, 10, 10 * 1_000_000 // 22)
+    assert got[2] == (1, 10, 10 * 1_000_000 // 21)
+    # doc 3: positions 1 and 11, gap == k chains -> one span, 10 + 10
+    assert got[3] == (1, 20, 1_000_000)
