@@ -131,3 +131,78 @@ def cross_rarity_scores(
     return scored.select(
         id_col, "n_bigrams", "n_rare", rarity.alias("rarity")
     )
+
+
+def ngram_array(col: Column, n: int) -> Column:
+    """array<string> of ALL word n-grams (non-distinct, in order) over
+    the normalized whitespace tokenization; empty below n tokens.
+    Single-level transform lambda (the expression policy forbids
+    nesting); the split runs once per row via bind_once."""
+
+    def _grams(ws: Column) -> Column:
+        cnt = F.size(ws) - (n - 1)
+        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.try_element_at(ws, (i + j + 1).cast("int"))
+                        for j in range(n)
+                    ],
+                ),
+            )
+        )
+
+    return bind_once(F.split(normalize_text(col), " "), _grams)
+
+
+def topgram_repetition_signals(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher-style word-n-gram repetition signals (Rae et al. 2021,
+    arXiv:2112.11446, App. A1.1 repetition filters): per document,
+    the occurrence share of the single most frequent 2-gram
+    (``top2_ppm``) and the share of 3-gram occurrences whose gram
+    repeats within the document (``dup3_ppm``) — the two filters that
+    catch templated spam and keyword-stuffed SEO text that sentence- or
+    line-level repetition ratios miss. ppm fixed-point (integer div) so
+    both engines agree bit-for-bit.
+
+    One corpus scan: the 2- and 3-gram arrays concatenate into a single
+    explode, and the gram SIZE (space count) recovers the n tag after
+    aggregation — no tag column rides the explode, no second scan.
+    Shuffles: (id, gram) count with map-side combine, then the per-doc
+    rollup. Documents of fewer than two tokens emit no grams and no
+    output row.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.concat(bigram_array(F.col(text_col)), ngram_array(F.col(text_col), 3))
+        ).alias("__g"),
+    )
+    counts = grams.groupBy("__id", "__g").agg(F.count("*").alias("__cnt"))
+    per = counts.withColumn("__n", F.size(F.split("__g", " ")))
+    is2 = F.col("__n") == 2
+    is3 = F.col("__n") == 3
+    cnt = F.col("__cnt")
+    return (
+        per.groupBy("__id")
+        .agg(
+            F.sum(F.when(is2, cnt).otherwise(0)).alias("__n2"),
+            F.max(F.when(is2, cnt)).alias("__top2"),
+            F.sum(F.when(is3, cnt).otherwise(0)).alias("__n3"),
+            F.sum(F.when(is3 & (cnt > 1), cnt).otherwise(0)).alias("__dup3"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n2").cast("bigint").alias("n_grams2"),
+            F.expr("CAST(__top2 * 1000000 div __n2 AS BIGINT)").alias("top2_ppm"),
+            F.col("__n3").cast("bigint").alias("n_grams3"),
+            F.expr(
+                "CAST(CASE WHEN __n3 = 0 THEN 0"
+                " ELSE __dup3 * 1000000 div __n3 END AS BIGINT)"
+            ).alias("dup3_ppm"),
+        )
+    )

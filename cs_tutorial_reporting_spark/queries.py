@@ -1148,6 +1148,7 @@ _DEMOTED_TAIL: list[str] = [
     "rendezvous_shard_rebalance",  # HRW argmax assignment ⊂ split/shard hash family
     "corpus_cleaning_funnel",   # composed quality/lang/dedup gates ⊂ those families
     "dedup_substring_spans",    # ExactSubstr k-gram spans ⊂ minhash/winnow dedup family
+    "doc_topgram_repetition",   # Gopher top/dup n-gram shares ⊂ repetition/text-stats family
 ]
 
 _CHECK_WINDOW = 50

@@ -3572,3 +3572,52 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(
         t(spark, sf_dir, "documents"), "text", "doc_id", "n_chars", k=30
     )
+
+
+@register(
+    "doc_topgram_repetition",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_concat(
+                   list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                  i -> w[i] || ' ' || w[i+1]),
+                   list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               )) AS g
+        FROM (SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS w
+              FROM documents)
+    ), counts AS (
+        SELECT doc_id, g, len(string_split(g, ' ')) AS n, count(*) AS cnt
+        FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_grams2,
+           CAST(max(CASE WHEN n = 2 THEN cnt END) * 1000000
+                // sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS top2_ppm,
+           CAST(sum(CASE WHEN n = 3 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_grams3,
+           CAST(CASE WHEN sum(CASE WHEN n = 3 THEN cnt ELSE 0 END) = 0 THEN 0
+                ELSE sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt ELSE 0 END)
+                     * 1000000 // sum(CASE WHEN n = 3 THEN cnt ELSE 0 END)
+                END AS BIGINT) AS dup3_ppm
+    FROM counts GROUP BY doc_id
+    """,
+)
+def doc_topgram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 App. A1.1) per doc:
+    most-frequent-2-gram occurrence share and duplicated-3-gram
+    occurrence share, both ppm integer-exact. Catches templated spam /
+    keyword stuffing that the sentence/line repetition ratios
+    (doc_repetition_ratio) miss. operators/ngram_lm.py::
+    topgram_repetition_signals — one corpus scan (2- and 3-gram arrays
+    share one explode; the n tag is recovered from the gram's space
+    count), two map-side-combinable shuffles.
+    """
+    from .operators.ngram_lm import topgram_repetition_signals
+
+    return topgram_repetition_signals(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )

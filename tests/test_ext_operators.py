@@ -2194,3 +2194,34 @@ def test_substring_dup_spans_semantics(spark):
     assert got[2] == (1, 10, 10 * 1_000_000 // 21)
     # doc 3: positions 1 and 11, gap == k chains -> one span, 10 + 10
     assert got[3] == (1, 20, 1_000_000)
+
+
+def test_topgram_repetition_edges(spark):
+    """Pins the Gopher repetition signals (operators/ngram_lm.py::
+    topgram_repetition_signals) on hand-built docs: exact ppm algebra,
+    the n3=0 division guard for 2-token docs, no row below 2 tokens,
+    and whitespace normalization before tokenization."""
+    from cs_tutorial_reporting_spark.operators.ngram_lm import (
+        topgram_repetition_signals,
+    )
+
+    rows = [
+        # "a b a b a": 2-grams [ab, ba, ab, ba] -> top2 2/4;
+        # 3-grams [aba, bab, aba] -> dup occurrences 2 of 3
+        (1, "a b a b a"),
+        # exactly two tokens: one 2-gram, zero 3-grams -> dup3_ppm 0
+        (2, "hello   world"),
+        # one token -> no grams, no row
+        (3, "solo"),
+        # all-unique words: top 2-gram share 1/3, dup3 0 of 2
+        (4, "w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams2, r.top2_ppm, r.n_grams3, r.dup3_ppm)
+        for r in topgram_repetition_signals(df, "text", "doc_id").collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1] == (4, 500_000, 3, 666_666)
+    assert got[2] == (1, 1_000_000, 0, 0)
+    assert got[4] == (3, 333_333, 2, 0)
