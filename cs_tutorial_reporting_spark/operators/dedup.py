@@ -773,3 +773,117 @@ def substring_dup_spans(
             "CAST(sum(__chars) * 1000000 div first(__n) AS BIGINT)"
         ).alias("dup_ppm"),
     ).withColumnRenamed("__id", id_col)
+
+
+def semdedup_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to embedding clusters. Within each cluster
+    (the ``label_col`` assignment — k-means in the paper; its quality
+    is auditable via label_centroid_inertia), vectors whose pairwise
+    cosine ≥ ``threshold`` form duplicate groups (transitive closure);
+    each group keeps ONE representative — the member with the LOWEST
+    cosine to the cluster centroid (the paper's keep-rule: the least
+    prototypical example carries the most marginal information),
+    vec-id tiebreak. Returns one row per cluster: (label, n_vecs,
+    n_dup_groups, n_pruned, kept_ids_sum) — kept_ids_sum witnesses the
+    keep-rule itself, not just the group counts.
+
+    Numeric discipline: centroids are per-dim e6 fixed-point integer
+    means (floor of an exact double quotient — both engines hit the
+    same IEEE ops), centroid-cosine = exact integer dot / double
+    sqrt-norms, snapped to e6 before ranking, so the keep-rule ordering
+    is engine-portable; pair cosine is the flat-fold double with the
+    established round-6 grid.
+
+    Scale (100 TB): THE SemDeDup bargain — clustering bounds the
+    quadratic. The only non-linear stage is the per-label self-join,
+    O(Σ cluster²); k is chosen so clusters fit that budget, and AQE
+    skew-split rebalances uneven ones. The centroid table is k×dim
+    rows (broadcast); transitive grouping is the pointer-doubling CC
+    (O(log n) rounds); the keep-rule is one per-group window.
+    """
+    from pyspark.sql import Window
+
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    vals = v.select(
+        "__id",
+        "__lbl",
+        F.posexplode("__v").alias("__p0", "__x"),
+    ).select(
+        "__id",
+        "__lbl",
+        (F.col("__p0") + 1).alias("__pos"),
+        F.expr("CAST(floor(__x * 1000000 + 0.5) AS BIGINT)").alias("__ve6"),
+    )
+    cent = vals.groupBy("__lbl", "__pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(__ve6) AS DOUBLE) / count(*)) AS BIGINT)"
+        ).alias("__ce6")
+    )
+    cnorm = cent.groupBy("__lbl").agg(
+        F.sum(F.col("__ce6") * F.col("__ce6")).alias("__cn")
+    )
+    ccos = (
+        vals.join(F.broadcast(cent), ["__lbl", "__pos"])
+        .groupBy("__id", "__lbl")
+        .agg(
+            F.sum(F.col("__ve6") * F.col("__ce6")).alias("__num"),
+            F.sum(F.col("__ve6") * F.col("__ve6")).alias("__vn"),
+        )
+        .join(F.broadcast(cnorm), "__lbl")
+        .select(
+            "__id",
+            "__lbl",
+            F.expr(
+                "CAST(floor(CASE WHEN __vn = 0 OR __cn = 0 THEN 0.0"
+                " ELSE CAST(__num AS DOUBLE)"
+                " / (sqrt(CAST(__vn AS DOUBLE)) * sqrt(CAST(__cn AS DOUBLE)))"
+                " END * 1000000 + 0.5) AS BIGINT)"
+            ).alias("__cce6"),
+        )
+    )
+    from ..functions.vectors import cosine_flat
+
+    a = v.select("__lbl", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select("__lbl", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = (
+        a.join(b, "__lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_flat("__va", "__vb", dim), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("cluster_id").orderBy("__cce6", "__id")
+    members = (
+        labels.join(ccos, labels.node == ccos.__id)
+        .select("__id", "__lbl", "cluster_id", "__cce6")
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    grp = members.groupBy("__lbl").agg(
+        F.countDistinct("cluster_id").alias("__g"),
+        (F.count("*") - F.countDistinct("cluster_id")).alias("__p"),
+        F.sum(F.when(F.col("__rn") == 1, F.col("__id")).otherwise(0)).alias("__k"),
+    )
+    return (
+        v.groupBy("__lbl")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .join(grp, "__lbl", "left")
+        .select(
+            F.col("__lbl").alias(label_col),
+            "n_vecs",
+            F.coalesce("__g", F.lit(0)).cast("bigint").alias("n_dup_groups"),
+            F.coalesce("__p", F.lit(0)).cast("bigint").alias("n_pruned"),
+            F.coalesce("__k", F.lit(0)).cast("bigint").alias("kept_ids_sum"),
+        )
+    )

@@ -1149,6 +1149,7 @@ _DEMOTED_TAIL: list[str] = [
     "corpus_cleaning_funnel",   # composed quality/lang/dedup gates ⊂ those families
     "dedup_substring_spans",    # ExactSubstr k-gram spans ⊂ minhash/winnow dedup family
     "doc_topgram_repetition",   # Gopher top/dup n-gram shares ⊂ repetition/text-stats family
+    "semdedup_prune_report",    # cluster-scoped semantic dedup ⊂ near-dup/CC/inertia families
 ]
 
 _CHECK_WINDOW = 50

@@ -3621,3 +3621,108 @@ def doc_topgram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topgram_repetition_signals(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@register(
+    "semdedup_prune_report",
+    oracle="""
+    WITH RECURSIVE corpus AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_concat([emb2[1] * 1.2::DOUBLE], emb2[2:]) AS emb,
+               label
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb2, label
+              FROM embeddings)
+    ),
+    vals AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(floor(emb[i] * 1000000 + 0.5) AS BIGINT) AS v_e6
+        FROM corpus, LATERAL unnest(range(1, len(emb) + 1)) AS r(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(floor(CAST(sum(v_e6) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS c_e6
+        FROM vals GROUP BY label, pos
+    ),
+    cnorm AS (SELECT label, sum(c_e6 * c_e6) AS cn FROM cent GROUP BY label),
+    ccos AS MATERIALIZED (
+        SELECT v.vec_id, v.label,
+               CAST(floor(CASE WHEN sum(v.v_e6 * v.v_e6) = 0
+                               OR any_value(n.cn) = 0 THEN 0.0
+                    ELSE CAST(sum(v.v_e6 * c.c_e6) AS DOUBLE)
+                         / (sqrt(CAST(sum(v.v_e6 * v.v_e6) AS DOUBLE))
+                            * sqrt(CAST(any_value(n.cn) AS DOUBLE)))
+                    END * 1000000 + 0.5) AS BIGINT) AS cc_e6
+        FROM vals v JOIN cent c USING (label, pos)
+                    JOIN cnorm n ON n.label = v.label
+        GROUP BY v.vec_id, v.label
+    ),
+    prs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM corpus a JOIN corpus b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.45
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION SELECT id_b AS u, id_a AS v FROM prs
+    ),
+    reach AS (
+        SELECT u AS node, u AS r FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    lbls AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+        SELECT l.node, c.label, l.cluster_id, c.cc_e6,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY c.cc_e6, l.node) AS rn
+        FROM lbls l JOIN ccos c ON c.vec_id = l.node
+    ),
+    rep AS (
+        SELECT label,
+               count(DISTINCT cluster_id) AS g,
+               count(*) - count(DISTINCT cluster_id) AS p,
+               sum(CASE WHEN rn = 1 THEN node ELSE 0 END) AS k
+        FROM members GROUP BY label
+    )
+    SELECT c.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(coalesce(any_value(r.g), 0) AS BIGINT) AS n_dup_groups,
+           CAST(coalesce(any_value(r.p), 0) AS BIGINT) AS n_pruned,
+           CAST(coalesce(any_value(r.k), 0) AS BIGINT) AS kept_ids_sum
+    FROM corpus c LEFT JOIN rep r ON r.label = c.label
+    GROUP BY c.label
+    """,
+)
+def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
+    embeddings corpus ∪ planted noisy twins (vec_id+1e6, first
+    component ×1.2 — cosine ≈0.99 to the original, so every vector has
+    at least one semantic duplicate and the keep-rule ordering is
+    exercised on non-ties): per cluster (label), duplicate groups at
+    cosine ≥ 0.45, pruned counts, and the sum of kept ids under the
+    paper's keep-LEAST-prototypical rule (lowest centroid-cosine,
+    e6-snapped, id tiebreak). operators/dedup.py::semdedup_report —
+    the quadratic is bounded per cluster, centroids broadcast,
+    grouping is pointer-doubling CC.
+    """
+    from .operators.dedup import semdedup_report
+
+    e = t(spark, sf_dir, "embeddings")
+    c = F.col("embedding").cast("array<double>")
+    twins = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(c, 1) * F.lit(1.2)), F.slice(c, 2, 63)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = e.select("vec_id", c.alias("embedding"), "label").unionByName(
+        twins
+    )
+    return semdedup_report(
+        corpus, "vec_id", "embedding", "label", dim=64, threshold=0.45
+    )

@@ -2225,3 +2225,32 @@ def test_topgram_repetition_edges(spark):
     assert got[1] == (4, 500_000, 3, 666_666)
     assert got[2] == (1, 1_000_000, 0, 0)
     assert got[4] == (3, 333_333, 2, 0)
+
+
+def test_semdedup_keep_rule(spark):
+    """Pins SemDeDup's keep-LEAST-prototypical rule (operators/
+    dedup.py::semdedup_report) on hand-built 2-d embeddings: in a
+    3-member duplicate group whose middle vector IS the centroid
+    direction, the survivor must be the member with the lowest
+    centroid-cosine (id 3), not the smallest id; a cluster with no
+    pair above threshold reports zeros."""
+    from cs_tutorial_reporting_spark.operators.dedup import semdedup_report
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.8, 0.2], 0),
+        (4, [1.0, 0.0], 1),
+        (5, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r.label: (r.n_vecs, r.n_dup_groups, r.n_pruned, r.kept_ids_sum)
+        for r in semdedup_report(
+            df, "vec_id", "embedding", "label", dim=2, threshold=0.45
+        ).collect()
+    }
+    assert got[0] == (3, 1, 2, 3)
+    assert got[1] == (2, 0, 0, 0)
