@@ -49,6 +49,10 @@ def main() -> None:
             "kcore_copurchase",
             "dedup_incremental_new_batch",
             "bitmap_retention_days",
+            # round-6 seventh wave: curation-dedup entrants
+            "dedup_substring_spans",
+            "semdedup_prune_report",
+            "doc_topgram_repetition",
         )
         if n in QUERIES
     ]

@@ -731,13 +731,17 @@ def substring_dup_spans(
     window pass, no second per-span shuffle.
 
     Scale (100 TB): stride-1 char grams amplify rows ×(len-k) but each
-    gram row shuffles only (16-byte md5, id, int) — never the text.
-    Two shuffles total: the gram-count groupBy (map-side combinable)
-    whose >1 survivors join back on the same 16-byte key, and the
+    gram row shuffles only (8-byte xxhash64, id, int) — never the text,
+    and the grams are BUILT ONCE: occurrence counts come from a
+    count-over-window partitioned by the gram key, not a groupBy +
+    join-back, so the corpus is scanned and hashed a single time. (The
+    window buffers one gram group per key — boilerplate stop-grams
+    make hot groups; they spill rather than split, the one trade vs
+    the AQE-skew-splittable groupBy form.) Second shuffle is the
     per-document window. The true suffix-array algorithm is not
-    distributable; production discovery at stride s>1 plus local verify
-    reduces the amplification to ×(len/s) — the harness keeps s=1 so
-    the DuckDB oracle is exact.
+    distributable; production discovery at stride s>1 plus local
+    verify reduces the amplification to ×(len/s) — the harness keeps
+    s=1 so the DuckDB oracle is exact.
     """
     from pyspark.sql import Window
 
@@ -746,18 +750,26 @@ def substring_dup_spans(
         F.col(len_col).alias("__n"),
         F.col(text_col).alias("__txt"),
     ).filter(F.length("__txt") >= k)
+    # xxhash64, not the portable md5/hash60: the gram key is a pure
+    # GROUPING key that never reaches the output (the oracle groups by
+    # the raw gram string — the same partition of the gram space absent
+    # a 2^64 collision), so the fast native hash is free to use here.
     grams = src.select(
         "__id",
         "__n",
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(__txt) - {k - 1}),"
-                f" i -> md5(substring(__txt, i, {k})))"
+                f" i -> xxhash64(substring(__txt, i, {k})))"
             )
         ).alias("__p0", "__g"),
     ).select("__id", "__n", (F.col("__p0") + 1).alias("__pos"), "__g")
-    dup = grams.groupBy("__g").count().filter(F.col("count") > 1).select("__g")
-    hits = grams.join(dup, "__g").select("__id", "__n", "__pos")
+    wg = Window.partitionBy("__g")
+    hits = (
+        grams.withColumn("__cnt", F.count("*").over(wg))
+        .filter(F.col("__cnt") > 1)
+        .select("__id", "__n", "__pos")
+    )
     w = Window.partitionBy("__id").orderBy("__pos")
     gap = F.col("__pos") - F.lag("__pos").over(w)
     contrib = hits.select(
@@ -853,14 +865,36 @@ def semdedup_report(
             ).alias("__cce6"),
         )
     )
-    from ..functions.vectors import cosine_flat
+    from ..functions.vectors import dot_flat
 
-    a = v.select("__lbl", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = v.select("__lbl", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    # hoist per-vector norms OUT of the pair loop: the self-join scores
+    # O(cluster²) pairs, so pair cost must be ONE flat fold (the dot) —
+    # norms are O(n) and computed here once per side. The quotient
+    # dot/(√Σa²·√Σb²) is the same IEEE expression as cosine_flat, so
+    # round-6 oracle parity is unchanged.
+    vn = v.withColumn("__nrm", F.sqrt(dot_flat("__v", "__v", dim)))
+    a = vn.select(
+        "__lbl",
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = vn.select(
+        "__lbl",
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
     pairs = (
         a.join(b, "__lbl")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine_flat("__va", "__vb", dim), 6) >= threshold)
+        .filter(
+            F.round(
+                dot_flat("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= threshold
+        )
         .select("id_a", "id_b")
     )
     labels = connected_components(pairs)

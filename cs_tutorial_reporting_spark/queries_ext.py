@@ -3533,7 +3533,7 @@ def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, n_chars,
                    unnest(list_transform(
                        range(1, greatest(length(text) - 29, 0) + 1),
-                       i -> {'pos': i, 'g': md5(substr(text, i, 30))})) AS u
+                       i -> {'pos': i, 'g': substr(text, i, 30)})) AS u
             FROM documents)
     ), dup AS (
         SELECT g FROM grams GROUP BY g HAVING count(*) > 1
@@ -3563,9 +3563,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise-distinct documents (licenses, boilerplate, quoted spans)
     that whole-document Jaccard dilutes away.
 
-    Relational shape: operators/dedup.py::substring_dup_spans — gram
-    md5 count + join-back (16-byte shuffle keys), one per-doc window,
-    telescoping interval-union (no span-id second shuffle).
+    Relational shape: operators/dedup.py::substring_dup_spans — grams
+    built once (8-byte xxhash64 grouping keys that never reach the
+    output), occurrence counts via count-over-window on the gram key,
+    one per-doc window, telescoping interval-union (no span-id second
+    shuffle). The oracle groups by the raw gram string — the same
+    partition of the gram space absent a 2^64 collision.
     """
     from .operators.dedup import substring_dup_spans
 
@@ -3633,7 +3636,7 @@ def doc_topgram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_concat([emb2[1] * 1.2::DOUBLE], emb2[2:]) AS emb,
                label
         FROM (SELECT vec_id, embedding::DOUBLE[] AS emb2, label
-              FROM embeddings)
+              FROM embeddings WHERE vec_id % 5 = 0)
     ),
     vals AS (
         SELECT vec_id, label, i AS pos,
@@ -3699,10 +3702,10 @@ def doc_topgram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
-    embeddings corpus ∪ planted noisy twins (vec_id+1e6, first
-    component ×1.2 — cosine ≈0.99 to the original, so every vector has
-    at least one semantic duplicate and the keep-rule ordering is
-    exercised on non-ties): per cluster (label), duplicate groups at
+    embeddings corpus ∪ planted noisy twins (every 5th vec_id, +1e6 id
+    offset, first component ×1.2 — cosine ≈0.99 to its original, so a
+    fifth of the corpus holds a semantic duplicate and the keep-rule
+    ordering is exercised on non-ties): per cluster (label), duplicate groups at
     cosine ≥ 0.45, pruned counts, and the sum of kept ids under the
     paper's keep-LEAST-prototypical rule (lowest centroid-cosine,
     e6-snapped, id tiebreak). operators/dedup.py::semdedup_report —
@@ -3713,7 +3716,7 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     c = F.col("embedding").cast("array<double>")
-    twins = e.select(
+    twins = e.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.concat(
             F.array(F.element_at(c, 1) * F.lit(1.2)), F.slice(c, 2, 63)
