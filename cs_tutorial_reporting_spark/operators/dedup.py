@@ -921,3 +921,90 @@ def semdedup_report(
             F.coalesce("__k", F.lit(0)).cast("bigint").alias("kept_ids_sum"),
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    t_num: int,
+    t_den: int,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard ≥ t_num/t_den shingle-set self-join via AllPairs
+    prefix filtering (Xiao et al., WWW'08 — the deterministic
+    complement to the probabilistic MinHash banding above): order
+    tokens by ascending global frequency; a pair at threshold t MUST
+    share a token within each side's first n - ceil(t·n) + 1 rarest
+    tokens, so the candidate join runs over rare-token posting lists
+    only. Returns (doc_a, doc_b, jac_ppm) with doc_a < doc_b,
+    jac_ppm ≥ t·1e6 (integer fixed-point).
+
+    100 TB: the prefix join is an equi-join on rare tokens (posting
+    lists short BY CONSTRUCTION — frequency ordering puts common
+    boilerplate shingles outside every prefix, the exact opposite of
+    the naive any-shared-token join). The global token ranking is a
+    sort of the VOCABULARY (corpus-sublinear); the verify step touches
+    candidate pairs only.
+    """
+    from pyspark.sql import Window
+
+    pfx_len = f"(n - ({t_num} * n + {t_den - 1}) div {t_den} + 1)"
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("s"),
+    )
+    toks = sets.select("doc_id", F.explode("s").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    # vocabulary-sized global sort (single-partition window is fine at
+    # vocab scale; corpus-sublinear)
+    ranked = freq.select(
+        "tok", F.row_number().over(Window.orderBy("f", "tok")).alias("rk")
+    )
+    docw = (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("rk")).alias("rks"),
+            F.count("*").alias("n"),
+        )
+        # consumed THREE times below (prefix explode + both verify
+        # sides) — materialize once (minhash localCheckpoint pattern;
+        # measured 4.37 s vs 2.0 s at sf0.1 when rebuilt per consumer)
+        .localCheckpoint()
+    )
+    pref = docw.select(
+        "doc_id",
+        F.explode(F.expr(f"slice(rks, 1, CAST({pfx_len} AS INT))")).alias("p"),
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "p")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "p")
+    cand = (
+        a.join(b, "p")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = docw.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rks").alias("rks_a"),
+        F.col("n").alias("n_a"),
+    )
+    db = docw.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rks").alias("rks_b"),
+        F.col("n").alias("n_b"),
+    )
+    scored = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(array_intersect(rks_a, rks_b)) * CAST(1000000 AS BIGINT)"
+                " div (n_a + n_b - size(array_intersect(rks_a, rks_b)))"
+            ).alias("jac_ppm"),
+        )
+    )
+    return scored.filter(F.col("jac_ppm") >= t_num * 1_000_000 // t_den)

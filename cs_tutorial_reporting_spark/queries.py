@@ -1150,6 +1150,7 @@ _DEMOTED_TAIL: list[str] = [
     "dedup_substring_spans",    # ExactSubstr k-gram spans ⊂ minhash/winnow dedup family
     "doc_topgram_repetition",   # Gopher top/dup n-gram shares ⊂ repetition/text-stats family
     "semdedup_prune_report",    # cluster-scoped semantic dedup ⊂ near-dup/CC/inertia families
+    "lsh_recall_audit",         # banding S-curve vs exact GT ⊂ minhash/prefix-filter families
 ]
 
 _CHECK_WINDOW = 50

@@ -249,16 +249,24 @@ def _band_keys_sql(num_hashes: int, band_size: int) -> str:
 
 _MAX_BUCKET = 1000  # shared with minhash_lsh_pairs(max_bucket=...)
 
-_MINHASH_ORACLE = f"""
+
+def minhash_oracle_sql(
+    num_hashes: int, band_size: int, threshold: float
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs at the given banding — the
+    (8, 2, 0.5) instance is the benched fuzzy-dedup oracle; the LSH
+    recall audit composes other bandings to grade them."""
+    return f"""
 WITH base AS (
     SELECT doc_id, {SHINGLES_SQL} AS sh
     FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
 ),
 sigs AS (
-    SELECT doc_id, sh, {_minhash_sig_sql(8)} FROM base
+    SELECT doc_id, sh, {_minhash_sig_sql(num_hashes)} FROM base
 ),
 bands AS (
-    SELECT doc_id, sh, unnest({_band_keys_sql(8, 2)}) AS band FROM sigs
+    SELECT doc_id, sh, unnest({_band_keys_sql(num_hashes, band_size)}) AS band
+    FROM sigs
 ),
 ok_bands AS (
     -- mirror of minhash_lsh_pairs' max_bucket guard (pathological
@@ -281,8 +289,11 @@ verified AS (
     JOIN base sa ON sa.doc_id = id_a
     JOIN base sb ON sb.doc_id = id_b
 )
-SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
+
+
+_MINHASH_ORACLE = minhash_oracle_sql(8, 2, 0.5)
 
 
 @register("minhash_lsh_dedup_pairs", oracle=_MINHASH_ORACLE, bench=True)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .duck_sql import WORDS_SQL
-from .queries_ext import SHINGLES_SQL
+from .queries_ext import SHINGLES_SQL, minhash_oracle_sql
 from .operators.sketches import (
     BLOOM_K,
     bloom_build_words,
@@ -722,14 +722,9 @@ _PFX_T_NUM, _PFX_T_DEN = 6, 10  # Jaccard threshold 0.6
 #: prefix length for |set| = n at threshold t: n - ceil(t*n) + 1
 #: (DuckDB `//` and Spark `div` spellings of the same floor division)
 _PFX_LEN = f"(n - ({_PFX_T_NUM} * n + {_PFX_T_DEN - 1}) // {_PFX_T_DEN} + 1)"
-_PFX_LEN_SPARK = (
-    f"(n - ({_PFX_T_NUM} * n + {_PFX_T_DEN - 1}) div {_PFX_T_DEN} + 1)"
-)
 
 
-@register(
-    "prefix_filter_jaccard_pairs",
-    oracle=f"""
+_PFX_ORACLE = f"""
     WITH sets AS (
         SELECT doc_id, list_distinct(list_transform(
             range(1, greatest(len(words) - 2, 1) + 1),
@@ -762,8 +757,10 @@ _PFX_LEN_SPARK = (
         JOIN docw db ON db.doc_id = c.doc_b
     )
     WHERE jac_ppm >= {_PFX_T_NUM * 100_000}
-    """,
-)
+"""
+
+
+@register("prefix_filter_jaccard_pairs", oracle=_PFX_ORACLE)
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.6 shingle-set self-join via AllPairs prefix
     filtering (Xiao et al., WWW'08 — the deterministic complement to
@@ -774,73 +771,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-token posting lists only (measured at sf0.01: 165 candidates
     from 124,750 possible pairs, 25 survivors).
 
-    100 TB: the prefix join is an equi-join on rare tokens (posting
-    lists short BY CONSTRUCTION — frequency ordering puts the common
-    boilerplate shingles outside every prefix, the exact opposite of
-    the naive any-shared-token join). The global token ranking is a
-    sort of the VOCABULARY (corpus-sublinear); the verify step
-    touches candidate pairs only. Integer ppm verdicts as everywhere.
+    100 TB: see operators/dedup.py::prefix_filter_pairs (the pipeline
+    was extracted there verbatim for reuse by the LSH recall audit) —
+    prefix join over rare-token posting lists, vocabulary-sized global
+    rank sort, candidate-only verify. Integer ppm verdicts.
     """
-    from pyspark.sql import Window
+    from .operators.dedup import prefix_filter_pairs
 
-    from .operators.dedup import shingles
-
-    docs = t(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("s"))
-    toks = sets.select("doc_id", F.explode("s").alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
-    # vocabulary-sized global sort (single-partition window is fine at
-    # vocab scale; corpus-sublinear — see docstring)
-    ranked = freq.select(
-        "tok", F.row_number().over(Window.orderBy("f", "tok")).alias("rk")
+    return prefix_filter_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        _PFX_T_NUM, _PFX_T_DEN, shingle_n=3,
     )
-    docw = (
-        toks.join(ranked, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("rk")).alias("rks"),
-            F.count("*").alias("n"),
-        )
-        # consumed THREE times below (prefix explode + both verify
-        # sides); without materialization each consumer rebuilds the
-        # shingle->rank pipeline — measured 4.37 s vs 2.0 s at sf0.1.
-        # localCheckpoint (not persist): materialized eagerly, GC-
-        # reclaimed, no cross-call cache accumulation (minhash pattern).
-        .localCheckpoint()
-    )
-    pref = docw.select(
-        "doc_id",
-        F.explode(F.expr(f"slice(rks, 1, CAST({_PFX_LEN_SPARK} AS INT))")).alias(
-            "p"
-        ),
-    )
-    a = pref.select(F.col("doc_id").alias("doc_a"), "p")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "p")
-    cand = (
-        a.join(b, "p")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    da = docw.select(
-        F.col("doc_id").alias("doc_a"), F.col("rks").alias("rks_a"), F.col("n").alias("n_a")
-    )
-    db = docw.select(
-        F.col("doc_id").alias("doc_b"), F.col("rks").alias("rks_b"), F.col("n").alias("n_b")
-    )
-    scored = (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "size(array_intersect(rks_a, rks_b)) * CAST(1000000 AS BIGINT)"
-                " div (n_a + n_b - size(array_intersect(rks_a, rks_b)))"
-            ).alias("jac_ppm"),
-        )
-    )
-    return scored.filter(F.col("jac_ppm") >= _PFX_T_NUM * 100_000)
 
 
 # ---------------------------------------------------------------------------
@@ -3650,4 +3591,97 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_moved_in"),
         )
         .select(F.col("s_new").cast("bigint").alias("shard"), "n_keys", "n_moved_in")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit (banding S-curve vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_recall_audit",
+    oracle=f"""
+    WITH gt AS MATERIALIZED (
+        SELECT doc_a, doc_b, jac_ppm FROM ({_PFX_ORACLE})
+    ),
+    l42 AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({minhash_oracle_sql(8, 2, 0.6)})
+    ),
+    l24 AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({minhash_oracle_sql(8, 4, 0.6)})
+    )
+    SELECT bands, decile,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(hit) AS BIGINT) AS n_found,
+           CAST(count(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+    FROM (
+        SELECT '4x2' AS bands, gt.jac_ppm // 100000 AS decile,
+               l.id_a AS hit
+        FROM gt LEFT JOIN l42 l
+          ON l.id_a = gt.doc_a AND l.id_b = gt.doc_b
+        UNION ALL
+        SELECT '2x4' AS bands, gt.jac_ppm // 100000 AS decile,
+               l.id_a AS hit
+        FROM gt LEFT JOIN l24 l
+          ON l.id_a = gt.doc_a AND l.id_b = gt.doc_b
+    )
+    GROUP BY bands, decile
+    """,
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall of banded MinHash-LSH candidate
+    generation against EXACT ground truth (AllPairs prefix filter at
+    Jaccard >= 0.6), bucketed by ground-truth Jaccard decile, for TWO
+    bandings of the same 8-hash signature — the production 4 bands x 2
+    rows (theory: P(candidate) = 1-(1-s^2)^4, ~0.83 at s = 0.6) and
+    the stricter 2 bands x 4 rows (P = 1-(1-s^4)^2, ~0.24 at s = 0.6)
+    — the empirical S-curves an operator compares against the
+    pipeline's recall target BEFORE committing a 100 TB dedup run to a
+    parameter choice.
+
+    All three legs are the engine's own pinned pipelines (operators/
+    dedup.py::prefix_filter_pairs / minhash_lsh_pairs); the audit adds
+    two broadcast-sized left joins (|GT pairs| << corpus) and a decile
+    rollup; ground truth is materialized once and reused by both legs.
+    The oracle composes the same pinned SQL twins via
+    queries_ext.minhash_oracle_sql.
+    """
+    from .operators.dedup import minhash_lsh_pairs, prefix_filter_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    gt = prefix_filter_pairs(
+        docs, "text", "doc_id", 6, 10, shingle_n=3
+    ).localCheckpoint()
+
+    def leg(tag: str, band_size: int) -> DataFrame:
+        lsh = minhash_lsh_pairs(
+            docs,
+            "text",
+            "doc_id",
+            num_hashes=8,
+            band_size=band_size,
+            jaccard_threshold=0.6,
+        ).select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.lit(1).alias("__hit"),
+        )
+        return gt.join(lsh, ["doc_a", "doc_b"], "left").select(
+            F.lit(tag).alias("bands"),
+            F.expr("jac_ppm div 100000").alias("decile"),
+            "__hit",
+        )
+
+    return (
+        leg("4x2", 2)
+        .unionByName(leg("2x4", 4))
+        .groupBy("bands", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.count("__hit").cast("bigint").alias("n_found"),
+            F.expr(
+                "CAST(count(__hit) * 1000000 div count(*) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
     )
