@@ -139,3 +139,70 @@ def anomaly_hours_exact(
         F.count("*").alias("n_points"),
         F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
     )
+
+
+def ewma_last_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    order_tiebreak: str,
+    window: int = 16,
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average (α = 1/2) of
+    ``val_col`` per key at each key's LATEST event, truncated to the
+    last ``window`` events and renormalized:
+
+        ewma = Σ_j 2^-(j+1) · x_{t-j}  /  Σ_j 2^-(j+1),   j = 0..W-1
+
+    — the smoothing primitive the time-series family lacked (gapfill /
+    anomaly / seasonal / TWAP are all level-based). Fully INTEGER-
+    EXACT (the engine's portable-sketch discipline): values snap to e4
+    fixed-point, and the α = 1/2 weight 2^-(j+1) is carried as the
+    integer numerator 2^(W-1-j) over the common denominator 2^W, so
+    ewma_e4 = Σ x_e4·2^(W-1-j) div Σ 2^(W-1-j) — no float sum, no
+    ordering sensitivity, bit-identical on any engine.
+
+    Plan shape (100 TB): an untruncated EWMA is a sequential recurrence
+    — not expressible as a distributed window without a quadratic
+    RANGE re-evaluation (the skyline lesson, BASELINE.md round-6) or a
+    per-key sequential pass. The truncated form is a RANK-BAND
+    SELF-JOIN instead: number events per key, join each row's last W
+    ranks (W× row amplification, W constant), weight by the rank gap,
+    and aggregate — two key-partitioned shuffles and one equi-join,
+    no window re-evaluation, no Python. The final-event filter makes
+    the report one row per key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    ranked = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(val_col).alias("__x"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    last = ranked.groupBy("__k").agg(
+        F.max("__rn").alias("__last"), F.count("*").alias("n_events")
+    )
+    tail = ranked.join(last, "__k").filter(
+        F.col("__rn") > F.col("__last") - window
+    )
+    # j = last - rn ∈ [0, W-1]; integer weight numerator 2^(W-1-j)
+    # (shift by a COLUMN goes through expr — F.shiftleft takes literal
+    # shifts only, round-6 gotcha). x_e4 ≤ ~1e7, numerator ≤ 2^15,
+    # W terms: the sum stays far inside BIGINT.
+    xe4 = "CAST(floor(__x * 10000 + 0.5) AS BIGINT)"
+    wnum = f"shiftleft(CAST(1 AS BIGINT), {window} - 1 - (__last - __rn))"
+    return (
+        tail.groupBy("__k")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.expr(f"sum({xe4} * {wnum})").alias("__num"),
+            F.expr(f"sum({wnum})").alias("__den"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("CAST(__num div __den AS BIGINT)").alias("ewma_e4"),
+        )
+    )

@@ -1151,6 +1151,7 @@ _DEMOTED_TAIL: list[str] = [
     "doc_topgram_repetition",   # Gopher top/dup n-gram shares ⊂ repetition/text-stats family
     "semdedup_prune_report",    # cluster-scoped semantic dedup ⊂ near-dup/CC/inertia families
     "lsh_recall_audit",         # banding S-curve vs exact GT ⊂ minhash/prefix-filter families
+    "ewma_user_value",          # integer-exact trailing EWMA ⊂ twap/gapfill ts family
 ]
 
 _CHECK_WINDOW = 50

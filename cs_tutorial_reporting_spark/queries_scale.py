@@ -3685,3 +3685,47 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    last AS (
+        SELECT user_id, max(rn) AS lst, count(*) AS n_events
+        FROM ranked GROUP BY user_id
+    ),
+    tail AS (
+        SELECT r.user_id, r.value, r.rn, l.lst, l.n_events
+        FROM ranked r JOIN last l ON l.user_id = r.user_id
+        WHERE r.rn > l.lst - 16
+    )
+    SELECT user_id,
+           CAST(any_value(n_events) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                    * (CAST(1 AS BIGINT) << (15 - (lst - rn))))
+                // sum(CAST(1 AS BIGINT) << (15 - (lst - rn)))
+                AS BIGINT) AS ewma_e4
+    FROM tail GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (α = 1/2, 16-event truncation) of event value per
+    user at the user's latest event — integer-exact fixed-point
+    (operators/timeseries.py::ewma_last_per_key): e4-snapped values,
+    power-of-two weights carried as integer numerators, one integer
+    division at the end. Rank-band self-join, no quadratic window
+    re-evaluation (the round-6 RANGE-frame lesson), no float-sum
+    ordering sensitivity.
+    """
+    from .operators.timeseries import ewma_last_per_key
+
+    return ewma_last_per_key(
+        t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id",
+        window=16,
+    )

@@ -2254,3 +2254,47 @@ def test_semdedup_keep_rule(spark):
     }
     assert got[0] == (3, 1, 2, 3)
     assert got[1] == (2, 0, 0, 0)
+
+
+def test_ewma_integer_exact(spark):
+    """Pins the truncated-EWMA algebra (operators/timeseries.py::
+    ewma_last_per_key) on a hand sequence at W=4, alpha=1/2: weights
+    8,4,2,1 over the last four events (newest heaviest), integer
+    division at e4; a key with fewer events than the window
+    renormalizes over what exists."""
+    from datetime import datetime
+
+    from cs_tutorial_reporting_spark.operators.timeseries import (
+        ewma_last_per_key,
+    )
+
+    ts = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: values 1,2,3,4,5 -> last 4 are 2,3,4,5 with weights
+        # 1,2,4,8 => num_e4 = (2*1+3*2+4*4+5*8)*10000 = 64*10000,
+        # den = 15 -> 640000 div 15 = 42666
+        (1, ts(1), 1.0, 1),
+        (1, ts(2), 2.0, 2),
+        (1, ts(3), 3.0, 3),
+        (1, ts(4), 4.0, 4),
+        (1, ts(5), 5.0, 5),
+        # user 2: single event -> ewma = value
+        (2, ts(1), 7.5, 6),
+        # user 3: two events, weights 4? no — j=0 newest gets 2^(W-1)=8,
+        # j=1 gets 4: (10*4 + 20*8)*10000 div 12 = 2000000 div 12? no:
+        # (10*4+20*8)=200 -> 2000000 div 12 = 166666
+        (3, ts(1), 10.0, 7),
+        (3, ts(2), 20.0, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    got = {
+        r.user_id: (r.n_events, r.ewma_e4)
+        for r in ewma_last_per_key(
+            df, "user_id", "ts", "value", "event_id", window=4
+        ).collect()
+    }
+    assert got[1] == (5, 640000 // 15)
+    assert got[2] == (1, 75000)
+    assert got[3] == (2, 2000000 // 12)
