@@ -1152,6 +1152,7 @@ _DEMOTED_TAIL: list[str] = [
     "semdedup_prune_report",    # cluster-scoped semantic dedup ⊂ near-dup/CC/inertia families
     "lsh_recall_audit",         # banding S-curve vs exact GT ⊂ minhash/prefix-filter families
     "ewma_user_value",          # integer-exact trailing EWMA ⊂ twap/gapfill ts family
+    "streaming_neardup_ingest", # micro-batch-invariant ingest dedup ⊂ streaming/minhash families
 ]
 
 _CHECK_WINDOW = 50

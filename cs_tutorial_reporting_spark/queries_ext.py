@@ -3740,3 +3740,51 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_report(
         corpus, "vec_id", "embedding", "label", dim=64, threshold=0.45
     )
+
+
+@register(
+    "streaming_neardup_ingest",
+    oracle=f"""
+    SELECT id_a, id_b, jaccard FROM ({_MINHASH_ORACLE})
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """,
+)
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_incremental_new_batch: the fresh-crawl
+    docs (doc_id % 10 = 0) arrive as a 3-micro-batch file stream and
+    probe the static corpus' band index per batch (foreachBatch →
+    minhash_lsh_pairs_incremental); the drained, distinct-collapsed
+    parquet sink must equal the ONE-SHOT incremental answer — and the
+    oracle is exactly that batch query's oracle, pinning that micro-
+    batch boundaries cannot change WHAT the dedup finds, only when.
+    streaming/incremental.py::run_neardup_ingest_stream.
+    """
+    import os
+    import tempfile
+
+    from .streaming.incremental import run_neardup_ingest_stream
+
+    d = t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="neardup_ingest_")
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    new = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    n_batches = 3
+    for i in range(n_batches):
+        sub = os.path.join(root, f"w{i}")
+        (
+            new.filter(F.expr(f"(doc_id div 10) % {n_batches}") == i)
+            .coalesce(1)
+            .write.parquet(sub)
+        )
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(sub, part), os.path.join(stage, f"{i:04d}.parquet")
+        )
+    return run_neardup_ingest_stream(
+        d.select("doc_id", "text"),
+        stage,
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        n_batches=n_batches,
+    )

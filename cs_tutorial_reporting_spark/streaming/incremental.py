@@ -14,6 +14,7 @@ this run forever at 100 TB/day.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def incremental_dedup_stream(
@@ -137,3 +138,73 @@ def run_mv_refresh_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_neardup_ingest_stream(
+    corpus: DataFrame,
+    stage_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_batches: int = 3,
+) -> DataFrame:
+    """Dedup-at-ingest: a file-source stream of NEW documents probes the
+    static corpus' MinHash band index per micro-batch (foreachBatch →
+    operators/dedup.py::minhash_lsh_pairs_incremental with the batch's
+    ids flagged new), appending each batch's verified pairs to a
+    parquet sink. The drained union, distinct over (id_a, id_b), equals
+    the one-shot incremental batch answer EXACTLY regardless of how the
+    stream was split into micro-batches — a pair touching two new docs
+    is found by whichever batch arrives first and re-found by the
+    second, and the distinct collapses the re-find (same rounded
+    jaccard: the verify math is batch-split-invariant).
+
+    The caller stages the new docs as one parquet file per intended
+    micro-batch under ``stage_dir``; ``maxFilesPerTrigger=1`` then
+    makes the file source deliver them as real separate triggers
+    through real state/commit-log code paths (availableNow drain).
+
+    100 TB: the production form keeps the corpus band index and
+    shingle sets PERSISTED (minhash_lsh_pairs_incremental docstring) —
+    per batch it pays new-side signatures + one band join + candidate
+    verify; the harness recomputes the corpus side because parquet
+    tables are its only input. Stream-side state is empty (foreachBatch
+    is stateless here); exactly-once lands on the idempotent distinct.
+    """
+    spark = corpus.sparkSession
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = corpus.join(
+            F.broadcast(
+                batch_df.select(F.col(id_col)).distinct().withColumn(
+                    "__isnew", F.lit(True)
+                )
+            ),
+            id_col,
+            "left",
+        ).withColumn("__isnew", F.coalesce("__isnew", F.lit(False)))
+        from ..operators.dedup import minhash_lsh_pairs_incremental
+
+        pairs = minhash_lsh_pairs_incremental(
+            flagged, text_col, id_col, "__isnew"
+        )
+        pairs.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(f"{id_col} bigint, {text_col} string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("id_a bigint, id_b bigint, jaccard double")
+        .parquet(out_dir)
+        .dropDuplicates(["id_a", "id_b"])
+    )

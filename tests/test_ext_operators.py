@@ -2298,3 +2298,48 @@ def test_ewma_integer_exact(spark):
     assert got[1] == (5, 640000 // 15)
     assert got[2] == (1, 75000)
     assert got[3] == (2, 2000000 // 12)
+
+
+def test_streaming_neardup_ingest_cross_batch_collapse(spark, tmp_path):
+    """Pins the micro-batch invariance of streaming/incremental.py::
+    run_neardup_ingest_stream on a planted case the harness data lacks
+    (verified: zero cross-batch new-new pairs at sf0.01): two NEW docs
+    with identical text arrive in DIFFERENT micro-batches — the pair is
+    emitted by both probes and must collapse to exactly one row with
+    the exact-verify jaccard 1.0; a new-old pair is found once."""
+    import os
+
+    from cs_tutorial_reporting_spark.streaming.incremental import (
+        run_neardup_ingest_stream,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (10, dup),                      # new, batch 0
+        (20, dup),                      # new, batch 1 -> cross-batch pair
+        (1, dup + " extra tail"),       # old: high-overlap with both
+        (2, "completely unrelated text about spark physical plans"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i, ids in enumerate(([10], [20])):
+        sub = tmp_path / f"w{i}"
+        corpus.filter(F.col("doc_id").isin(ids)).coalesce(1).write.parquet(
+            str(sub)
+        )
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        os.rename(str(sub / part), str(stage / f"{i:04d}.parquet"))
+    out = run_neardup_ingest_stream(
+        corpus,
+        str(stage),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_batches=2,
+    )
+    rows_out = out.collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows_out}
+    assert (10, 20) in got and got[(10, 20)] == 1.0
+    # the sink holds each pair exactly once after the distinct
+    assert len(rows_out) == len(got)
+    assert all(a < b for (a, b) in got)
