@@ -93,3 +93,51 @@ def profile_drift(
             | (F.col("max_new") != F.col("max_old"))
         ).alias("range_moved"),
     )
+
+
+def fd_violation_audit(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency discovery audit (the Metanome/TANE-style
+    profiling primitive, scoped to a caller-supplied candidate list):
+    for each candidate det → dep, how many determinant groups exist,
+    how many bind MORE than one dependent value (violations), and the
+    worst fan-out. An FD HOLDS iff n_violating = 0 — the schema-design
+    / key-inference signal a warehouse migration reads before declaring
+    constraints.
+
+    Single-scan for ALL candidates: each row explodes into one
+    (fd, det, dep) triple per candidate (constant fan-out = number of
+    candidates), then two map-combinable shuffles — countDistinct per
+    (fd, det), rollup per fd. Values are stringified so heterogeneous
+    column types share one grid; NULL det/dep are kept as the literal
+    '∅' sentinel (SQL FDs treat NULL as a value for profiling
+    purposes — mirrored in the oracle).
+    """
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(f"{det}->{dep}").alias("fd"),
+                F.coalesce(F.col(det).cast("string"), F.lit("∅")).alias(
+                    "det"
+                ),
+                F.coalesce(F.col(dep).cast("string"), F.lit("∅")).alias(
+                    "dep"
+                ),
+            )
+            for det, dep in candidates
+        ]
+    )
+    flat = df.select(F.explode(triples).alias("t")).select(
+        "t.fd", "t.det", "t.dep"
+    )
+    per_det = flat.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("__ndep")
+    )
+    return per_det.groupBy("fd").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("__ndep") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.max("__ndep").cast("bigint").alias("max_fanout"),
+    )

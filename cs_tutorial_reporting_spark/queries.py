@@ -1153,6 +1153,7 @@ _DEMOTED_TAIL: list[str] = [
     "lsh_recall_audit",         # banding S-curve vs exact GT ⊂ minhash/prefix-filter families
     "ewma_user_value",          # integer-exact trailing EWMA ⊂ twap/gapfill ts family
     "streaming_neardup_ingest", # micro-batch-invariant ingest dedup ⊂ streaming/minhash families
+    "fd_violation_audit",       # key-inference profiling ⊂ constraint/fk/profile family
 ]
 
 _CHECK_WINDOW = 50

@@ -3729,3 +3729,52 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id",
         window=16,
     )
+
+
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),      # PK -> anything: must hold
+    ("o_orderkey", "o_orderstatus"),  # PK -> anything: must hold
+    ("o_custkey", "o_orderstatus"),   # repeat customers: violated
+    ("o_orderstatus", "o_orderpriority"),  # coarse -> fine: violated
+]
+
+
+@register(
+    "fd_violation_audit",
+    oracle="""
+    WITH flat AS (
+    """
+    + "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{det}->{dep}' AS fd,
+               coalesce(CAST({det} AS VARCHAR), '∅') AS det,
+               coalesce(CAST({dep} AS VARCHAR), '∅') AS dep
+        FROM orders"""
+        for det, dep in _FD_CANDIDATES
+    )
+    + """
+    ),
+    per_det AS (
+        SELECT fd, det, count(DISTINCT dep) AS nd
+        FROM flat GROUP BY fd, det
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_fanout
+    FROM per_det GROUP BY fd
+    """,
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over four orders candidates
+    (operators/profile.py::fd_violation_audit): PK-determined FDs must
+    report zero violating groups; repeat-customer and coarse→fine
+    candidates must report violations — the key-inference signal a
+    warehouse migration reads before declaring constraints (K4
+    family). Single scan for all candidates (constant explode
+    fan-out), two map-combinable shuffles.
+    """
+    from .operators.profile import fd_violation_audit as fd_audit
+
+    return fd_audit(t(spark, sf_dir, "orders"), _FD_CANDIDATES)
