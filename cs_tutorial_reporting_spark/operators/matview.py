@@ -105,3 +105,43 @@ def refresh_additive_mv(
     os.rename(tmp, path)
     shutil.rmtree(old)
     assert glob.glob(os.path.join(path, "*.parquet")), "refresh produced no files"
+
+
+def maintain_join_mv(
+    v_old: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    da: DataFrame,
+    db: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental INNER-JOIN view maintenance under append-only deltas
+    — the classic delta rule (Blakeley et al. 1986; Δ(A ⋈ B) =
+    ΔA ⋈ B' ∪ A ⋈ ΔB, with B' = B ∪ ΔB so the ΔA ⋈ ΔB cross term is
+    counted exactly once):
+
+        V' = V ∪ (ΔA ⋈ (B ∪ ΔB)) ∪ (A ⋈ ΔB)
+
+    Inputs are the stored view, both base relations AS OF the previous
+    refresh, and the two insert batches; output is the refreshed view,
+    column-order normalized to the old view's schema. Append-only is
+    the engine's spine (watermark loads never update in place);
+    update/delete maintenance needs multiset counts per row and is out
+    of scope here.
+
+    Scale: the refresh cost is O(|ΔA|·fanout + |ΔB|·fanout) — two
+    joins whose PROBE sides are delta-sized (Catalyst broadcasts them
+    unhinted while they fit; at larger deltas they degrade to shuffle
+    joins on the same keys) — plus the view append. The O(|A|·|B|)
+    full recompute never runs; the A and B scans feed only
+    delta-keyed joins, so at 100 TB a day's maintenance costs a day's
+    rows times join fan-out, not the fact-table product.
+    """
+    b_new = b_old.unionByName(db)
+    leg_a = da.join(b_new, on)
+    leg_b = a_old.join(db, on)
+    cols = v_old.columns
+    return (
+        v_old.unionByName(leg_a.select(*cols))
+        .unionByName(leg_b.select(*cols))
+    )

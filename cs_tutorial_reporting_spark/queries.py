@@ -1154,6 +1154,7 @@ _DEMOTED_TAIL: list[str] = [
     "ewma_user_value",          # integer-exact trailing EWMA ⊂ twap/gapfill ts family
     "streaming_neardup_ingest", # micro-batch-invariant ingest dedup ⊂ streaming/minhash families
     "fd_violation_audit",       # key-inference profiling ⊂ constraint/fk/profile family
+    "matview_join_delta_refresh",  # delta-rule join IVM ⊂ matview/incremental family
 ]
 
 _CHECK_WINDOW = 50

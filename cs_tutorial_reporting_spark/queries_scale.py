@@ -3778,3 +3778,43 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import fd_violation_audit as fd_audit
 
     return fd_audit(t(spark, sf_dir, "orders"), _FD_CANDIDATES)
+
+
+@register(
+    "matview_join_delta_refresh",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def matview_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/matview.py::
+    maintain_join_mv): orders split into loaded/delta by orderkey
+    (%3), customer by custkey (%5) — the maintained view after both
+    insert batches MUST equal the full recompute (the oracle is the
+    plain full join), including the keys where BOTH sides received
+    delta rows (the ΔA ⋈ ΔB cross term, counted exactly once by the
+    B' = B ∪ ΔB formulation). Report = nationkey rollup so the
+    value-hash covers every joined row's contribution.
+    """
+    from .operators.matview import maintain_join_mv
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    a_old = o.filter(F.col("o_orderkey") % 3 != 0)
+    da = o.filter(F.col("o_orderkey") % 3 == 0)
+    b_old = c.filter(F.col("o_custkey") % 5 != 0)
+    db = c.filter(F.col("o_custkey") % 5 == 0)
+    v_old = a_old.join(b_old, ["o_custkey"])
+    v_new = maintain_join_mv(v_old, a_old, b_old, da, db, ["o_custkey"])
+    return v_new.groupBy(F.col("c_nationkey")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -2343,3 +2343,37 @@ def test_streaming_neardup_ingest_cross_batch_collapse(spark, tmp_path):
     # the sink holds each pair exactly once after the distinct
     assert len(rows_out) == len(got)
     assert all(a < b for (a, b) in got)
+
+
+def test_maintain_join_mv_delta_rule(spark):
+    """Pins the join-IVM delta rule (operators/matview.py::
+    maintain_join_mv) on multiset data: a key with rows in BOTH deltas
+    (the cross term) must be counted exactly once per joined pair, and
+    duplicate rows on either side must keep multiset cardinality —
+    maintained view == full recompute, row for row."""
+    from collections import Counter
+
+    from cs_tutorial_reporting_spark.operators.matview import (
+        maintain_join_mv,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1dup"), (2, "a2")], "k long, av string"
+    )
+    da = spark.createDataFrame([(1, "a1new"), (3, "a3new")], "k long, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string")
+    db = spark.createDataFrame(
+        [(1, "b1new"), (1, "b1new")], "k long, bv string"  # duplicate delta row
+    )
+    v_old = a_old.join(b_old, ["k"])
+    got = Counter(
+        (r.k, r.av, r.bv)
+        for r in maintain_join_mv(v_old, a_old, b_old, da, db, ["k"]).collect()
+    )
+    want = Counter(
+        (r.k, r.av, r.bv)
+        for r in a_old.unionByName(da)
+        .join(b_old.unionByName(db), ["k"])
+        .collect()
+    )
+    assert got == want
