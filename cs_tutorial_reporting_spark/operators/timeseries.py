@@ -206,3 +206,72 @@ def ewma_last_per_key(
             F.expr("CAST(__num div __den AS BIGINT)").alias("ewma_e4"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Single change-point estimate per key via the CUSUM statistic
+    (Page 1954; the binary-segmentation step): over the hourly series
+    x_t, the deviation sum C_t = Σ_{i≤t}(x_i − μ̂) peaks at the hour
+    the level shifted, so the estimate is argmax_t |C_t|. Carried
+    INTEGER-EXACT by clearing the mean's denominator: with H hours and
+    S = Σx (both integers after e4 value snapping),
+    H·C_t = H·cum_t − t·S — no float mean, no tolerance, identical on
+    any engine. Returns (key, n_hours, cp_hour_ms, max_abs_cusum)
+    where max_abs_cusum is in e4·H-scaled units (a RANKING statistic —
+    compare within a key, not across keys with different H).
+
+    One shuffle to the hourly grid, then ONE window pass per key
+    computes rank, running sum, and the partition totals together; the
+    argmax is a top-1 window. The final hour always lands at C_H = 0
+    and never wins ties (strict ordering on |C| desc, hour asc).
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.date_trunc("hour", F.col(ts_col)).alias("__h"),
+            F.expr(
+                f"CAST(floor({val_col} * 10000 + 0.5) AS BIGINT)"
+            ).alias("__xe4"),
+        )
+        .groupBy("__k", "__h")
+        .agg(F.sum("__xe4").alias("__x"))
+    )
+    w = Window.partitionBy("__k").orderBy("__h")
+    wall = Window.partitionBy("__k")
+    scanned = hourly.select(
+        "__k",
+        "__h",
+        F.row_number().over(w).alias("__t"),
+        F.sum("__x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "__cum"
+        ),
+        F.count("*").over(wall).alias("__hh"),
+        F.sum("__x").over(wall).alias("__s"),
+    ).select(
+        "__k",
+        "__h",
+        "__hh",
+        (
+            F.col("__hh") * F.col("__cum") - F.col("__t") * F.col("__s")
+        ).alias("__c"),
+    )
+    wtop = Window.partitionBy("__k").orderBy(
+        F.abs(F.col("__c")).desc(), F.col("__h").asc()
+    )
+    return (
+        scanned.withColumn("__rn", F.row_number().over(wtop))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__hh").cast("bigint").alias("n_hours"),
+            F.expr("unix_millis(__h)").alias("cp_hour_ms"),
+            F.abs(F.col("__c")).cast("bigint").alias("max_abs_cusum"),
+        )
+    )

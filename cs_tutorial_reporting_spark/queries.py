@@ -1155,6 +1155,7 @@ _DEMOTED_TAIL: list[str] = [
     "streaming_neardup_ingest", # micro-batch-invariant ingest dedup ⊂ streaming/minhash families
     "fd_violation_audit",       # key-inference profiling ⊂ constraint/fk/profile family
     "matview_join_delta_refresh",  # delta-rule join IVM ⊂ matview/incremental family
+    "cusum_changepoint_hours",  # integer CUSUM level-shift ⊂ anomaly/seasonal ts family
 ]
 
 _CHECK_WINDOW = 50

@@ -3818,3 +3818,51 @@ def matview_join_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "cusum_changepoint_hours",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type AS k,
+               date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    scanned AS (
+        SELECT k, h,
+               count(*) OVER (PARTITION BY k) AS hh,
+               (count(*) OVER (PARTITION BY k))
+                   * sum(x) OVER (PARTITION BY k ORDER BY h
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+               - (row_number() OVER (PARTITION BY k ORDER BY h))
+                   * sum(x) OVER (PARTITION BY k) AS c
+        FROM hourly
+    ),
+    top1 AS (
+        SELECT k, h, hh, c,
+               row_number() OVER (PARTITION BY k ORDER BY abs(c) DESC, h)
+                   AS rn
+        FROM scanned
+    )
+    SELECT k AS event_type,
+           CAST(hh AS BIGINT) AS n_hours,
+           CAST(epoch_ms(h) AS BIGINT) AS cp_hour_ms,
+           CAST(abs(c) AS BIGINT) AS max_abs_cusum
+    FROM top1 WHERE rn = 1
+    """,
+)
+def cusum_changepoint_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate per event type over the hourly value
+    series (operators/timeseries.py::cusum_changepoint): the hour where
+    the denominator-cleared deviation sum H·C_t = H·cum_t − t·S peaks
+    in magnitude — integer-exact end to end (e4 value snap, window
+    integer algebra, no float mean). Complements the 3σ anomaly scan
+    (point outliers) with LEVEL-SHIFT localization."""
+    from .operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(
+        t(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )

@@ -2377,3 +2377,30 @@ def test_maintain_join_mv_delta_rule(spark):
         .collect()
     )
     assert got == want
+
+
+def test_cusum_changepoint_localizes_level_shift(spark):
+    """Pins the CUSUM estimator (operators/timeseries.py::
+    cusum_changepoint) on a planted level shift: a series at level 10
+    for 6 hours then level 50 for 6 hours must localize the change at
+    the LAST pre-shift hour (argmax |C_t| of a single step sits at the
+    step), integer-exactly."""
+    from datetime import datetime
+
+    from cs_tutorial_reporting_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    for h in range(12):
+        level = 10.0 if h < 6 else 50.0
+        rows.append(("a", datetime(2026, 1, 1, h, 30), level))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = cusum_changepoint(df, "event_type", "ts", "value").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_hours == 12
+    # last pre-shift hour = 05:00
+    assert r.cp_hour_ms == int(datetime(2026, 1, 1, 5).timestamp() * 1000)
+    # H*C_t at t=6: 12*(6*100000) - 6*(6*100000+6*500000) = -14400000
+    assert r.max_abs_cusum == 14_400_000
