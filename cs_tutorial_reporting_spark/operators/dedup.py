@@ -1008,3 +1008,125 @@ def prefix_filter_pairs(
         )
     )
     return scored.filter(F.col("jac_ppm") >= t_num * 1_000_000 // t_den)
+
+
+def lsh_band_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Per-band candidate→verified funnel for the banded MinHash index
+    — the COST complement to the recall audit: which bands spend the
+    verify budget productively. For each band index: surviving buckets
+    (2 ≤ m ≤ cap), candidate pairs generated (pre-dedup — a pair
+    found by two bands bills BOTH, matching what the global
+    dropDuplicates must absorb), pairs passing exact-Jaccard verify,
+    and precision ppm. Same signatures/bands/cap as minhash_lsh_pairs
+    (the audit measures THE index, not a replica).
+
+    One band shuffle (same as the index build), in-bucket pair
+    expansion under the same cap, verify joins touching candidates
+    only — the audit costs one run of the index it audits.
+    """
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+    sh_df = src.select(
+        "__id", shingles(F.col("__txt"), shingle_n).alias("__sh")
+    ).localCheckpoint(eager=True)
+    salted_mins = [
+        F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("__s")))).alias(f"__mh{j}")
+        for j in range(num_hashes)
+    ]
+    mh = (
+        sh_df.select("__id", F.explode("__sh").alias("__s"))
+        .groupBy("__id")
+        .agg(*salted_mins)
+    )
+    n_bands = num_hashes // band_size
+    bands = mh.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.col(f"__mh{b * band_size + i}").cast("string")
+                                for i in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", F.col("__b.bi").alias("__bi"), F.col("__b.key").alias("__key"))
+    buckets = (
+        bands.groupBy("__bi", "__key")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
+    cand = (
+        buckets.select(
+            "__bi", "__ids", F.posexplode("__ids").alias("__i", "id_a")
+        )
+        .select(
+            "__bi",
+            "id_a",
+            F.explode(
+                F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("id_b"),
+        )
+    )
+    ver = (
+        cand.join(
+            sh_df.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sh_df.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "__bi",
+            (
+                F.round(
+                    F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                    / (
+                        (F.size("__sa") + F.size("__sb")).cast("double")
+                        - F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                    ),
+                    6,
+                )
+                >= jaccard_threshold
+            )
+            .cast("int")
+            .alias("__ok"),
+        )
+    )
+    nb = buckets.groupBy("__bi").agg(F.count("*").alias("n_buckets"))
+    return (
+        ver.groupBy("__bi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cand_pairs"),
+            F.sum("__ok").cast("bigint").alias("n_verified"),
+            F.expr(
+                "CAST(sum(__ok) * 1000000 div count(*) AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+        .join(nb, "__bi")
+        .select(
+            F.col("__bi").alias("band"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            "n_cand_pairs",
+            "n_verified",
+            "precision_ppm",
+        )
+    )

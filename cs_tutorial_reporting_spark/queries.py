@@ -1156,6 +1156,7 @@ _DEMOTED_TAIL: list[str] = [
     "fd_violation_audit",       # key-inference profiling ⊂ constraint/fk/profile family
     "matview_join_delta_refresh",  # delta-rule join IVM ⊂ matview/incremental family
     "cusum_changepoint_hours",  # integer CUSUM level-shift ⊂ anomaly/seasonal ts family
+    "lsh_precision_funnel",     # per-band verify-budget funnel ⊂ minhash/recall-audit family
 ]
 
 _CHECK_WINDOW = 50

@@ -21,7 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .duck_sql import WORDS_SQL
-from .queries_ext import SHINGLES_SQL, minhash_oracle_sql
+from .queries_ext import (
+    SHINGLES_SQL,
+    _band_keys_sql,
+    _minhash_sig_sql,
+    minhash_oracle_sql,
+)
+
+
+def _minhash_sig_fragment() -> str:
+    return _minhash_sig_sql(8)
+
+
+def _band_keys_fragment() -> str:
+    return _band_keys_sql(8, 2)
+
 from .operators.sketches import (
     BLOOM_K,
     bloom_build_words,
@@ -3865,4 +3879,72 @@ def cusum_changepoint_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cusum_changepoint(
         t(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
+@register(
+    "lsh_precision_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {SHINGLES_SQL} AS sh
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    ),
+    sigs AS (
+        SELECT doc_id, sh, {{SIGS}} FROM base
+    ),
+    b2 AS (
+        SELECT doc_id, CAST(split_part(band, '|', 1) AS INT) AS bi, band
+        FROM (SELECT doc_id, unnest({{KEYS}}) AS band FROM sigs)
+    ),
+    buckets AS (
+        SELECT bi, band, count(*) AS m FROM b2 GROUP BY bi, band
+        HAVING count(*) >= 2 AND count(*) <= 1000
+    ),
+    cand AS (
+        SELECT a.bi, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM b2 a
+        JOIN buckets k ON k.band = a.band
+        JOIN b2 b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.bi,
+               CASE WHEN round(
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+                    THEN 1 ELSE 0 END AS ok
+        FROM cand c
+        JOIN base sa ON sa.doc_id = c.id_a
+        JOIN base sb ON sb.doc_id = c.id_b
+    ),
+    nb AS (SELECT bi, count(*) AS n_buckets FROM buckets GROUP BY bi)
+    SELECT v.bi AS band,
+           CAST(any_value(nb.n_buckets) AS BIGINT) AS n_buckets,
+           CAST(count(*) AS BIGINT) AS n_cand_pairs,
+           CAST(sum(ok) AS BIGINT) AS n_verified,
+           CAST(sum(ok) * 1000000 // count(*) AS BIGINT) AS precision_ppm
+    FROM ver v JOIN nb ON nb.bi = v.bi
+    GROUP BY v.bi
+    """.replace("{SIGS}", _minhash_sig_fragment()).replace(
+        "{KEYS}", _band_keys_fragment()
+    ),
+)
+def lsh_precision_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band candidate→verified funnel of the benched MinHash index
+    (operators/dedup.py::lsh_band_funnel) — the COST complement to
+    lsh_recall_audit: bucket counts, candidate pairs billed per band
+    (a pair surfaced by two bands bills both, matching the global
+    dedup's absorbed volume), verified survivors, and precision ppm.
+    An operator reads this to see which bands waste the verify budget
+    before retuning band_size on a 100 TB corpus.
+    """
+    from .operators.dedup import lsh_band_funnel
+
+    return lsh_band_funnel(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=8,
+        band_size=2,
+        jaccard_threshold=0.5,
     )
