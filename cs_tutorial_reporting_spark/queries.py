@@ -1157,6 +1157,7 @@ _DEMOTED_TAIL: list[str] = [
     "matview_join_delta_refresh",  # delta-rule join IVM ⊂ matview/incremental family
     "cusum_changepoint_hours",  # integer CUSUM level-shift ⊂ anomaly/seasonal ts family
     "lsh_precision_funnel",     # per-band verify-budget funnel ⊂ minhash/recall-audit family
+    "join_fanout_hotspots",     # per-key join-cost pre-flight ⊂ skew/diagnostics family
 ]
 
 _CHECK_WINDOW = 50

@@ -3948,3 +3948,58 @@ def lsh_precision_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=2,
         jaccard_threshold=0.5,
     )
+
+
+@register(
+    "join_fanout_hotspots",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, count(*) AS n_click FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, count(*) AS n_purchase FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           CAST(n_click * n_purchase AS BIGINT) AS fanout_rows
+    FROM a JOIN b USING (user_id)
+    ORDER BY fanout_rows DESC, user_id
+    LIMIT 10
+    """,
+)
+def join_fanout_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew pre-flight: the top keys by per-key fan-out PRODUCT
+    |A_k|·|B_k| for the click⋈purchase attribution join — the exact
+    row count that join will materialize per key, read BEFORE running
+    it (the cost model behind streaming_attribution_join's state and
+    the batch asof family's window sizes). A key at the top of this
+    report is where AQE skew-split or per-key salting earns its keep
+    at 100 TB. Cost: two map-combinable counts + a top-k — never the
+    join itself.
+    """
+    e = t(spark, sf_dir, "events")
+
+    def side(etype: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    return (
+        side("click", "n_click")
+        .join(side("purchase", "n_purchase"), "user_id")
+        .select(
+            "user_id",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click") * F.col("n_purchase"))
+            .cast("bigint")
+            .alias("fanout_rows"),
+        )
+        .orderBy(F.col("fanout_rows").desc(), F.col("user_id"))
+        .limit(10)
+    )
