@@ -973,7 +973,9 @@ from . import queries_training  # noqa: E402,F401
 #: window's 27 non-bench slots. Round 8 owes the 21 continuation
 #: entries (hll_portable_distinct … twap_user_value); round 9 the
 #: remaining continuation + fifth/sixth-wave entrants (hll_merge
-#: onward through kcore_copurchase, ~24 rows). After r9 every row is
+#: onward through kcore_copurchase, ~24 rows). The round-6 seventh
+#: wave (dedup_substring_spans … join_fanout_hotspots, 11 rows at the
+#: tail's end) queues behind them (r9/r10). After that every row is
 #: ≤ 2 rounds old. `tools/freshness_report.py` prints the live
 #: worklist.
 _DEMOTED_TAIL: list[str] = [
