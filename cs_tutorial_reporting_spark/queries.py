@@ -1160,6 +1160,7 @@ _DEMOTED_TAIL: list[str] = [
     "cusum_changepoint_hours",  # integer CUSUM level-shift ⊂ anomaly/seasonal ts family
     "lsh_precision_funnel",     # per-band verify-budget funnel ⊂ minhash/recall-audit family
     "join_fanout_hotspots",     # per-key join-cost pre-flight ⊂ skew/diagnostics family
+    "epoch_repetition_plan",    # data-constrained mixture planner ⊂ mixture/quota family
 ]
 
 _CHECK_WINDOW = 50

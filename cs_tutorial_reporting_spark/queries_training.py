@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .duck_sql import HASH60_SQL, NORM_SQL, WINNOW_SQL
+from .queries_ext import _occ_sql
 from .queries import register, t
 
 _TOKS = f"string_split({NORM_SQL.format(col='text')}, ' ')"
@@ -704,3 +705,86 @@ def embedding_dim_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.orderBy(
         F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j"
     ).limit(10)
+
+
+@register(
+    "epoch_repetition_plan",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({{TOK}}) AS BIGINT) AS corpus_tokens,
+               CAST((CAST(substr(source, 4) AS BIGINT) + 1) * 1000000
+                    // 210 AS BIGINT) AS weight_ppm
+        FROM documents GROUP BY source
+    ),
+    planned AS (
+        SELECT source, n_docs, corpus_tokens, weight_ppm,
+               CAST(1000000 * weight_ppm // 1000000 AS BIGINT) AS alloc_tokens
+        FROM per_source
+    )
+    SELECT source, n_docs, corpus_tokens, weight_ppm, alloc_tokens,
+           CAST(least(alloc_tokens * 1000 // corpus_tokens, 4000)
+                AS BIGINT) AS epochs_e3,
+           CAST(least(alloc_tokens, corpus_tokens * 4) AS BIGINT)
+               AS sampled_tokens,
+           CAST(alloc_tokens - least(alloc_tokens, corpus_tokens * 4)
+                AS BIGINT) AS shortfall_tokens
+    FROM planned
+    """.replace("{TOK}", "(" + _occ_sql("text", " ") + " + 1)"),
+)
+def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture planning (Muennighoff et al. 2023,
+    arXiv:2305.16264 — repeating data beyond ~4 epochs stops helping):
+    given target mixture weights (deterministic ramp over sources,
+    (i+1)/210) and a 1M-token budget, compute each source's allocated
+    tokens, the repetition factor in milli-epochs, the cap at 4
+    epochs, and the unfillable shortfall a re-weighting pass would
+    redistribute. Integer-exact throughout (ppm weights, truncating
+    div) — the planner's numbers must not drift between the engine
+    that plans and the engine that samples.
+
+    One corpus scan (token counts are a pure expression) + a
+    20-row planning frame: the plan costs nothing next to the sample
+    it governs; at 100 TB the scan rides whatever quality pass already
+    reads the text.
+    """
+    from .functions.text import whitespace_token_count
+
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(whitespace_token_count(F.col("text")))
+        .cast("bigint")
+        .alias("corpus_tokens"),
+    )
+    planned = per.select(
+        "source",
+        "n_docs",
+        "corpus_tokens",
+        F.expr(
+            "CAST((CAST(substr(source, 4) AS BIGINT) + 1) * 1000000"
+            " div 210 AS BIGINT)"
+        ).alias("weight_ppm"),
+    ).withColumn(
+        "alloc_tokens",
+        F.expr("CAST(1000000 * weight_ppm div 1000000 AS BIGINT)"),
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "corpus_tokens",
+        "weight_ppm",
+        "alloc_tokens",
+        F.expr(
+            "CAST(least(alloc_tokens * 1000 div corpus_tokens, 4000)"
+            " AS BIGINT)"
+        ).alias("epochs_e3"),
+        F.expr(
+            "CAST(least(alloc_tokens, corpus_tokens * 4) AS BIGINT)"
+        ).alias("sampled_tokens"),
+        F.expr(
+            "CAST(alloc_tokens - least(alloc_tokens, corpus_tokens * 4)"
+            " AS BIGINT)"
+        ).alias("shortfall_tokens"),
+    )
