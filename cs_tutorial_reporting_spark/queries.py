@@ -1161,6 +1161,7 @@ _DEMOTED_TAIL: list[str] = [
     "lsh_precision_funnel",     # per-band verify-budget funnel ⊂ minhash/recall-audit family
     "join_fanout_hotspots",     # per-key join-cost pre-flight ⊂ skew/diagnostics family
     "epoch_repetition_plan",    # data-constrained mixture planner ⊂ mixture/quota family
+    "quantile_sketch_error_audit",  # sketch-vs-exact honesty ⊂ percentile/histogram family
 ]
 
 _CHECK_WINDOW = 50

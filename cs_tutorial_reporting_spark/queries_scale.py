@@ -4003,3 +4003,118 @@ def join_fanout_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fanout_rows").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "quantile_sketch_error_audit",
+    oracle="""
+    WITH exact AS (
+        SELECT event_type,
+               min(CASE WHEN cum * 100 >= tot * 50 THEN cents END) AS ex50,
+               min(CASE WHEN cum * 100 >= tot * 95 THEN cents END) AS ex95
+        FROM (
+            SELECT event_type, cents, 
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+                       AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS tot
+            FROM (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+        ) GROUP BY event_type
+    ),
+    sk AS (
+        SELECT event_type,
+               min(CASE WHEN cum * 100 >= tot * 50 THEN bin END) * 10 AS sk50,
+               min(CASE WHEN cum * 100 >= tot * 95 THEN bin END) * 10 AS sk95
+        FROM (
+            SELECT event_type, bin,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                       AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS tot
+            FROM (
+                SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+        ) GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(e.ex50 AS BIGINT) AS exact_p50_cents,
+           CAST(s.sk50 AS BIGINT) AS sketch_p50_cents,
+           CAST(abs(e.ex50 - s.sk50) AS BIGINT) AS err_p50_cents,
+           CAST(e.ex95 AS BIGINT) AS exact_p95_cents,
+           CAST(s.sk95 AS BIGINT) AS sketch_p95_cents,
+           CAST(abs(e.ex95 - s.sk95) AS BIGINT) AS err_p95_cents,
+           CAST(CASE WHEN abs(e.ex50 - s.sk50) <= 10
+                      AND abs(e.ex95 - s.sk95) <= 10
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bin_bound
+    FROM exact e JOIN sk s USING (event_type)
+    """,
+)
+def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-honesty audit: the histogram quantile sketch's p50/p95
+    (0.1-wide bins, lower-edge estimate) against the EXACT
+    percentile_disc over integer cents, per event type — measured
+    error in cents plus the within-one-bin guarantee flag (the error
+    bound a fixed-width histogram promises BY CONSTRUCTION; a zero
+    flag means the sketch implementation, not the data, is wrong).
+    Same crossing rule (integer cross-multiplication) on both ladders.
+
+    Two map-combined histograms (state O(distinct cents) and
+    O(distinct bins)) + windows over the grids, never the rows — the
+    audit costs what the sketch costs.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+
+    def ladder(col_expr: str, out50: str, out95: str, scale: int) -> DataFrame:
+        hist = (
+            ev.select("event_type", F.expr(col_expr).alias("v"))
+            .groupBy("event_type", "v")
+            .agg(F.count("*").alias("cnt"))
+        )
+        wcum = Window.partitionBy("event_type").orderBy("v")
+        wtot = Window.partitionBy("event_type")
+        cum = hist.select(
+            "event_type",
+            "v",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wtot).alias("tot"),
+        )
+        return cum.groupBy("event_type").agg(
+            (
+                F.min(
+                    F.when(F.col("cum") * 100 >= F.col("tot") * 50, F.col("v"))
+                )
+                * scale
+            ).alias(out50),
+            (
+                F.min(
+                    F.when(F.col("cum") * 100 >= F.col("tot") * 95, F.col("v"))
+                )
+                * scale
+            ).alias(out95),
+        )
+
+    exact = ladder("CAST(round(value * 100) AS BIGINT)", "ex50", "ex95", 1)
+    sk = ladder("CAST(floor(value * 10) AS BIGINT)", "sk50", "sk95", 10)
+    j = exact.join(sk, "event_type")
+    e50 = F.abs(F.col("ex50") - F.col("sk50"))
+    e95 = F.abs(F.col("ex95") - F.col("sk95"))
+    return j.select(
+        "event_type",
+        F.col("ex50").cast("bigint").alias("exact_p50_cents"),
+        F.col("sk50").cast("bigint").alias("sketch_p50_cents"),
+        e50.cast("bigint").alias("err_p50_cents"),
+        F.col("ex95").cast("bigint").alias("exact_p95_cents"),
+        F.col("sk95").cast("bigint").alias("sketch_p95_cents"),
+        e95.cast("bigint").alias("err_p95_cents"),
+        F.when((e50 <= 10) & (e95 <= 10), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_bin_bound"),
+    )
