@@ -56,6 +56,14 @@ GUARDED = [
     # round-6 fifth wave: the incremental band-join variant consumes
     # shingles() + the salted-min signature — same guard class
     "dedup_incremental_new_batch",
+    # round-6 seventh wave: semdedup scores pairs through dot_flat (the
+    # de-lambda'd single-level fold) and the ingest stream + recall/
+    # precision audits consume shingles()/salted-min downstream of plan
+    # churn — same guard class
+    "semdedup_prune_report",
+    "lsh_recall_audit",
+    "lsh_precision_funnel",
+    "streaming_neardup_ingest",
 ]
 
 #: how many registry entries to replay before checking — comfortably
