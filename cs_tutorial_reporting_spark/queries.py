@@ -1162,6 +1162,7 @@ _DEMOTED_TAIL: list[str] = [
     "join_fanout_hotspots",     # per-key join-cost pre-flight ⊂ skew/diagnostics family
     "epoch_repetition_plan",    # data-constrained mixture planner ⊂ mixture/quota family
     "quantile_sketch_error_audit",  # sketch-vs-exact honesty ⊂ percentile/histogram family
+    "streaming_pyds_crawl_feed",  # Python streaming DataSource ⊂ S-family/streaming surface
 ]
 
 _CHECK_WINDOW = 50

@@ -3788,3 +3788,50 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "ckpt"),
         n_batches=n_batches,
     )
+
+
+@register(
+    "streaming_pyds_crawl_feed",
+    oracle="""
+    SELECT CAST(doc_id // 100 AS INT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           min(md5('crawl|' || CAST(doc_id AS VARCHAR))) AS min_text
+    FROM (SELECT unnest(range(0, 500)) AS doc_id)
+    GROUP BY 1
+    """,
+)
+def streaming_pyds_crawl_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING Data Source end-to-end
+    (sources/crawl_feed.py): the deterministic crawl feed streams 5
+    batches × 100 docs through initialOffset/latestOffset cursor
+    advancement, pages-as-partitions planning, and executor-side row
+    generation into a memory sink; the per-batch rollup (count, id sum,
+    lexicographic-min payload md5) is regenerated exactly by the
+    DuckDB oracle — the source's CONTENT is value-checked, not just
+    its row count. ``sf_dir`` is unused: the source is its own data.
+    """
+    from .sources.crawl_feed import CrawlFeedDataSource
+    from .streaming.sessions import run_to_memory
+
+    try:
+        spark.dataSource.register(CrawlFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("crawl_feed")
+        .option("rows_per_batch", "100")
+        .option("max_batches", "5")
+        .option("batches_per_poll", "2")
+        .load()
+    )
+    agg = stream.groupBy("batch").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        # min over the text AS DELIVERED BY THE SOURCE — the oracle
+        # regenerates it from the doc_id contract, so a source that
+        # garbles payloads (not just counts) fails the hash
+        F.min("text").alias("min_text"),
+    )
+    run_to_memory(agg, "crawl_feed_gate", output_mode="complete")
+    return spark.table("crawl_feed_gate")

@@ -215,3 +215,36 @@ def test_airflow_rest_http_helpers():
     assert _snake("dagRuns") == "dag_runs"
     assert _snake("taskInstances") == "task_instances"
     assert _snake("dags") == "dags"
+
+
+def test_crawl_feed_stream_cursor_and_partitions(spark):
+    """Pins the streaming DataSource mechanics (sources/crawl_feed.py)
+    below the query level: the offset cursor advances by
+    batches_per_poll and caps at max_batches; partitions(start, end)
+    fans one InputPartition per batch; read() generates the
+    deterministic payload contract."""
+    from cs_tutorial_reporting_spark.sources.crawl_feed import (
+        CrawlFeedStreamReader,
+        crawl_row,
+    )
+
+    r = CrawlFeedStreamReader(
+        {"rows_per_batch": "3", "max_batches": "5", "batches_per_poll": "2"}
+    )
+    assert r.initialOffset() == {"batch": 0}
+    assert r.latestOffset() == {"batch": 2}
+    assert r.latestOffset() == {"batch": 4}
+    assert r.latestOffset() == {"batch": 5}  # capped
+    assert r.latestOffset() == {"batch": 5}  # stays capped
+    parts = r.partitions({"batch": 2}, {"batch": 4})
+    assert [p.batch for p in parts] == [2, 3]
+    rows = list(r.read(parts[0]))
+    assert rows == [
+        (6, 2, crawl_row(6)[1]),
+        (7, 2, crawl_row(7)[1]),
+        (8, 2, crawl_row(8)[1]),
+    ]
+    # payload contract is the md5 the oracle regenerates
+    import hashlib
+
+    assert crawl_row(6)[1] == hashlib.md5(b"crawl|6").hexdigest()
