@@ -1163,6 +1163,7 @@ _DEMOTED_TAIL: list[str] = [
     "epoch_repetition_plan",    # data-constrained mixture planner ⊂ mixture/quota family
     "quantile_sketch_error_audit",  # sketch-vs-exact honesty ⊂ percentile/histogram family
     "streaming_pyds_crawl_feed",  # Python streaming DataSource ⊂ S-family/streaming surface
+    "late_arrival_backfill_report",  # watermark-horizon sizing ⊂ watermark/merge families
 ]
 
 _CHECK_WINDOW = 50

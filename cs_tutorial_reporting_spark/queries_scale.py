@@ -4118,3 +4118,75 @@ def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("within_bin_bound"),
     )
+
+
+@register(
+    "late_arrival_backfill_report",
+    oracle="""
+    WITH cursed AS (
+        SELECT ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS high_water
+        FROM events
+    ),
+    lateness AS (
+        SELECT date_trunc('day', ts) AS day,
+               epoch_ms(high_water) - epoch_ms(ts) AS late_ms
+        FROM cursed
+    )
+    SELECT CAST(epoch_ms(day) AS BIGINT) AS day_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_1h,
+           CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+           CAST(CASE WHEN sum(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0
+                              END) > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS needs_backfill
+    FROM lateness GROUP BY day
+    """,
+)
+def late_arrival_backfill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit → backfill worklist: per event-time DAY, how many
+    events arrived after their stream's high-water mark had already
+    passed them by more than an hour (arrival order = event_id within
+    each user's stream — the per-shard cursor a real ingest keeps), the
+    worst observed lateness, and the needs-backfill flag a scheduler
+    reads to re-run day partitions. This is the BATCH measurement of
+    exactly the disorder streaming watermarks absorb — it sizes the
+    watermark horizon (and the MERGE backfill window) from data instead
+    of folklore.
+
+    One per-user running-max window (partitioned — no global order),
+    one day rollup. At 100 TB the cursor partitioning follows the
+    ingest sharding; nothing global exists anywhere.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (
+            F.unix_millis(F.max("ts").over(w)) - F.unix_millis(F.col("ts"))
+        ).alias("late_ms"),
+    )
+    n_late = F.sum(F.when(F.col("late_ms") > 3600000, 1).otherwise(0))
+    return late.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        n_late.cast("bigint").alias("n_late_1h"),
+        F.max("late_ms").cast("bigint").alias("max_late_ms"),
+        F.when(n_late > 0, 1).otherwise(0).cast("bigint").alias(
+            "needs_backfill"
+        ),
+    ).select(
+        F.unix_millis(F.col("day")).alias("day_ms"),
+        "n_events",
+        "n_late_1h",
+        "max_late_ms",
+        "needs_backfill",
+    )
