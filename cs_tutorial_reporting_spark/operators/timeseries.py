@@ -166,27 +166,26 @@ def ewma_last_per_key(
     Plan shape (100 TB): an untruncated EWMA is a sequential recurrence
     — not expressible as a distributed window without a quadratic
     RANGE re-evaluation (the skyline lesson, BASELINE.md round-6) or a
-    per-key sequential pass. The truncated form is a RANK-BAND
-    SELF-JOIN instead: number events per key, join each row's last W
-    ranks (W× row amplification, W constant), weight by the rank gap,
-    and aggregate — two key-partitioned shuffles and one equi-join,
-    no window re-evaluation, no Python. The final-event filter makes
-    the report one row per key.
+    per-key sequential pass. The truncated form needs only the last W
+    rows per key: rank/count/max ride ONE key-partitioned window
+    exchange, the tail filter keeps W rows per key, and the final
+    groupBy reuses the same hash partitioning — one shuffle total, no
+    self-join, no window re-evaluation, no Python.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    # __last/n_events as WINDOW functions over the same key partition —
+    # they ride the rank window's exchange (one scan, one shuffle)
+    # instead of a groupBy + self-join that re-derives the rank branch
+    wall = Window.partitionBy(key_col)
     ranked = df.select(
         F.col(key_col).alias("__k"),
         F.col(val_col).alias("__x"),
         F.row_number().over(w).alias("__rn"),
-    )
-    last = ranked.groupBy("__k").agg(
-        F.max("__rn").alias("__last"), F.count("*").alias("n_events")
-    )
-    tail = ranked.join(last, "__k").filter(
-        F.col("__rn") > F.col("__last") - window
-    )
+        F.count("*").over(wall).alias("n_events"),
+    ).withColumn("__last", F.max("__rn").over(Window.partitionBy("__k")))
+    tail = ranked.filter(F.col("__rn") > F.col("__last") - window)
     # j = last - rn ∈ [0, W-1]; integer weight numerator 2^(W-1-j)
     # (shift by a COLUMN goes through expr — F.shiftleft takes literal
     # shifts only, round-6 gotcha). x_e4 ≤ ~1e7, numerator ≤ 2^15,
