@@ -1164,6 +1164,7 @@ _DEMOTED_TAIL: list[str] = [
     "quantile_sketch_error_audit",  # sketch-vs-exact honesty ⊂ percentile/histogram family
     "streaming_pyds_crawl_feed",  # Python streaming DataSource ⊂ S-family/streaming surface
     "late_arrival_backfill_report",  # watermark-horizon sizing ⊂ watermark/merge families
+    "quality_curriculum_phases",  # histogram-bound curriculum ⊂ equidepth/quality families
 ]
 
 _CHECK_WINDOW = 50

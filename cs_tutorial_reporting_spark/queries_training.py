@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .duck_sql import HASH60_SQL, NORM_SQL, WINNOW_SQL
-from .queries_ext import _occ_sql
+from .queries_ext import _QUALITY_SQL, _occ_sql
 from .queries import register, t
 
 _TOKS = f"string_split({NORM_SQL.format(col='text')}, ' ')"
@@ -787,4 +787,139 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(alloc_tokens - least(alloc_tokens, corpus_tokens * 4)"
             " AS BIGINT)"
         ).alias("shortfall_tokens"),
+    )
+
+
+@register(
+    "quality_curriculum_phases",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, ({{Q}}) AS q,
+               ({_occ_sql('text', ' ')} + 1) AS toks
+        FROM (SELECT doc_id, source, text,
+                     CAST({_occ_sql('text', ' ')} + 1 AS DOUBLE) AS nw
+              FROM documents)
+    ),
+    qint AS (
+        SELECT doc_id, source, toks,
+               CAST(floor(q * 10000 + 0.5) AS BIGINT) AS q4
+        FROM scored
+    ),
+    hist AS (
+        SELECT q4, count(*) AS cnt FROM qint GROUP BY q4
+    ),
+    cum AS (
+        SELECT q4,
+               sum(cnt) OVER (ORDER BY q4) AS c,
+               sum(cnt) OVER () AS tot
+        FROM hist
+    ),
+    bounds AS (
+        SELECT min(CASE WHEN c * 4 >= tot * 1 THEN q4 END) AS b1,
+               min(CASE WHEN c * 4 >= tot * 2 THEN q4 END) AS b2,
+               min(CASE WHEN c * 4 >= tot * 3 THEN q4 END) AS b3
+        FROM cum
+    ),
+    phased AS (
+        SELECT doc_id, source, toks, q4,
+               CASE WHEN q4 <= b.b1 THEN 1
+                    WHEN q4 <= b.b2 THEN 2
+                    WHEN q4 <= b.b3 THEN 3
+                    ELSE 4 END AS phase
+        FROM qint, bounds b
+    ),
+    per_source AS (
+        SELECT phase, source, count(*) AS sn FROM phased
+        GROUP BY phase, source
+    ),
+    src_stats AS (
+        SELECT phase, count(*) AS n_sources, max(sn) AS top_sn
+        FROM per_source GROUP BY phase
+    )
+    SELECT p.phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(p.q4) AS BIGINT) AS lo_q4,
+           CAST(max(p.q4) AS BIGINT) AS hi_q4,
+           CAST(sum(p.toks) AS BIGINT) AS total_tokens,
+           CAST(any_value(s.n_sources) AS BIGINT) AS n_sources,
+           CAST(any_value(s.top_sn) * 1000000 // count(*) AS BIGINT)
+               AS top_source_share_ppm
+    FROM phased p JOIN src_stats s USING (phase)
+    GROUP BY p.phase
+    """.replace("{Q}", _QUALITY_SQL),
+)
+def quality_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assembly: split the corpus into FOUR equi-depth
+    quality phases (train low→high quality last, or vice versa —
+    curriculum-learning's data side) WITHOUT a global sort: the
+    e4-snapped quality histogram yields the three quartile bounds by
+    integer cross-multiplication (the percentile-crossing technique),
+    and phase assignment is a broadcast CASE — map-combinable
+    shuffles over O(distinct scores) state only. Per phase: doc/token
+    mass, score range, source diversity, and the top-source share
+    (a curriculum phase dominated by one source is a sampling bug).
+    """
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score, whitespace_token_count
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).alias("toks"),
+        F.floor(quality_score(F.col("text")) * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q4"),
+    )
+    hist = scored.groupBy("q4").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("q4").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy()
+    cum = hist.select(
+        "q4",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wtot).alias("tot"),
+    )
+    bounds = cum.agg(
+        F.min(F.when(F.col("c") * 4 >= F.col("tot") * 1, F.col("q4"))).alias("b1"),
+        F.min(F.when(F.col("c") * 4 >= F.col("tot") * 2, F.col("q4"))).alias("b2"),
+        F.min(F.when(F.col("c") * 4 >= F.col("tot") * 3, F.col("q4"))).alias("b3"),
+    )
+    phased = scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "source",
+        "toks",
+        "q4",
+        F.when(F.col("q4") <= F.col("b1"), 1)
+        .when(F.col("q4") <= F.col("b2"), 2)
+        .when(F.col("q4") <= F.col("b3"), 3)
+        .otherwise(4)
+        .alias("phase"),
+    )
+    per_source = phased.groupBy("phase", "source").agg(
+        F.count("*").alias("sn")
+    )
+    src_stats = per_source.groupBy("phase").agg(
+        F.count("*").alias("n_sources"), F.max("sn").alias("top_sn")
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("q4").cast("bigint").alias("lo_q4"),
+            F.max("q4").cast("bigint").alias("hi_q4"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+        )
+        .join(F.broadcast(src_stats), "phase")
+        .select(
+            "phase",
+            "n_docs",
+            "lo_q4",
+            "hi_q4",
+            "total_tokens",
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            F.expr(
+                "CAST(top_sn * 1000000 div n_docs AS BIGINT)"
+            ).alias("top_source_share_ppm"),
+        )
     )
