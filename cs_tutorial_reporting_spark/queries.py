@@ -1165,6 +1165,7 @@ _DEMOTED_TAIL: list[str] = [
     "streaming_pyds_crawl_feed",  # Python streaming DataSource ⊂ S-family/streaming surface
     "late_arrival_backfill_report",  # watermark-horizon sizing ⊂ watermark/merge families
     "quality_curriculum_phases",  # histogram-bound curriculum ⊂ equidepth/quality families
+    "q2_min_cost_supplier",     # adapted Q2 (derived partsupp) ⊂ correlated-min/q15 family
 ]
 
 _CHECK_WINDOW = 50

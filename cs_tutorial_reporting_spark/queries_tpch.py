@@ -810,3 +810,89 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT p.p_partkey, e.s_name, e.s_acctbal, e.n_name, c.cost_c,
+               row_number() OVER (
+                   PARTITION BY p.p_partkey
+                   ORDER BY c.cost_c, e.s_name
+               ) AS rn
+        FROM part p
+        JOIN cost c ON c.partkey = p.p_partkey
+        JOIN eur e ON e.s_suppkey = c.suppkey
+        WHERE p.p_size < 10
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, CAST(cost_c AS BIGINT) AS cost_c
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, ADAPTED: the harness star schema carries no
+    partsupp table, so the part-supplier cost relation is DERIVED from
+    observed lineitems (min extendedprice in integer cents per
+    (part, supplier) — deterministic, no float ties) and the
+    correlated min-cost-supplier subquery becomes a per-part top-1
+    window (cost, name tiebreak) over the EUROPE-filtered supplier
+    dim. Same plan skeleton as real Q2: small dims broadcast
+    (region→nation→supplier reduce before touching the fact-derived
+    cost), one fact-sized (part, supp) aggregation, one per-part
+    window, global top-10.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cost_c"
+        )
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey").orderBy("cost_c", "s_name")
+    ranked = (
+        cost.join(F.broadcast(eur), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost_c").cast("bigint").alias("cost_c"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(10)
+    )
