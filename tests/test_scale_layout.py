@@ -712,3 +712,50 @@ def test_streaming_mv_refresh_fences_replayed_batches(spark, tmp_path):
     )
     again = {r.user_id: r.n for r in spark.read.parquet(mv).collect()}
     assert again == {k: v.n for k, v in want.items()}
+
+
+def test_bloom_sidecar_prunes_hash_clustered_files(spark, tmp_path):
+    """File-level Bloom index (sources/file_index.py): on a
+    hash-clustered layout (every key in exactly one of 8 files,
+    min/max useless by construction), a point lookup must read a
+    STRICT SUBSET of files (typically 1; Bloom FPs allowed, never all)
+    and return exactly the full-scan answer; a key that was never
+    written must probe to ZERO files; and the sidecar's bitmaps must
+    match sketches.bloom_build_words bit-for-bit for a single-file
+    table (the portability contract)."""
+    import json
+    import os
+
+    from cs_tutorial_reporting_spark.operators.sketches import (
+        bloom_build_words,
+    )
+    from cs_tutorial_reporting_spark.sources.file_index import (
+        SIDECAR,
+        read_bloom_pruned,
+        write_bloom_indexed,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    path = str(tmp_path / "bloomed")
+    write_bloom_indexed(df, path, "k", n_files=8)
+
+    got, total, read = read_bloom_pruned(spark, path, "k", 1234)
+    assert total == 8
+    assert 1 <= read < 8  # pruning happened; FPs allowed, full scan not
+    rows = got.collect()
+    assert [(r.k, r.v) for r in rows] == [(1234, 1234 * 7 % 1000)]
+
+    _, _, read_missing = read_bloom_pruned(spark, path, "k", 999999)
+    assert read_missing == 0
+
+    # portability: single-file sidecar == the sketch module's builder
+    one = str(tmp_path / "one")
+    write_bloom_indexed(df.limit(100), one, "k", n_files=1)
+    sidecar = json.load(open(os.path.join(one, SIDECAR)))
+    (words_sidecar,) = sidecar.values()
+    words_ref = bloom_build_words(
+        spark, spark.read.parquet(one).select("k"), "k"
+    )
+    assert words_sidecar == words_ref
