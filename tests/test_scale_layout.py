@@ -759,3 +759,45 @@ def test_bloom_sidecar_prunes_hash_clustered_files(spark, tmp_path):
         spark, spark.read.parquet(one).select("k"), "k"
     )
     assert words_sidecar == words_ref
+
+
+def test_versioned_snapshots_time_travel_rollback_orphans(spark, tmp_path):
+    """Pins the snapshot-pointer mechanics (sources/versioned.py):
+    writes flip the pointer atomically; time travel reads older
+    immutable snapshots; rollback is a pointer flip; a crashed write's
+    orphan directory is invisible to readers and version numbers
+    advance past it; vacuum never drops the pointer's target."""
+    import os
+
+    from cs_tutorial_reporting_spark.sources.versioned import (
+        current_version,
+        read_version,
+        rollback,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = write_version(spark.range(3).selectExpr("id AS k"), path)
+    v2 = write_version(spark.range(5).selectExpr("id AS k"), path)
+    assert (v1, v2) == (1, 2)
+    assert current_version(path) == 2
+    assert read_version(spark, path).count() == 5
+    assert read_version(spark, path, version=1).count() == 3  # time travel
+
+    rollback(path, 1)
+    assert current_version(path) == 1
+    assert read_version(spark, path).count() == 3
+
+    # crash sim: orphan v00003 exists but the pointer never moved
+    os.makedirs(os.path.join(path, "v00003"))
+    assert current_version(path) == 1
+    v4 = write_version(spark.range(7).selectExpr("id AS k"), path)
+    assert v4 == 4  # advanced PAST the orphan
+    assert read_version(spark, path).count() == 7
+
+    # vacuum keeps the pointer's target even when it is old
+    rollback(path, 1)
+    removed = vacuum(path, keep_last=1)
+    assert 1 not in removed and current_version(path) == 1
+    assert read_version(spark, path).count() == 3
