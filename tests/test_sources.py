@@ -248,3 +248,66 @@ def test_crawl_feed_stream_cursor_and_partitions(spark):
     import hashlib
 
     assert crawl_row(6)[1] == hashlib.md5(b"crawl|6").hexdigest()
+
+
+def test_read_with_schema_map_evolution(spark, tmp_path):
+    """Pins the schema-evolution mapping read (sources/evolution.py):
+    v1 files with the OLD column name and missing new columns read
+    through renames + defaults; v2 files pass through; an int id in
+    v1 widens to the declared bigint; an unmappable target fails
+    loudly."""
+    import pytest as _pytest
+
+    from cs_tutorial_reporting_spark.sources.evolution import (
+        read_with_schema_map,
+    )
+
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a")], "cust_id int, name string"
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", "US")], "customer_id bigint, name string, country string"
+    ).write.parquet(v2)
+
+    out = read_with_schema_map(
+        spark,
+        [v1, v2],
+        "customer_id bigint, name string, country string",
+        renames={"cust_id": "customer_id"},
+        defaults={"country": "'UNKNOWN'"},
+    )
+    assert out.schema.simpleString() == (
+        "struct<customer_id:bigint,name:string,country:string>"
+    )
+    got = {(r.customer_id, r.name, r.country) for r in out.collect()}
+    assert got == {(1, "a", "UNKNOWN"), (2, "b", "US")}
+
+    with _pytest.raises(ValueError, match="cannot provide column"):
+        read_with_schema_map(
+            spark, [v1], "customer_id bigint, email string"
+        )
+
+
+def test_read_json_with_dlq_splits_one_pass(spark, tmp_path):
+    """Pins the dead-letter queue (sources/evolution.py): malformed
+    NDJSON lines quarantine with their RAW bytes, good rows parse,
+    and the all-or-nothing contract holds (a line with a bad field
+    type quarantines entirely)."""
+    from cs_tutorial_reporting_spark.sources.evolution import (
+        read_json_with_dlq,
+    )
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": "not-an-int", "v": "bad-type"}\n'
+        '{"id": 3, "v": "fine"}\n'
+    )
+    good, bad = read_json_with_dlq(spark, str(p), "id bigint, v string")
+    assert {(r.id, r.v) for r in good.collect()} == {(1, "ok"), (3, "fine")}
+    raws = [r.raw_line for r in bad.collect()]
+    assert "THIS IS NOT JSON" in raws
+    assert any("not-an-int" in r for r in raws)
+    assert len(raws) == 2
