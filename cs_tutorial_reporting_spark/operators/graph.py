@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 PPM = 1_000_000
 DAMPING_PPM = 850_000
@@ -257,4 +258,102 @@ def hits_ppm_sql(
         + ",\n".join(ctes)
         + f"\nSELECT h.node, h.hub_ppm, a.auth_ppm"
         f" FROM h{iters} h JOIN a{iters} a USING (node)"
+    )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    DETERMINISTIC: each round every node adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label —
+    canonical LPA randomizes both update order and ties, which no
+    value-checked engine can ship; the synchronous min-tie variant is
+    reproducible bit-for-bit and converges to the same coarse
+    communities on graphs with clear structure. Distinct from
+    connected components (min-label REACHABILITY): LPA weighs label
+    FREQUENCY, so two components linked by one stray edge stay
+    separate communities where CC must merge them.
+
+    Returns (community, n_members, sum_members) per final label.
+
+    Scale: per round ONE node-keyed message join + a (node, label)
+    count + a per-node top-1 window — the same plan-unrolled iteration
+    economics as PageRank/HITS (fixed rounds, localCheckpoint bounds
+    lineage); community count falls monotonically so later rounds
+    shrink. No randomness, no driver state beyond the unroll constant.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        labels = (
+            msgs.groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("node").cast("bigint").alias("sum_members"),
+    )
+
+
+def lpa_communities_sql(edges_sql: str, src: str, dst: str, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`lpa_communities` — the same synchronous
+    min-tie iteration unrolled as CTEs (MATERIALIZED: each level is
+    referenced by the next; plain CTEs inline 2^rounds-fold)."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        f"und AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        f"SELECT {src} AS u, {dst} AS v FROM e0"
+        f" UNION ALL SELECT {dst}, {src} FROM e0))",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT m.node, m.label,
+                       row_number() OVER (
+                           PARTITION BY m.node
+                           ORDER BY m.cnt DESC, m.label ASC
+                       ) AS rn
+                FROM (
+                    SELECT und.u AS node, p.label, count(*) AS cnt
+                    FROM und JOIN {prev} p ON p.node = und.v
+                    GROUP BY und.u, p.label
+                ) m
+            ) WHERE rn = 1
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(node) AS BIGINT) AS sum_members
+    FROM l{rounds} GROUP BY label
+    """
     )

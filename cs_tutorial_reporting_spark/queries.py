@@ -1166,6 +1166,7 @@ _DEMOTED_TAIL: list[str] = [
     "late_arrival_backfill_report",  # watermark-horizon sizing ⊂ watermark/merge families
     "quality_curriculum_phases",  # histogram-bound curriculum ⊂ equidepth/quality families
     "q2_min_cost_supplier",     # adapted Q2 (derived partsupp) ⊂ correlated-min/q15 family
+    "lpa_communities_copurchase",  # frequency-label communities ⊂ pagerank/CC graph family
 ]
 
 _CHECK_WINDOW = 50

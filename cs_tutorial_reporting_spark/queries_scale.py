@@ -4190,3 +4190,57 @@ def late_arrival_backfill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_late_ms",
         "needs_backfill",
     )
+
+
+_COPURCHASE_EDGES_SQL = """
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.toDF("okey", "pa")
+        .join(li.toDF("okey", "pb"), "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .drop("sup")
+    )
+
+
+@register("lpa_communities_copurchase", oracle=None)
+def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    co-purchase graph (operators/graph.py::lpa_communities, 3 rounds,
+    min-tie): frequency-weighted neighborhoods — the community lens CC
+    cannot give (one stray edge merges CC components but not LPA
+    communities). Oracle installed below from the single-sourced
+    unrolled-CTE generator (the PageRank pattern: one Python function
+    emits both engines' recipes)."""
+    from .operators.graph import lpa_communities
+
+    return lpa_communities(
+        _copurchase_edges(spark, sf_dir), "pa", "pb", rounds=3
+    )
+
+
+def _install_lpa_oracle() -> None:
+    from .operators.graph import lpa_communities_sql
+    from .queries import QUERIES
+
+    QUERIES["lpa_communities_copurchase"].oracle = lpa_communities_sql(
+        _COPURCHASE_EDGES_SQL, "pa", "pb", rounds=3
+    )
+
+
+_install_lpa_oracle()

@@ -2404,3 +2404,28 @@ def test_cusum_changepoint_localizes_level_shift(spark):
     assert r.cp_hour_ms == int(datetime(2026, 1, 1, 5).timestamp() * 1000)
     # H*C_t at t=6: 12*(6*100000) - 6*(6*100000+6*500000) = -14400000
     assert r.max_abs_cusum == 14_400_000
+
+
+def test_lpa_separates_bridged_cliques_where_cc_merges(spark):
+    """Pins the LPA-vs-CC distinction (operators/graph.py::
+    lpa_communities): two 4-cliques joined by ONE bridge edge are a
+    single connected component but TWO label-propagation communities
+    (frequency outvotes the bridge), with the deterministic min-tie
+    making community ids the cliques' minima."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        connected_components,
+    )
+    from cs_tutorial_reporting_spark.operators.graph import lpa_communities
+
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [(4, 10)], "u long, v long"
+    )
+    comms = {
+        r.community: r.n_members
+        for r in lpa_communities(edges, "u", "v", rounds=3).collect()
+    }
+    assert comms == {1: 4, 10: 4}
+    cc = connected_components(edges.toDF("id_a", "id_b"))
+    assert cc.select("cluster_id").distinct().count() == 1
