@@ -1167,6 +1167,7 @@ _DEMOTED_TAIL: list[str] = [
     "quality_curriculum_phases",  # histogram-bound curriculum ⊂ equidepth/quality families
     "q2_min_cost_supplier",     # adapted Q2 (derived partsupp) ⊂ correlated-min/q15 family
     "lpa_communities_copurchase",  # frequency-label communities ⊂ pagerank/CC graph family
+    "item_similarity_topk",     # item-CF squared-cosine top-k ⊂ cooccurrence/lift family
 ]
 
 _CHECK_WINDOW = 50
