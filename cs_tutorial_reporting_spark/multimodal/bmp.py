@@ -129,3 +129,68 @@ def synth_and_decode_bmp(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, BMP_FEATURE_SCHEMA
     )
+
+
+def dhash_bands(content: bytes) -> tuple[int, int, int, int]:
+    """64-bit difference hash (dHash — the classic perceptual image
+    fingerprint) of a decoded BMP, returned as FOUR 16-bit band
+    integers so Hamming-ball blocking can pigeonhole on band equality
+    (any pair within distance 3 differs in ≤3 bit positions ⇒ at least
+    one band matches exactly — the simhash census argument).
+
+    Sampling is pure INTEGER nearest-neighbor (sy = r·h div 8,
+    sx = c·w div 9 — no float resize, so any engine that can index
+    bytes reproduces the hash bit-for-bit); bit k (row r = k div 8,
+    col c = k mod 8) is set iff pixel(sy, sx_c) < pixel(sy, sx_{c+1}).
+    Walks the REAL container (stride-padded bottom-up rows) like
+    :func:`decode_bmp`."""
+    if len(content) < _FILE_HEADER + _INFO_HEADER or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", content, _FILE_HEADER
+    )
+    if bpp != 24 or compression != 0 or height <= 0 or width <= 0:
+        raise ValueError("unsupported BMP")
+    stride = (width * 3 + 3) & ~3
+
+    def px(y: int, x: int) -> int:
+        return content[off + (height - 1 - y) * stride + x * 3]
+
+    bands = [0, 0, 0, 0]
+    for k in range(64):
+        r, c = divmod(k, 8)
+        sy = r * height // 8
+        xa = c * width // 9
+        xb = (c + 1) * width // 9
+        if px(sy, xa) < px(sy, xb):
+            bands[k // 16] |= 1 << (k % 16)
+    return tuple(bands)
+
+
+DHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def synth_and_dhash_bmp(
+    df: DataFrame, payload_col: str = "content", id_col: str = "doc_id",
+    width: int = 16,
+) -> DataFrame:
+    """Build the BMP container and compute its dHash bands in one Arrow
+    pass (same fused build+parse shape as synth_and_decode_bmp)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                dhash_bands(bmp_bytes(bytes(b), width=width))
+                for b in pdf[payload_col]
+            ]
+            out = pd.DataFrame(rows, columns=["b0", "b1", "b2", "b3"])
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out.astype(
+                {"doc_id": "int64", "b0": "int32", "b1": "int32",
+                 "b2": "int32", "b3": "int32"}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, DHASH_SCHEMA
+    )

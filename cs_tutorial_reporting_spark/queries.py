@@ -1168,6 +1168,7 @@ _DEMOTED_TAIL: list[str] = [
     "q2_min_cost_supplier",     # adapted Q2 (derived partsupp) ⊂ correlated-min/q15 family
     "lpa_communities_copurchase",  # frequency-label communities ⊂ pagerank/CC graph family
     "item_similarity_topk",     # item-CF squared-cosine top-k ⊂ cooccurrence/lift family
+    "multimodal_image_dhash_dedup",  # image near-dup leg ⊂ simhash-census/multimodal family
 ]
 
 _CHECK_WINDOW = 50

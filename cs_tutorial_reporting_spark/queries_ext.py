@@ -3835,3 +3835,154 @@ def streaming_pyds_crawl_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "crawl_feed_gate", output_mode="complete")
     return spark.table("crawl_feed_gate")
+
+
+@register(
+    "multimodal_image_dhash_dedup",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+               greatest((octet_length(encode(text)) + 15) // 16, 1) AS h
+        FROM documents
+    ),
+    hashes AS MATERIALIZED (
+        SELECT doc_id, (CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 64 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((0 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((0 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((0 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 128 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 256 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 512 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1024 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2048 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4096 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8192 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16384 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((1 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((1 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((1 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32768 ELSE 0 END) AS b0, (CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 64 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((2 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((2 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((2 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 128 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 256 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 512 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1024 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2048 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4096 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8192 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16384 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((3 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((3 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((3 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32768 ELSE 0 END) AS b1,
+               (CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 64 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((4 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((4 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((4 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 128 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 256 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 512 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1024 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2048 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4096 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8192 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16384 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((5 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((5 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((5 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32768 ELSE 0 END) AS b2, (CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 64 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((6 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((6 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((6 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 128 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 0) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 0) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 256 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 1) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 1) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 512 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 3) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 3) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 1024 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 5) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 5) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 2048 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 7) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 7) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 4096 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 8) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 8) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 8192 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 10) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 10) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 16384 ELSE 0 END
+             + CASE WHEN (CASE WHEN (((7 * h) // 8) * 16 + 12) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 12) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) < (CASE WHEN (((7 * h) // 8) * 16 + 14) < plen THEN CAST(concat('0x', substr(hx, CAST((((7 * h) // 8) * 16 + 14) * 2 + 1 AS BIGINT), 2)) AS BIGINT) ELSE 0 END) THEN 32768 ELSE 0 END) AS b3
+        FROM base
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                   AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids
+    FROM cand WHERE hamming <= 3 GROUP BY hamming
+""",
+)
+def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the multimodal leg of the dedup
+    family (text: minhash; embeddings: cosine-LSH; images: THIS): each
+    document's bytes become a real 16-wide BMP, the container decodes
+    in one Arrow pass into a 64-bit dHash (integer nearest-neighbor
+    sampling — multimodal/bmp.py::dhash_bands), and pairs within
+    Hamming distance 3 are found by pigeonhole band blocking over four
+    16-bit bands (lossless at the radius — the simhash census
+    argument). Census output (distance, pairs, id-sum witness). The
+    oracle regenerates the hash from the payload bytes ALONE — pinning
+    that container build + real decode + hash round-trip exactly.
+
+    100 TB: hashing is one Arrow map pass (64 byte-compares per
+    image); candidates come from four band equi-joins, never an image
+    cross join; the verify touches 8-byte hashes, never pixels.
+    """
+    from .multimodal.bmp import synth_and_dhash_bmp
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    hashes = synth_and_dhash_bmp(d).localCheckpoint()
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"), F.col(f"b{i}").alias("key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__b"),
+    ).select("doc_id", F.col("__b.bi").alias("bi"), F.col("__b.key").alias("key"))
+    cand = (
+        bands.toDF("id_a", "bi", "key")
+        .join(bands.toDF("id_b", "bi", "key"), ["bi", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.toDF("id_a", "a0", "a1", "a2", "a3")
+    hb = hashes.toDF("id_b", "c0", "c1", "c2", "c3")
+    hamming = F.expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1)"
+        " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .groupBy(F.col("hamming").cast("bigint").alias("hamming"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b"))
+            .cast("bigint")
+            .alias("sum_ids"),
+        )
+    )

@@ -2429,3 +2429,28 @@ def test_lpa_separates_bridged_cliques_where_cc_merges(spark):
     assert comms == {1: 4, 10: 4}
     cc = connected_components(edges.toDF("id_a", "id_b"))
     assert cc.select("cluster_id").distinct().count() == 1
+
+
+def test_dhash_bands_known_image_and_shift_tolerance():
+    """Pins the dHash bit layout (multimodal/bmp.py::dhash_bands) on a
+    hand-built gradient image: a strictly increasing row makes every
+    intra-row comparison true (all 64 bits set); a constant image sets
+    none; and a one-byte brightness change flips at most a few bits
+    (the perceptual-tolerance property that makes dHash a DEDUP hash
+    rather than a checksum)."""
+    from cs_tutorial_reporting_spark.multimodal.bmp import (
+        bmp_bytes,
+        dhash_bands,
+    )
+
+    inc = bytes(range(16)) * 16        # every row 0..15 increasing
+    flat = bytes([7] * 256)
+    assert dhash_bands(bmp_bytes(inc)) == (0xFFFF,) * 4
+    assert dhash_bands(bmp_bytes(flat)) == (0, 0, 0, 0)
+
+    tweaked = bytearray(inc)
+    tweaked[5] = 200  # single bright pixel
+    a = dhash_bands(bmp_bytes(inc))
+    b = dhash_bands(bmp_bytes(bytes(tweaked)))
+    flips = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert 1 <= flips <= 6
