@@ -96,12 +96,10 @@ def mjpeg_bytes(
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_mjpeg(content: bytes, every_ms: int = 200) -> dict:
-    """Parse an MJPEG AVI and fully JPEG-decode one frame every
-    ``every_ms`` of media time (frame 0 always sampled). The RIFF walk
-    mirrors ``decode_avi``; each sampled ``00dc`` chunk goes through
-    the complete baseline decoder and contributes its dequantized-DC
-    stats. Raises ValueError on malformed containers or frames."""
+def _parse_avi(content: bytes) -> tuple[int, int, int, int, list[tuple[int, int]]]:
+    """Shared RIFF walk: (usec_per_frame, width, height, n_frames,
+    [(frame_offset, frame_size)]). Raises ValueError on malformed
+    containers — identical checks for every MJPEG consumer."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not an AVI file")
     riff_size = struct.unpack_from("<I", content, 4)[0]
@@ -138,6 +136,16 @@ def decode_mjpeg(content: bytes, every_ms: int = 200) -> dict:
         raise ValueError(
             f"frame count mismatch: avih={n_frames} movi={len(frames)}"
         )
+    return usec_per_frame, width, height, n_frames, frames
+
+
+def decode_mjpeg(content: bytes, every_ms: int = 200) -> dict:
+    """Parse an MJPEG AVI and fully JPEG-decode one frame every
+    ``every_ms`` of media time (frame 0 always sampled). The RIFF walk
+    mirrors ``decode_avi``; each sampled ``00dc`` chunk goes through
+    the complete baseline decoder and contributes its dequantized-DC
+    stats. Raises ValueError on malformed containers or frames."""
+    usec_per_frame, width, height, n_frames, frames = _parse_avi(content)
 
     step = max(every_ms * 1000 // usec_per_frame, 1)
     sampled = range(0, n_frames, step)
@@ -211,4 +219,76 @@ def synth_and_decode_mjpeg(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, MJPEG_FEATURE_SCHEMA
+    )
+
+
+def decode_mjpeg_scenes(content: bytes, threshold: int = 200) -> dict:
+    """Shot-boundary (scene-change) detection over an MJPEG AVI: decode
+    EVERY frame through the full baseline-JPEG path, take each frame's
+    dequantized-DC sum as its brightness signature (the DC coefficient
+    IS the 8×8 block mean — the classic compressed-domain shot-change
+    feature, computable without inverse-DCT of the AC terms), and mark
+    a boundary wherever consecutive frames' signatures jump by more
+    than ``threshold``. Integer end-to-end.
+
+    The per-video frame walk is SEQUENTIAL ON PURPOSE: one video is
+    one unit of parallelism (frames within a shot are causally
+    ordered); the corpus scales across videos via the Arrow batch
+    axis, not within one.
+    """
+    _, width, height, n_frames, frames = _parse_avi(content)
+    dcs: list[int] = []
+    for off, size in frames:
+        f = decode_jpeg(content[off : off + size])
+        if (f["width"], f["height"]) != (width, height):
+            raise ValueError("frame dimensions disagree with avih")
+        dcs.append(int(f["dc_sum"]))
+    n_changes = 0
+    max_jump = 0
+    for prev, cur in zip(dcs, dcs[1:]):
+        jump = abs(cur - prev)
+        max_jump = max(max_jump, jump)
+        if jump > threshold:
+            n_changes += 1
+    return {
+        "n_frames": n_frames,
+        "n_scene_changes": n_changes,
+        "max_jump": max_jump,
+    }
+
+
+SCENES_SCHEMA = (
+    "doc_id bigint, n_frames int, n_scene_changes int, max_jump bigint"
+)
+
+
+def synth_and_scene_detect(
+    df: DataFrame,
+    payload_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: int = 200,
+) -> DataFrame:
+    """Build the MJPEG AVI and run shot detection in one Arrow pass."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_mjpeg_scenes(
+                    mjpeg_bytes(bytes(b)), threshold=threshold
+                )
+                for b in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out.astype(
+                {
+                    "doc_id": "int64",
+                    "n_frames": "int32",
+                    "n_scene_changes": "int32",
+                    "max_jump": "int64",
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, SCENES_SCHEMA
     )

@@ -1169,6 +1169,7 @@ _DEMOTED_TAIL: list[str] = [
     "lpa_communities_copurchase",  # frequency-label communities ⊂ pagerank/CC graph family
     "item_similarity_topk",     # item-CF squared-cosine top-k ⊂ cooccurrence/lift family
     "multimodal_image_dhash_dedup",  # image near-dup leg ⊂ simhash-census/multimodal family
+    "multimodal_scene_changes", # compressed-domain shot detect ⊂ mjpeg/codec family
 ]
 
 _CHECK_WINDOW = 50

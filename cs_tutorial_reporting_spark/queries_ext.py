@@ -3986,3 +3986,68 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_ids"),
         )
     )
+
+
+@register(
+    "multimodal_scene_changes",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             CAST(greatest((octet_length(encode(text)) + 127) // 128, 1)
+                  AS BIGINT) AS nf
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, i,
+             CAST(concat('0x', substr(hx, CAST(i*2+1 AS INTEGER), 2))
+                  AS BIGINT) AS v
+      FROM base, UNNEST(range(0, n)) AS u(i)
+    ),
+    blocksums AS (
+      SELECT doc_id, i // 128 AS f, (i % 16) // 8 AS b, sum(v) AS bs
+      FROM bytes GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT doc_id, nf, gf.f, gb.b
+      FROM base, UNNEST(range(0, nf)) AS gf(f), UNNEST(range(0, 2)) AS gb(b)
+    ),
+    framedc AS (
+      SELECT g.doc_id, g.nf, g.f,
+             sum(CAST(floor((coalesce(bs.bs, 0) - 8188.0) / 8.0) AS BIGINT))
+                 AS dc
+      FROM grid g LEFT JOIN blocksums bs
+        ON bs.doc_id = g.doc_id AND bs.f = g.f AND bs.b = g.b
+      GROUP BY 1, 2, 3
+    ),
+    jumps AS (
+      SELECT doc_id, nf, f,
+             abs(dc - lag(dc) OVER (PARTITION BY doc_id ORDER BY f)) AS j
+      FROM framedc
+    )
+    SELECT doc_id, CAST(any_value(nf) AS INTEGER) AS n_frames,
+           CAST(coalesce(sum(CASE WHEN j > 200 THEN 1 ELSE 0 END), 0)
+                AS INTEGER) AS n_scene_changes,
+           CAST(coalesce(max(j), 0) AS BIGINT) AS max_jump
+    FROM jumps GROUP BY doc_id
+    """,
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL compressed video (multimodal/
+    mjpeg.py::decode_mjpeg_scenes): every frame of each document's
+    MJPEG AVI goes through the full baseline-JPEG decode; consecutive
+    frames whose dequantized-DC brightness signatures jump by >200 mark
+    scene changes — the compressed-domain shot-change feature (the DC
+    coefficient IS the block mean, no inverse DCT of AC terms needed).
+    The oracle regenerates every frame's DC from payload bytes alone,
+    so container walk + per-frame decode + boundary logic are
+    value-checked end to end. Per-video frame walks are sequential BY
+    DESIGN (a video is one unit of parallelism); the corpus scales
+    across the Arrow batch axis.
+    """
+    from .multimodal.mjpeg import synth_and_scene_detect
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_scene_detect(d, threshold=200)

@@ -2454,3 +2454,25 @@ def test_dhash_bands_known_image_and_shift_tolerance():
     b = dhash_bands(bmp_bytes(bytes(tweaked)))
     flips = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
     assert 1 <= flips <= 6
+
+
+def test_scene_detect_localizes_planted_cut():
+    """Pins shot detection (multimodal/mjpeg.py::decode_mjpeg_scenes)
+    on a planted cut: three dark frames then three bright frames give
+    exactly ONE boundary whose jump equals the brightness step's DC
+    delta; a constant clip has zero boundaries."""
+    from cs_tutorial_reporting_spark.multimodal.mjpeg import (
+        decode_mjpeg_scenes,
+        mjpeg_bytes,
+    )
+
+    dark, bright = bytes([20] * 128), bytes([220] * 128)
+    cut = decode_mjpeg_scenes(mjpeg_bytes(dark * 3 + bright * 3))
+    assert cut["n_frames"] == 6
+    assert cut["n_scene_changes"] == 1
+    # per frame: 2 blocks, each dc = floor((64*v - 8188)/8)
+    dc = lambda v: 2 * ((64 * v - 8188) // 8)  # noqa: E731
+    assert cut["max_jump"] == dc(220) - dc(20)
+
+    flat = decode_mjpeg_scenes(mjpeg_bytes(dark * 4))
+    assert (flat["n_scene_changes"], flat["max_jump"]) == (0, 0)

@@ -64,6 +64,11 @@ GUARDED = [
     "lsh_recall_audit",
     "lsh_precision_funnel",
     "streaming_neardup_ingest",
+    # codec-family consumers added late in round 6: the dHash rides the
+    # BMP container build and scene detection rides the full JPEG
+    # decode — same guard class as the decode queries
+    "multimodal_image_dhash_dedup",
+    "multimodal_scene_changes",
 ]
 
 #: how many registry entries to replay before checking — comfortably
