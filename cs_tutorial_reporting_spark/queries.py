@@ -1170,6 +1170,7 @@ _DEMOTED_TAIL: list[str] = [
     "item_similarity_topk",     # item-CF squared-cosine top-k ⊂ cooccurrence/lift family
     "multimodal_image_dhash_dedup",  # image near-dup leg ⊂ simhash-census/multimodal family
     "multimodal_scene_changes", # compressed-domain shot detect ⊂ mjpeg/codec family
+    "multimodal_container_sniff",  # magic-dispatch front door ⊂ codec-family composition
 ]
 
 _CHECK_WINDOW = 50

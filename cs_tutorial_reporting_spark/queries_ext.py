@@ -4051,3 +4051,52 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return synth_and_scene_detect(d, threshold=200)
+
+
+@register(
+    "multimodal_container_sniff",
+    oracle="""
+    SELECT fmt,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(units) AS BIGINT) AS sum_units
+    FROM (
+        SELECT CASE doc_id % 6
+                    WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif' WHEN 2 THEN 'png'
+                    WHEN 3 THEN 'tiff' WHEN 4 THEN 'wav' ELSE 'avi' END
+                   AS fmt,
+               CASE WHEN doc_id % 6 IN (0, 1, 2, 3)
+                    THEN 16 * greatest((octet_length(encode(text)) + 15)
+                                       // 16, 1)
+                    WHEN doc_id % 6 = 4
+                    THEN octet_length(encode(text))
+                    ELSE 64 * greatest((octet_length(encode(text)) + 63)
+                                       // 64, 1)
+               END AS units
+        FROM documents
+    )
+    GROUP BY fmt
+    """,
+)
+def multimodal_container_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-media front door (multimodal/sniff.py): each document's
+    bytes become one of SIX real containers (by doc_id % 6), then the
+    sniffer identifies each from MAGIC BYTES ALONE and routes it
+    through that family's full decoder — the census (format, docs,
+    normalized content units) matches the oracle's per-family payload
+    formulas only if sniff, dispatch, and every decode agree
+    end-to-end. Unknown magic raises rather than guessing (the DLQ
+    quarantines, not the decoder).
+    """
+    from .multimodal.sniff import synth_mixed_and_sniff
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return (
+        synth_mixed_and_sniff(d)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("units").cast("bigint").alias("sum_units"),
+        )
+    )

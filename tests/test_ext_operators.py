@@ -2476,3 +2476,26 @@ def test_scene_detect_localizes_planted_cut():
 
     flat = decode_mjpeg_scenes(mjpeg_bytes(dark * 4))
     assert (flat["n_scene_changes"], flat["max_jump"]) == (0, 0)
+
+
+def test_sniff_rejects_unknown_magic_and_identifies_all():
+    """Pins the mixed-media front door (multimodal/sniff.py): every
+    synth family is identified from magic bytes alone, and unknown
+    magic raises instead of guessing."""
+    import pytest as _pytest
+
+    from cs_tutorial_reporting_spark.multimodal.sniff import (
+        SYNTHS,
+        sniff_and_units,
+        sniff_format,
+    )
+
+    payload = bytes(range(100))
+    for fmt, synth in SYNTHS:
+        blob = synth(payload)
+        assert sniff_format(blob) == fmt
+        got_fmt, units = sniff_and_units(blob)
+        assert got_fmt == fmt and units > 0
+
+    with _pytest.raises(ValueError, match="unknown container magic"):
+        sniff_format(b"\x00\x01\x02garbage_blob")
