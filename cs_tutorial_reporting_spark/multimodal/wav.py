@@ -214,3 +214,83 @@ def synth_and_dsp_wav(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, WAV_DSP_SCHEMA
     )
+
+
+def wav_vad_segments(content: bytes, frame_len: int = 160) -> dict:
+    """Energy-based voice-activity segmentation after real decode: a
+    20 ms frame is ACTIVE iff 4·energy ≥ the clip's max frame energy
+    (a scale-free integer rule — no tuned absolute threshold, no
+    floats), and consecutive active frames chain into utterance
+    segments. Returns frame/active/segment counts and the longest
+    segment — the trim/split statistics a speech-data pipeline cuts
+    on. Integer end-to-end, so a SQL oracle replicates decode + VAD
+    bit-for-bit from the raw bytes.
+    """
+    meta = decode_wav(content, want_data=True)
+    if meta["bits"] != 16 or meta["n_channels"] != 1:
+        raise ValueError("vad supports 16-bit mono PCM only")
+    n = meta["n_samples"]
+    s = np.frombuffer(meta["data"][: n * 2], dtype="<i2").astype("int64")
+    if not n:
+        return {
+            "n_frames": 0,
+            "n_active": 0,
+            "n_segments": 0,
+            "longest_run": 0,
+        }
+    nf = -(-n // frame_len)
+    padded = np.zeros(nf * frame_len, dtype="int64")
+    padded[:n] = s
+    e = (padded * padded).reshape(nf, frame_len).sum(axis=1)
+    max_e = int(e.max())
+    active = (e * 4 >= max_e).tolist()
+    n_segments = longest = run = 0
+    for a in active:
+        if a:
+            run += 1
+            if run == 1:
+                n_segments += 1
+            longest = max(longest, run)
+        else:
+            run = 0
+    return {
+        "n_frames": int(nf),
+        "n_active": int(sum(active)),
+        "n_segments": n_segments,
+        "longest_run": longest,
+    }
+
+
+VAD_SCHEMA = (
+    "doc_id bigint, n_frames int, n_active int, n_segments int, "
+    "longest_run int"
+)
+
+
+def synth_and_vad_wav(
+    df: DataFrame, payload_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the WAV container and run VAD segmentation in one Arrow
+    pass (same fused shape as synth_and_dsp_wav)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                wav_vad_segments(wav_bytes(bytes(b), sampwidth=2))
+                for b in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out.astype(
+                {
+                    "doc_id": "int64",
+                    "n_frames": "int32",
+                    "n_active": "int32",
+                    "n_segments": "int32",
+                    "longest_run": "int32",
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, VAD_SCHEMA
+    )

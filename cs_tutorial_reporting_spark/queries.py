@@ -1171,6 +1171,7 @@ _DEMOTED_TAIL: list[str] = [
     "multimodal_image_dhash_dedup",  # image near-dup leg ⊂ simhash-census/multimodal family
     "multimodal_scene_changes", # compressed-domain shot detect ⊂ mjpeg/codec family
     "multimodal_container_sniff",  # magic-dispatch front door ⊂ codec-family composition
+    "multimodal_wav_vad_segments",  # energy-VAD islands ⊂ wav-dsp/scene-detect family
 ]
 
 _CHECK_WINDOW = 50

@@ -4100,3 +4100,70 @@ def multimodal_container_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("units").cast("bigint").alias("sum_units"),
         )
     )
+
+
+@register(
+    "multimodal_wav_vad_segments",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, encode(text) AS blob,
+             CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, j,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      FROM (
+        SELECT doc_id, j,
+               CAST(concat('0x',
+                    substr(hex(blob), CAST(j*4+3 AS INTEGER), 2),
+                    substr(hex(blob), CAST(j*4+1 AS INTEGER), 2))
+                    AS BIGINT) AS raw
+        FROM base, UNNEST(range(0, ns)) AS u(j)
+      )
+    ),
+    fe AS (
+      SELECT doc_id, j // 160 AS f, sum(s * s) AS e
+      FROM smp GROUP BY doc_id, j // 160
+    ),
+    mfe AS (SELECT doc_id, max(e) AS me FROM fe GROUP BY doc_id),
+    act AS (
+      SELECT fe.doc_id, fe.f,
+             fe.f - row_number() OVER (PARTITION BY fe.doc_id
+                                       ORDER BY fe.f) AS grp
+      FROM fe JOIN mfe ON mfe.doc_id = fe.doc_id
+      WHERE fe.e * 4 >= mfe.me
+    ),
+    runs AS (
+      SELECT doc_id, grp, count(*) AS len FROM act GROUP BY doc_id, grp
+    ),
+    seg AS (
+      SELECT doc_id, count(*) AS n_segments, max(len) AS longest_run,
+             sum(len) AS n_active
+      FROM runs GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           CAST(CASE WHEN ns = 0 THEN 0 ELSE (ns + 159) // 160 END
+                AS INTEGER) AS n_frames,
+           CAST(coalesce(n_active, 0) AS INTEGER) AS n_active,
+           CAST(coalesce(n_segments, 0) AS INTEGER) AS n_segments,
+           CAST(coalesce(longest_run, 0) AS INTEGER) AS longest_run
+    FROM base LEFT JOIN seg USING (doc_id)
+    """,
+)
+def multimodal_wav_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation after REAL audio decode (multimodal/
+    wav.py::wav_vad_segments): 20 ms frames are active iff 4·energy ≥
+    the clip's max frame energy (scale-free integer rule), consecutive
+    active frames chain into utterance segments — the trim/split
+    statistics a speech-data pipeline cuts on. Integer end-to-end; the
+    oracle rebuilds frame energies from raw bytes and runs the same
+    gaps-and-islands segmentation in SQL. The audio analog of the
+    MJPEG shot detector (one clip = one unit of parallelism).
+    """
+    from .multimodal.wav import synth_and_vad_wav
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return synth_and_vad_wav(d)

@@ -2499,3 +2499,30 @@ def test_sniff_rejects_unknown_magic_and_identifies_all():
 
     with _pytest.raises(ValueError, match="unknown container magic"):
         sniff_format(b"\x00\x01\x02garbage_blob")
+
+
+def test_wav_vad_segments_planted_utterances():
+    """Pins energy-VAD segmentation (multimodal/wav.py::
+    wav_vad_segments) on planted audio: two loud bursts separated by
+    silence give two segments with the right lengths; all-silence
+    audio has every frame 'active' by the scale-free rule (max energy
+    is itself 0 → 4·0 ≥ 0) — one wall-to-wall segment, documenting the
+    degenerate-clip behavior."""
+    from cs_tutorial_reporting_spark.multimodal.wav import (
+        wav_bytes,
+        wav_vad_segments,
+    )
+
+    loud = (20000).to_bytes(2, "little", signed=True) * 160
+    quiet = b"\x00\x00" * 160
+    clip = loud * 2 + quiet * 3 + loud + quiet
+    got = wav_vad_segments(wav_bytes(clip, sampwidth=2))
+    assert got == {
+        "n_frames": 7,
+        "n_active": 3,
+        "n_segments": 2,
+        "longest_run": 2,
+    }
+
+    silent = wav_vad_segments(wav_bytes(quiet * 4, sampwidth=2))
+    assert silent["n_segments"] == 1 and silent["n_active"] == 4
