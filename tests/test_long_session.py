@@ -69,6 +69,8 @@ GUARDED = [
     # decode — same guard class as the decode queries
     "multimodal_image_dhash_dedup",
     "multimodal_scene_changes",
+    "multimodal_wav_vad_segments",
+    "multimodal_container_sniff",
 ]
 
 #: how many registry entries to replay before checking — comfortably
