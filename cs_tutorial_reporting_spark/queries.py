@@ -1172,6 +1172,12 @@ _DEMOTED_TAIL: list[str] = [
     "multimodal_scene_changes", # compressed-domain shot detect ⊂ mjpeg/codec family
     "multimodal_container_sniff",  # magic-dispatch front door ⊂ codec-family composition
     "multimodal_wav_vad_segments",  # energy-VAD islands ⊂ wav-dsp/scene-detect family
+    "distribution_drift_tv",    # log-free TV drift monitor ⊂ profile-drift/gini family
+    "hybrid_rrf_fusion",        # RRF hybrid retrieval ⊂ bm25/similarity composition
+    "acf_hourly_lags",          # exact lag-1/24 autocorrelation ⊂ trend/seasonal family
+    "theilsen_slope_hourly",    # robust median-of-slopes ⊂ trend/seasonal family
+    "trimmed_mean_order_value", # histogram-overlap robust mean ⊂ percentile family
+    "mann_kendall_trend",       # sign-pair trend test ⊂ trend/seasonal family
 ]
 
 _CHECK_WINDOW = 50

@@ -4336,3 +4336,593 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+@register(
+    "distribution_drift_tv",
+    oracle="""
+    WITH med AS (
+        SELECT CAST(quantile_disc(event_id, 0.5) AS BIGINT) AS m FROM events
+    ),
+    halves AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN event_id <= (SELECT m FROM med)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+               CAST(sum(CASE WHEN event_id > (SELECT m FROM med)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT sum(n_first) AS nf, sum(n_second) AS ns FROM halves
+    )
+    SELECT h.event_type, h.n_first, h.n_second,
+           CAST(abs(h.n_first * t.ns - h.n_second * t.nf) * 1000000
+                // (2 * t.nf * t.ns) AS BIGINT) AS tv_contrib_ppm
+    FROM halves h, tot t
+    """,
+)
+def distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift WITHOUT logs: per-event-type total-variation
+    contribution between the first and second half of the stream
+    (split at the median event_id — arrival order): TV(P,Q) =
+    ½·Σ|p_i − q_i|, carried as |n_i·M − m_i·N|·1e6 div (2·N·M) so the
+    verdict is a ratio of integers (KL/PSI need logs that engines
+    round differently — the same log-free stance as the Gini
+    diversity op). Summing the column gives the global TV distance;
+    per-row contributions localize WHICH category drifted — the
+    monitoring report a pipeline alerts on.
+
+    One scan + one group-cardinality frame; the median split is a
+    single exact percentile over event ids.
+    """
+    ev = t(spark, sf_dir, "events")
+    m = ev.agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY event_id)"
+               " AS BIGINT)").alias("m")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(m))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("event_id") <= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum(F.when(F.col("event_id") > F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_second"),
+        )
+        .localCheckpoint()  # two consumers (halves + tot): without the
+        # cut, each re-derives the median scan — 4 corpus scans, not 2
+    )
+    tot = halves.agg(
+        F.sum("n_first").alias("nf"), F.sum("n_second").alias("ns")
+    )
+    return halves.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.expr(
+            "CAST(abs(n_first * ns - n_second * nf) * 1000000"
+            " div (2 * nf * ns) AS BIGINT)"
+        ).alias("tv_contrib_ppm"),
+    )
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(words) AS tok
+        FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents)
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS t_total,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM toks),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY tok),
+    bm AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ((2 * (c.n_docs - df.df) + 1) * 1000000 // (2 * df.df + 1))
+                   * (44 * tf.tf * c.t_total * 1000000
+                      // (20 * tf.tf * c.t_total + 6 * c.t_total
+                          + 18 * dl.dl * c.n_docs))
+                   // 1000000
+               ) AS BIGINT) AS bm25_e6
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), corpus c
+        GROUP BY tf.doc_id
+        ORDER BY bm25_e6 DESC, tf.doc_id LIMIT {_BM25_TOPK}
+    ),
+    lex AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM bm
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id, CAST(r AS BIGINT) AS sem_rank FROM (
+            SELECT e.vec_id, row_number() OVER (
+                ORDER BY round(list_cosine_similarity(
+                    e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                    e.vec_id) AS r
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ) WHERE r <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(l.lex_rank, 0) AS lex_rank,
+               COALESCE(s.sem_rank, 0) AS sem_rank,
+               CAST(CASE WHEN l.lex_rank IS NOT NULL
+                         THEN 1000000 // (60 + l.lex_rank) ELSE 0 END
+                  + CASE WHEN s.sem_rank IS NOT NULL
+                         THEN 1000000 // (60 + s.sem_rank) ELSE 0 END
+                    AS BIGINT) AS rrf_e6
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_e6, fused_rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 15
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): fuse the engine's two registered retrieval products —
+    the integer-BM25 lexical top-10 (bm25_rank_topk, same 3-term
+    query) and the exact-cosine semantic top-20 for query vector 0
+    (brute_force_topk) — by RRF(d) = sum over lists of 1/(60 + rank),
+    carried as 1e6 div (60+rank) so the fused score is an exact
+    integer on both engines. Rank 0 = "absent from that list"
+    (contributes nothing); final ranking (rrf_e6 DESC, doc_id) top-15
+    — the standard hybrid-search shape for corpus curation, where
+    lexical and embedding retrieval disagree and the fusion is the
+    product.
+
+    100 TB: both input rankings are top-k artifacts (candidate sets,
+    not corpus-sized); the fusion join and final window touch only
+    k_lex + k_sem rows — driver-scale no matter the corpus. The
+    single-partition windows here are bounded by k, not data.
+    """
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import brute_force_topk
+
+    lex = bm25_rank_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_e6"), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = brute_force_topk(e, q, k=20, dim=64).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("sem_rank"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+        )
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                "CASE WHEN lex_rank > 0"
+                " THEN CAST(1000000 AS BIGINT) div (60 + lex_rank)"
+                " ELSE 0 END"
+                " + CASE WHEN sem_rank > 0"
+                " THEN CAST(1000000 AS BIGINT) div (60 + sem_rank)"
+                " ELSE 0 END"
+            ).cast("bigint"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_e6"), "doc_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("fused_rank") <= 15)
+    )
+
+
+@register(
+    "acf_hourly_lags",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS x,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s
+        FROM hourly GROUP BY 1
+    ),
+    z AS (
+        SELECT h.event_type, h.x,
+               CAST(t.n * h.y - t.s AS HUGEINT) AS z
+        FROM hourly h JOIN tot t USING (event_type)
+    ),
+    den AS (
+        SELECT event_type, sum(z * z) AS den FROM z GROUP BY 1
+    ),
+    num1 AS (
+        SELECT a.event_type, sum(a.z * b.z) AS num
+        FROM z a JOIN z b
+          ON a.event_type = b.event_type AND b.x = a.x + 1
+        GROUP BY 1
+    ),
+    num24 AS (
+        SELECT a.event_type, sum(a.z * b.z) AS num
+        FROM z a JOIN z b
+          ON a.event_type = b.event_type AND b.x = a.x + 24
+        GROUP BY 1
+    )
+    SELECT t.event_type, t.n AS n_hours,
+           CASE WHEN d.den = 0 OR n1.num IS NULL THEN NULL
+                ELSE CAST(n1.num * 1000000 // d.den AS BIGINT)
+           END AS acf1_ppm,
+           CASE WHEN d.den = 0 OR n24.num IS NULL THEN NULL
+                ELSE CAST(n24.num * 1000000 // d.den AS BIGINT)
+           END AS acf24_ppm
+    FROM tot t
+    JOIN den d USING (event_type)
+    LEFT JOIN num1 n1 USING (event_type)
+    LEFT JOIN num24 n24 USING (event_type)
+    """,
+)
+def acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sample autocorrelation of the hourly value series at lags
+    1 and 24 per event_type — the seasonality detector (acf24 near 1 =
+    strong daily cycle; acf1 = short-range persistence). Integer-exact
+    via the n-scaled residual trick: with integer hourly masses y and
+    S = sum(y), z_t = n*y_t - S is an INTEGER with mean 0, and
+    r_k = sum(z_t * z_{t+k}) / sum(z_t^2) — the float mean never
+    materializes; the verdict is one signed fixed-point divide in
+    DECIMAL(38,0)/HUGEINT (z^2 ~ 1e20 overflows int64; the KMV
+    precedent). Lag pairs are CALENDAR-hour pairs (x and x+k both
+    present), so gaps shrink the numerator instead of silently
+    shifting the series; the full-series denominator is the standard
+    ACF normalization. den = 0 (constant series) and series shorter
+    than the lag report NULL.
+
+    100 TB: the corpus-sized work is ONE map-combined hourly rollup;
+    everything after runs on the (type, hour) frame — per-type totals
+    broadcast back, the lag joins are hourly-frame equi-joins (no
+    window, no sort of the raw events).
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+            .cast("bigint")
+            .alias("x"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("v").cast("bigint").alias("y"))
+        .localCheckpoint()  # five consumers; cut the rollup lineage once
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    z = hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "x",
+        F.expr("CAST(n * y - s AS DECIMAL(20,0))").alias("z"),
+    )
+    den = z.groupBy("event_type").agg(F.expr("sum(z * z)").alias("den"))
+
+    def lag_num(k: int) -> DataFrame:
+        a, b = z.alias("a"), z.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("b.x") == F.col("a.x") + k),
+            )
+            .groupBy(F.col("a.event_type").alias("event_type"))
+            .agg(F.expr("sum(a.z * b.z)").alias(f"num{k}"))
+        )
+
+    return (
+        tot.join(den, "event_type")
+        .join(lag_num(1), "event_type", "left")
+        .join(lag_num(24), "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.expr(
+                "CASE WHEN den = 0 OR num1 IS NULL THEN NULL"
+                " ELSE CAST(num1 * 1000000 div den AS BIGINT) END"
+            ).alias("acf1_ppm"),
+            F.expr(
+                "CASE WHEN den = 0 OR num24 IS NULL THEN NULL"
+                " ELSE CAST(num24 * 1000000 div den AS BIGINT) END"
+            ).alias("acf24_ppm"),
+        )
+    )
+
+
+@register(
+    "theilsen_slope_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 - 473352
+                    AS BIGINT) AS x,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST((b.y - a.y) * 1000000 AS BIGINT)
+                   // (b.x - a.x) AS slope_e6
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type AND a.x < b.x
+    )
+    SELECT p.event_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM hourly h
+            WHERE h.event_type = p.event_type) AS n_hours,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_disc(p.slope_e6, 0.5) AS BIGINT)
+               AS theilsen_slope_e6
+    FROM pairs p GROUP BY p.event_type
+    """,
+)
+def theilsen_slope_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen ROBUST trend slope per event_type over the hourly
+    value series: the median of all pairwise slopes (y2-y1)/(x2-x1) —
+    up to ~29% contamination tolerance where the OLS twin
+    (hourly_trend_slope_exact) is pulled arbitrarily far by one bad
+    hour. Each pairwise slope is e6 fixed point via integer div
+    (truncation toward zero, identical in both engines for either
+    sign); the median is percentile_disc over the integer slope set,
+    so no float ordering is involved anywhere.
+
+    100 TB: the raw-event work is ONE map-combined hourly rollup; the
+    O(h^2) pair expansion runs on the (type, hour) frame, bounded by
+    the TIME SPAN (720 hours -> 259k pairs per type), not the data
+    volume — the standard Theil-Sen deployment shape. A multi-year
+    span would switch to the sampled estimator (random pair subset)
+    on the same dataflow.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (
+                F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+                - F.lit(473352)
+            ).cast("bigint").alias("x"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("v").cast("bigint").alias("y"))
+        .localCheckpoint()  # pair self-join + per-type count share it
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(
+            "CAST((b.y - a.y) * CAST(1000000 AS BIGINT) AS BIGINT)"
+            " div (b.x - a.x)"
+        ).alias("slope_e6"),
+    )
+    n_hours = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours")
+    )
+    med = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6)"
+            " AS BIGINT)"
+        ).alias("theilsen_slope_e6"),
+    )
+    return n_hours.join(med, "event_type").select(
+        "event_type", "n_hours", "n_pairs", "theilsen_slope_e6"
+    )
+
+
+@register(
+    "trimmed_mean_order_value",
+    oracle="""
+    WITH hist AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, cents, cnt,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS c_hi,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) - cnt AS c_lo,
+               sum(cnt) OVER (PARTITION BY grp) AS n
+        FROM hist
+    ),
+    kept AS (
+        SELECT grp, n, n // 10 AS k,
+               greatest(CAST(0 AS BIGINT),
+                        least(c_hi, n - n // 10)
+                        - greatest(c_lo, n // 10)) AS m,
+               cents
+        FROM cum
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(k) AS BIGINT) AS k_trimmed_each_end,
+           CAST(sum(m) AS BIGINT) AS n_kept,
+           CAST(sum(m * cents) // sum(m) AS BIGINT)
+               AS trimmed_mean_cents
+    FROM kept GROUP BY grp
+    """,
+)
+def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10%-trimmed mean of order value per priority — the robust
+    location estimate reporting pipelines quote when means are
+    outlier-dragged: sort each group's cents, drop k = n div 10
+    observations from EACH end (by count, the classic trimmed-mean
+    contract), average the rest. Computed WITHOUT sorting the rows:
+    the (group, cents) histogram's running count gives each distinct
+    value a cumulative slot range [c_lo+1, c_hi]; its kept
+    multiplicity is that range's overlap with [k+1, n-k] — the
+    percentile_stats two-pass pattern, so the window sorts the
+    HISTOGRAM (distinct values), never the orders. Integer mean
+    (truncating div) keeps both engines bit-identical.
+
+    100 TB: one map-combined histogram aggregation, then windows over
+    distinct (group, value) pairs — state is value-cardinality-sized,
+    and the trim boundary never materializes a per-row rank.
+    """
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    hist = (
+        orders.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("grp", "cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w).alias("c_hi"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("c_lo"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    kept = cum.select(
+        "grp",
+        "n",
+        F.expr("n div 10").alias("k"),
+        F.expr(
+            "greatest(CAST(0 AS BIGINT),"
+            " least(c_hi, n - n div 10) - greatest(c_lo, n div 10))"
+        ).alias("m"),
+        "cents",
+    )
+    return kept.groupBy(F.col("grp").alias("o_orderpriority")).agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max("k").cast("bigint").alias("k_trimmed_each_end"),
+        F.sum("m").cast("bigint").alias("n_kept"),
+        F.expr("CAST(sum(m * cents) div sum(m) AS BIGINT)").alias(
+            "trimmed_mean_cents"
+        ),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS x,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type AND a.x < b.x
+    )
+    SELECT event_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM hourly h
+            WHERE h.event_type = pairs.event_type) AS n_hours,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS s_statistic,
+           CAST(sum(sgn) * 1000000 // count(*) AS BIGINT) AS tau_a_ppm
+    FROM pairs GROUP BY event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend statistic per event_type over the hourly
+    value series: S = sum over hour pairs (i earlier than j) of
+    sign(y_j - y_i), with tau-a = S / n_pairs in signed e6 fixed
+    point — the distribution-free companion to the Theil-Sen slope
+    (theilsen_slope_hourly): S near +/-n_pairs = monotone trend, near
+    0 = none, and no value magnitude ever enters, so one blown-up
+    hour moves S by at most (n-1). Pure integer comparisons — nothing
+    to round on either engine.
+
+    100 TB: identical dataflow to the Theil-Sen query — one
+    map-combined hourly rollup, then an O(h^2) pair join bounded by
+    the time span (not data volume), one signed-count aggregation.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+            .cast("bigint")
+            .alias("x"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("v").cast("bigint").alias("y"))
+        .localCheckpoint()  # pair self-join + per-type count share it
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(
+            "CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1"
+            " ELSE 0 END"
+        ).cast("bigint").alias("sgn"),
+    )
+    n_hours = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours")
+    )
+    stats = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("s_statistic"),
+    )
+    return n_hours.join(stats, "event_type").select(
+        "event_type",
+        "n_hours",
+        "n_pairs",
+        "s_statistic",
+        F.expr(
+            "CAST(s_statistic * CAST(1000000 AS BIGINT) div n_pairs"
+            " AS BIGINT)"
+        ).alias("tau_a_ppm"),
+    )

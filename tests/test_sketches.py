@@ -778,3 +778,142 @@ def test_hamming_band_blocking_is_lossless(spark):
     }
     assert got == brute
     assert (0, 3) not in got  # distance 4: band-matches but filtered
+
+
+def test_acf_alternating_and_constant_series(spark):
+    """Hand-computed ACF: a 4-hour alternating series (1,3,1,3) has
+    z = (-4e4, 4e4, -4e4, 4e4) so acf1 = -48/64 = -750000 ppm exactly,
+    and no lag-24 pair exists (NULL); a constant series has den = 0
+    and reports NULL at every lag."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(vals):
+        rows = [
+            (i, t0 + dt.timedelta(hours=i), 1, "view", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, props string",
+            ).write.parquet(f"{d}/events.parquet")
+            return QUERIES["acf_hourly_lags"].fn(spark, d).collect()[0]
+
+    r = run([1.0, 3.0, 1.0, 3.0])
+    assert (r.n_hours, r.acf1_ppm, r.acf24_ppm) == (4, -750000, None)
+    r = run([2.0, 2.0, 2.0])  # constant: den = 0
+    assert (r.acf1_ppm, r.acf24_ppm) == (None, None)
+
+
+def test_theilsen_ignores_single_outlier(spark):
+    """A perfect +5.0/hour line with the LAST point blown up to 500:
+    6 of 10 pairwise slopes are exactly 5e4 e4-units/hour, so the
+    median (and thus Theil-Sen) still reports the line; the OLS twin
+    on the same data is dragged far above it."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), 1, "view", v, "{}")
+        for i, v in enumerate([10.0, 15.0, 20.0, 25.0, 500.0])
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        ts = QUERIES["theilsen_slope_hourly"].fn(spark, d).collect()[0]
+        ols = QUERIES["hourly_trend_slope_exact"].fn(spark, d).collect()[0]
+    assert (ts.n_hours, ts.n_pairs) == (5, 10)
+    assert ts.theilsen_slope_e6 == 50_000 * 1_000_000
+    assert ols.slope_ppm_e4_per_hour > 2 * ts.theilsen_slope_e6
+
+
+def test_rrf_fusion_invariants(spark):
+    """RRF output: fused ranks are 1..15 with rrf_e6 non-increasing,
+    every score equals the recomputed 1e6//(60+r) sum of its member
+    ranks, and at least one doc fuses evidence from BOTH lists
+    (vec_id 0's own doc is rank 1 semantically)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["hybrid_rrf_fusion"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).orderBy("fused_rank").collect()
+    assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 15
+    scores = [r.rrf_e6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        want = (1_000_000 // (60 + r.lex_rank) if r.lex_rank > 0 else 0) + (
+            1_000_000 // (60 + r.sem_rank) if r.sem_rank > 0 else 0
+        )
+        assert r.rrf_e6 == want, r
+    assert any(r.lex_rank > 0 and r.sem_rank > 0 for r in rows) or any(
+        r.sem_rank == 1 for r in rows
+    )
+
+
+def test_trimmed_mean_drops_exactly_k_each_end(spark):
+    """10 orders, values 1..9 plus a 10000 outlier: k = 1, so the
+    trimmed mean averages 2..9 (cents) = 550; the plain mean would be
+    ~100450. Duplicate boundary values split correctly because the
+    histogram overlap trims by COUNT, not by value."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = [
+        (i, 1, "1-URGENT", float(v), dt.date(2024, 1, 1), "a", 0, "c")
+        for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10000])
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderpriority string,"
+            " o_totalprice double, o_orderdate date, o_orderstatus string,"
+            " o_shippriority int, o_clerk string",
+        ).write.parquet(f"{d}/orders.parquet")
+        r = QUERIES["trimmed_mean_order_value"].fn(spark, d).collect()[0]
+    assert (r.n_orders, r.k_trimmed_each_end, r.n_kept) == (10, 1, 8)
+    # kept cents: 200..900 -> mean 550
+    assert r.trimmed_mean_cents == 550
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    """Strictly increasing hourly series -> S = n_pairs, tau = 1e6;
+    constant series -> S = 0, tau = 0."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(vals):
+        rows = [
+            (i, t0 + dt.timedelta(hours=i), 1, "view", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, props string",
+            ).write.parquet(f"{d}/events.parquet")
+            return QUERIES["mann_kendall_trend"].fn(spark, d).collect()[0]
+
+    r = run([1.0, 2.0, 5.0, 9.0])
+    assert (r.n_pairs, r.s_statistic, r.tau_a_ppm) == (6, 6, 1_000_000)
+    r = run([3.0, 3.0, 3.0])
+    assert (r.s_statistic, r.tau_a_ppm) == (0, 0)
