@@ -688,19 +688,22 @@ def winnow_containment_pairs(
         .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
         .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_postings))
     )
-    ids = F.col("__ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Pair expansion via posexplode + suffix slice — the same
+    # zero-lambda rewrite as minhash_lsh_pairs above (this was the
+    # LAST 2-level nested transform on a checked path; BASELINE.md
+    # round-4 nested-lambda hazard class). slice() past the array end
+    # is empty and explode drops the row, so each sorted posting list
+    # yields exactly its (i, j>i) combinations.
     return (
-        postings.select(F.explode(pair_arr).alias("__p"))
-        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        postings.select(
+            F.col("__ids"), F.posexplode("__ids").alias("__i", "id_a")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

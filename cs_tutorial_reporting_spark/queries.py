@@ -1178,6 +1178,7 @@ _DEMOTED_TAIL: list[str] = [
     "theilsen_slope_hourly",    # robust median-of-slopes ⊂ trend/seasonal family
     "trimmed_mean_order_value", # histogram-overlap robust mean ⊂ percentile family
     "mann_kendall_trend",       # sign-pair trend test ⊂ trend/seasonal family
+    "ks_value_drift",           # ECDF-gap two-sample test ⊂ profile-drift family
 ]
 
 _CHECK_WINDOW = 50

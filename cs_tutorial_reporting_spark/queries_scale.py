@@ -4926,3 +4926,101 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("tau_a_ppm"),
     )
+
+
+@register(
+    "ks_value_drift",
+    oracle="""
+    WITH med AS (
+        SELECT CAST(quantile_disc(event_id, 0.5) AS BIGINT) AS m FROM events
+    ),
+    hist AS (
+        SELECT event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_id <= (SELECT m FROM med)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_id > (SELECT m FROM med)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum1,
+               sum(c2) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum2,
+               sum(c1) OVER (PARTITION BY event_type) AS n1,
+               sum(c2) OVER (PARTITION BY event_type) AS n2
+        FROM hist
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_first,
+           CAST(max(n2) AS BIGINT) AS n_second,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000
+                // (max(n1) * max(n2)) AS BIGINT) AS ks_d_ppm
+    FROM cum GROUP BY event_type
+    """,
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift on the NUMERIC value
+    column, per event_type, between the first and second half of the
+    stream (median event_id split — the distribution_drift_tv twin
+    for continuous columns): D = max over x of |F1(x) - F2(x)|,
+    carried as max|cum1*n2 - cum2*n1| * 1e6 div (n1*n2) so the ECDF
+    gap is a ratio of exact integers — no float CDF ever
+    materializes. Values snap to e4 fixed point first (the engine's
+    standard double contract). TV localizes WHICH category drifted;
+    KS catches shape shifts TV can't see (a mean creep inside one
+    category).
+
+    100 TB: one scan into a (type, value) histogram; the ECDF windows
+    sort the HISTOGRAM per type (distinct values, not rows) — the
+    percentile_stats/trimmed-mean frame; cum products stay in int64
+    (cum <= n ~ 1e12 rows x n ~ 1e12 would overflow — at that scale
+    the same plan runs with DECIMAL(38,0) cums, documented here).
+    """
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    m = ev.agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY event_id)"
+            " AS BIGINT)"
+        ).alias("m")
+    )
+    hist = (
+        ev.crossJoin(F.broadcast(m))
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+            F.when(F.col("event_id") <= F.col("m"), 1)
+            .otherwise(0)
+            .alias("in1"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum("in1").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("in1")).cast("bigint").alias("c2"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(wg).alias("n1"),
+        F.sum("c2").over(wg).alias("n2"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n1").cast("bigint").alias("n_first"),
+        F.max("n2").cast("bigint").alias("n_second"),
+        F.expr(
+            "CAST(max(abs(cum1 * n2 - cum2 * n1)) * CAST(1000000 AS BIGINT)"
+            " div (max(n1) * max(n2)) AS BIGINT)"
+        ).alias("ks_d_ppm"),
+    )

@@ -71,6 +71,11 @@ GUARDED = [
     "multimodal_scene_changes",
     "multimodal_wav_vad_segments",
     "multimodal_container_sniff",
+    # round-6 final wave: the winnow postings pair expansion was
+    # rewritten posexplode+slice (the LAST 2-level nested transform on
+    # a checked path) — guard its consumer like minhash after ITS
+    # rewrite
+    "winnow_containment_pairs",
 ]
 
 #: how many registry entries to replay before checking — comfortably

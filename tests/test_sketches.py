@@ -917,3 +917,32 @@ def test_mann_kendall_monotone_and_flat(spark):
     assert (r.n_pairs, r.s_statistic, r.tau_a_ppm) == (6, 6, 1_000_000)
     r = run([3.0, 3.0, 3.0])
     assert (r.s_statistic, r.tau_a_ppm) == (0, 0)
+
+
+def test_ks_drift_extremes(spark):
+    """Disjoint half-distributions -> D = 1e6 exactly; identical
+    halves -> D = 0. Median event_id of 1..8 is 4, so ids 1-4 are the
+    first half."""
+    import datetime as dt
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run(vals):
+        rows = [
+            (i + 1, t0, 1, "view", v, "{}") for i, v in enumerate(vals)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string, value double, props string",
+            ).write.parquet(f"{d}/events.parquet")
+            return QUERIES["ks_value_drift"].fn(spark, d).collect()[0]
+
+    r = run([1.0, 1.0, 2.0, 2.0, 10.0, 10.0, 20.0, 20.0])  # disjoint
+    assert (r.n_first, r.n_second, r.ks_d_ppm) == (4, 4, 1_000_000)
+    r = run([1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0])  # identical
+    assert r.ks_d_ppm == 0
