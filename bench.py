@@ -53,6 +53,11 @@ def main() -> None:
             "dedup_substring_spans",
             "semdedup_prune_report",
             "doc_topgram_repetition",
+            # round-6 final wave: the statistics block's heaviest
+            # member (O(h^2) pair join + grouped exact median) and the
+            # two-histogram drift pass
+            "theilsen_slope_hourly",
+            "ks_value_drift",
         )
         if n in QUERIES
     ]

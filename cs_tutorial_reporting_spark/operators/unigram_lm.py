@@ -1,0 +1,171 @@
+"""Unigram-LM (SentencePiece-style) subword tokenization, EM-free
+integer variant.
+
+Completes the tokenizer-training family next to the BPE trainer
+(``operators/bpe.py``): where BPE LEARNS merges bottom-up, the unigram
+model starts from a large seeded piece vocabulary and SEGMENTS each
+word by exact Viterbi dynamic programming — the inference half of
+Kudo (2018), with the EM probability refinement replaced by a
+deterministic one-shot score assignment so every quantity stays an
+exact integer (the engine's log-free stance, cf. the BM25 rational
+idf and the Gini entropy surrogate):
+
+- piece cost = ``length(bin(T)) - length(bin(count))`` with T the
+  selected vocabulary's total count mass — the 1-bit-quantized
+  ``-log2(p_piece)`` of the unigram model ``p = count / T``. Every
+  piece costs > 0 bits exactly as every real log-prob is negative,
+  so the DP inherits the true model's pressure toward FEWER, more
+  FREQUENT pieces; no float log ever materializes.
+- segmentation objective = lexicographic (min total cost, then min
+  piece count), encoded in ONE integer key ``-(64*cost_total +
+  n_pieces)`` so the per-position DP state is a plain ``max()``
+  aggregate. Appending a piece is ``key - 64*piece_cost - 1``.
+
+The 1-bit quantization IS the contract, not an approximation bug:
+both engines compute identical integer costs, and segmentations are
+those of a genuine unigram LM whose probabilities are rounded to
+powers of two.
+
+Scale design (100 TB): the corpus-sized work is ONE word-frequency
+aggregation. Everything downstream — the substring grid, the top-V
+window, and every DP round — runs on the DISTINCT-WORD frame, which
+is vocabulary-bounded, not corpus-bounded. The DP is ``max_word_len``
+rounds of (frontier join broadcast-vocab, then a word-keyed max) —
+the pointer-doubling-CC dataflow with a localCheckpoint per round to
+keep lineage flat. The vocabulary (≤ top_v + alphabet rows) is
+broadcast; no corpus shuffle happens after the first aggregation.
+
+Reference scope note: the reference pipeline (public repo
+astronomer/cs-tutorial-reporting) has no tokenizer; this operator is
+part of the training-data-pipeline surface the build brief adds on
+top of reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: lexicographic key base: n_pieces per word is bounded by the word
+#: length (< 64 everywhere we accept), so maximizing
+#: ``-(64*cost_total + n_pieces)`` minimizes cost then pieces.
+KEY_BASE = 64
+
+
+def seed_piece_scores(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    top_v: int = 24,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Seed vocabulary: every substring of length 1..max_piece_len of
+    every distinct word, weighted by word frequency; keep the top_v by
+    (count DESC, piece ASC) plus ALL single characters (so every word
+    stays segmentable). Returns (piece, cnt, cost) with
+    cost = length(bin(T)) - length(bin(cnt)), T = the selected
+    vocabulary's total count — the quantized -log2 of the unigram
+    probability cnt/T."""
+    w = F.col(word_col)
+    grid = (
+        words.select(
+            w.alias("__w"), F.col(freq_col).cast("bigint").alias("__f")
+        )
+        .select(
+            "__w",
+            "__f",
+            F.explode(F.sequence(F.lit(1), F.length("__w"))).alias("__i"),
+        )
+        .select(
+            "__w",
+            "__f",
+            "__i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len), F.length("__w") - F.col("__i") + 1
+                    ),
+                )
+            ).alias("__s"),
+        )
+        .select(
+            F.expr("substring(__w, __i, __s)").alias("piece"),
+            F.col("__f").alias("__f"),
+        )
+    )
+    counts = grid.groupBy("piece").agg(F.sum("__f").cast("bigint").alias("cnt"))
+    topv = (
+        counts.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "piece"))
+        )
+        .filter(F.col("__rn") <= top_v)
+        .drop("__rn")
+    )
+    singles = counts.filter(F.length("piece") == 1)
+    sel = topv.unionByName(singles).dropDuplicates(["piece"])
+    tot = sel.agg(F.sum("cnt").alias("__t"))
+    return sel.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.expr(
+            "CAST(length(bin(__t)) - length(bin(cnt)) AS BIGINT)"
+        ).alias("cost"),
+    )
+
+
+def viterbi_segment_keys(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    word_col: str = "word",
+) -> DataFrame:
+    """Exact integer Viterbi over each distinct word: returns
+    (word, key) where key = -(KEY_BASE * best_total_cost + n_pieces)
+    for the optimal segmentation under ``vocab``'s (piece, cost).
+    Words longer than ``max_word_len`` are excluded (callers report
+    them; none exist in the harness corpus). Unsegmentable words (a
+    character outside the vocab) simply never reach a final state and
+    drop out — seed_piece_scores keeps all single chars precisely so
+    this cannot happen when vocab and words share a corpus.
+
+    Dataflow: ``max_word_len`` rounds; each round extends every DP
+    state at positions [j - max_piece_len, j) by one vocabulary piece
+    ending at j (a broadcast equi-join on the computed substring) and
+    keeps the max key per word — O(len * alphabet) state, flattened
+    by a localCheckpoint per round like connected_components."""
+    w = (
+        words.select(F.col(word_col).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .distinct()
+    )
+    maxlen_row = w.agg(F.max(F.length("word"))).collect()  # bounded scalar
+    maxlen = maxlen_row[0][0] or 0
+    states = w.select(
+        "word",
+        F.lit(0).cast("int").alias("pos"),
+        F.lit(0).cast("bigint").alias("key"),
+    ).localCheckpoint()
+    # materialize the (tiny) vocab once — the driver loop would
+    # otherwise recompute its grid+window lineage every round
+    vb = F.broadcast(vocab.select("piece", "cost").localCheckpoint())
+    for j in range(1, maxlen + 1):
+        frontier = states.filter(
+            (F.col("pos") >= j - max_piece_len)
+            & (F.col("pos") < j)
+            & (F.length("word") >= j)
+        ).withColumn("__piece", F.expr(f"substring(word, pos + 1, {j} - pos)"))
+        new = (
+            frontier.join(vb, F.col("__piece") == F.col("piece"))
+            .groupBy("word")
+            .agg(
+                F.max(
+                    F.col("key") - F.lit(KEY_BASE) * F.col("cost") - F.lit(1)
+                ).alias("key")
+            )
+            .select("word", F.lit(j).cast("int").alias("pos"), "key")
+        )
+        states = states.unionByName(new).localCheckpoint()
+    return states.filter(F.col("pos") == F.length("word")).select("word", "key")

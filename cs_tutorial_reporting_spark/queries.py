@@ -1179,6 +1179,7 @@ _DEMOTED_TAIL: list[str] = [
     "trimmed_mean_order_value", # histogram-overlap robust mean ⊂ percentile family
     "mann_kendall_trend",       # sign-pair trend test ⊂ trend/seasonal family
     "ks_value_drift",           # ECDF-gap two-sample test ⊂ profile-drift family
+    "unigram_viterbi_stats",    # SentencePiece-style Viterbi ⊂ bpe/tokenizer family
 ]
 
 _CHECK_WINDOW = 50

@@ -923,3 +923,136 @@ def quality_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_source_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+
+def _unigram_oracle(
+    max_piece_len: int = 4, top_v: int = 24, max_word_len: int = 12
+) -> str:
+    """DuckDB replication of the FULL unigram pipeline — seed
+    substring counts, top-V + single-char vocab with quantized-log2
+    scores, and the integer Viterbi DP unrolled to ``max_word_len``
+    MATERIALIZED levels (each level is referenced by up to
+    ``max_piece_len`` later ones; plain CTEs would inline
+    exponentially — the HITS lesson)."""
+    parts = [r"""
+    WITH wf AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(
+                trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    grid AS (
+        SELECT substr(word, CAST(i AS INT), CAST(s AS INT)) AS piece, freq
+        FROM wf,
+             unnest(range(1, length(word) + 1)) AS t1(i),
+             unnest(range(1, least(""" + str(max_piece_len) + r""",
+                    length(word) - i + 1) + 1)) AS t2(s)
+    ),
+    counts AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM grid GROUP BY piece
+    ),
+    vsel AS MATERIALIZED (
+        SELECT DISTINCT piece, cnt FROM (
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt, row_number() OVER (
+                    ORDER BY cnt DESC, piece) AS rn
+                FROM counts
+            ) WHERE rn <= """ + str(top_v) + r"""
+            UNION ALL
+            SELECT piece, cnt FROM counts WHERE length(piece) = 1
+        )
+    ),
+    vocab AS MATERIALIZED (
+        SELECT piece,
+               CAST(length(bin((SELECT sum(cnt) FROM vsel)))
+                    - length(bin(cnt)) AS BIGINT) AS cost
+        FROM vsel
+    ),
+    wl AS (
+        SELECT word, freq FROM wf
+        WHERE length(word) <= """ + str(max_word_len) + r"""
+    ),
+    d0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS key FROM wl)"""]
+    for j in range(1, max_word_len + 1):
+        lo = max(0, j - max_piece_len)
+        prev = "\n            UNION ALL ".join(
+            f"SELECT word, pos, key FROM d{i}" for i in range(lo, j)
+        )
+        parts.append(f""",
+    d{j} AS MATERIALIZED (
+        SELECT p.word, {j} AS pos, max(p.key - 64 * v.cost - 1) AS key
+        FROM ({prev}) p
+        JOIN vocab v
+          ON v.piece = substr(p.word, p.pos + 1, {j} - p.pos)
+        WHERE length(p.word) >= {j}
+        GROUP BY p.word
+    )""")
+    alld = "\n        UNION ALL ".join(
+        f"SELECT word, pos, key FROM d{j}"
+        for j in range(1, max_word_len + 1)
+    )
+    parts.append(f""",
+    final AS (
+        SELECT w.word, w.freq,
+               (-d.key) % 64 AS n_pieces,
+               (-d.key) // 64 AS cost_total
+        FROM wl w JOIN ({alld}) d
+          ON d.word = w.word AND d.pos = length(w.word)
+    )
+    SELECT CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS total_occurrences,
+           CAST(sum(cost_total) AS BIGINT) AS sum_cost_bits
+    FROM final GROUP BY n_pieces""")
+    return "".join(parts)
+
+
+@register("unigram_viterbi_stats", oracle=_unigram_oracle(4, 24, 12))
+def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword segmentation
+    (operators/unigram_lm.py) — the tokenizer family's second trainer
+    next to BPE: seed a piece vocabulary from weighted substring
+    counts (top-24 by count plus every single character), score each
+    piece with the integer quantized log2 of its count, and segment
+    every distinct word by EXACT integer Viterbi maximizing
+    (total score, then fewest pieces). Reports the segmentation
+    census: how many words land at each piece count, weighted by
+    corpus occurrences — the tokenizer-fertility report that decides
+    vocab size in a real pipeline.
+
+    100 TB: one corpus-sized word count; vocabulary seeding and all
+    DP rounds run on the distinct-word frame with a broadcast vocab
+    (oracle unrolls the same DP as MATERIALIZED CTEs)."""
+    from .operators.bpe import word_frequencies
+    from .operators.unigram_lm import (
+        KEY_BASE,
+        seed_piece_scores,
+        viterbi_segment_keys,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # three consumers (vocab grid, DP word list, final join) — count once
+    words = word_frequencies(docs, "text").localCheckpoint()
+    vocab = seed_piece_scores(words, max_piece_len=4, top_v=24)
+    keys = viterbi_segment_keys(
+        words, vocab, max_piece_len=4, max_word_len=12
+    )
+    per_word = words.join(keys, "word").select(
+        "freq",
+        F.expr(f"(-key) % {KEY_BASE}").alias("n_pieces"),
+        F.expr(f"(-key) div {KEY_BASE}").alias("cost_total"),
+    )
+    return per_word.groupBy(
+        F.col("n_pieces").cast("bigint").alias("n_pieces")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("freq").cast("bigint").alias("total_occurrences"),
+        F.sum("cost_total").cast("bigint").alias("sum_cost_bits"),
+    )

@@ -946,3 +946,27 @@ def test_ks_drift_extremes(spark):
     assert (r.n_first, r.n_second, r.ks_d_ppm) == (4, 4, 1_000_000)
     r = run([1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0])  # identical
     assert r.ks_d_ppm == 0
+
+
+def test_unigram_viterbi_hand_computed(spark):
+    """Corpus 'abab'x4 + 'cd'x2: the full vocab (all 10 substrings,
+    T=46, bitlen 6) gives cost('abab') = 6-3 = 3, which beats
+    'ab'+'ab' (2+2=4) and chars (8) -> both words segment as ONE
+    piece: bucket (n_pieces=1, n_words=2, occurrences=6,
+    cost_bits 3+4=7)."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, "abab abab abab abab cd cd", "en", "s", 25)],
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = QUERIES["unigram_viterbi_stats"].fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_pieces, r.n_words, r.total_occurrences, r.sum_cost_bits) == (
+        1, 2, 6, 7,
+    )
