@@ -115,27 +115,25 @@ def seed_piece_scores(
     )
 
 
-def viterbi_segment_keys(
+def viterbi_dp_table(
     words: DataFrame,
     vocab: DataFrame,
     max_piece_len: int = 4,
     max_word_len: int = 16,
     word_col: str = "word",
-) -> DataFrame:
-    """Exact integer Viterbi over each distinct word: returns
-    (word, key) where key = -(KEY_BASE * best_total_cost + n_pieces)
-    for the optimal segmentation under ``vocab``'s (piece, cost).
-    Words longer than ``max_word_len`` are excluded (callers report
-    them; none exist in the harness corpus). Unsegmentable words (a
-    character outside the vocab) simply never reach a final state and
-    drop out — seed_piece_scores keeps all single chars precisely so
-    this cannot happen when vocab and words share a corpus.
+) -> tuple[DataFrame, DataFrame, int]:
+    """The full Viterbi DP table: (word, pos, key) for every prefix
+    position of every distinct word, with
+    key = -(KEY_BASE * best_prefix_cost + n_pieces_so_far). Returns
+    (dp, broadcast-ready vocab, maxlen) so callers can read off final
+    states (``viterbi_segment_keys``) or walk optimal paths backward
+    (``viterbi_backtrack_usage``).
 
-    Dataflow: ``max_word_len`` rounds; each round extends every DP
-    state at positions [j - max_piece_len, j) by one vocabulary piece
-    ending at j (a broadcast equi-join on the computed substring) and
-    keeps the max key per word — O(len * alphabet) state, flattened
-    by a localCheckpoint per round like connected_components."""
+    Dataflow: ``maxlen`` rounds; each round extends every DP state at
+    positions [j - max_piece_len, j) by one vocabulary piece ending
+    at j (a broadcast equi-join on the computed substring) and keeps
+    the max key per word — O(len * alphabet) state, flattened by a
+    localCheckpoint per round like connected_components."""
     w = (
         words.select(F.col(word_col).alias("word"))
         .filter(F.length("word") <= max_word_len)
@@ -168,4 +166,105 @@ def viterbi_segment_keys(
             .select("word", F.lit(j).cast("int").alias("pos"), "key")
         )
         states = states.unionByName(new).localCheckpoint()
-    return states.filter(F.col("pos") == F.length("word")).select("word", "key")
+    return states, vb, maxlen
+
+
+def viterbi_segment_keys(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    word_col: str = "word",
+) -> DataFrame:
+    """Exact integer Viterbi over each distinct word: returns
+    (word, key) where key = -(KEY_BASE * best_total_cost + n_pieces)
+    for the optimal segmentation under ``vocab``'s (piece, cost).
+    Words longer than ``max_word_len`` are excluded (callers report
+    them; none exist in the harness corpus). Unsegmentable words (a
+    character outside the vocab) simply never reach a final state and
+    drop out — seed_piece_scores keeps all single chars precisely so
+    this cannot happen when vocab and words share a corpus."""
+    dp, _, _ = viterbi_dp_table(
+        words, vocab, max_piece_len, max_word_len, word_col
+    )
+    return dp.filter(F.col("pos") == F.length("word")).select("word", "key")
+
+
+def viterbi_backtrack_usage(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Piece USAGE census: walk each word's optimal segmentation
+    backward through the DP table and count how often every
+    vocabulary piece is actually used, weighted by word frequency —
+    the M-step statistic of unigram-LM EM and the input to vocabulary
+    pruning (a seeded piece with ~zero usage is dead weight).
+
+    Path recovery: from the final state, a valid predecessor at pos p
+    satisfies key(j) = key(p) - KEY_BASE*cost(word[p+1..j]) - 1; ties
+    between equally-optimal paths break deterministically toward the
+    SMALLEST p (the longest piece — the standard tokenizer
+    preference), via a per-word row_number. ``maxlen`` bounded rounds,
+    each a self-join of the (word, pos) frame with the broadcast
+    vocab; usage conservation (sum = sum(freq * n_pieces)) is pinned
+    in pytest and by construction in the oracle twin."""
+    dp, vb, maxlen = viterbi_dp_table(
+        words, vocab, max_piece_len, max_word_len, word_col
+    )
+    cur = (
+        dp.filter(F.col("pos") == F.length("word"))
+        .select("word", "pos", "key")
+        .localCheckpoint()
+    )
+    pieces: DataFrame | None = None
+    for _ in range(maxlen):
+        cand = (
+            cur.filter(F.col("pos") > 0)
+            .alias("c")
+            .join(
+                dp.alias("p"),
+                (F.col("p.word") == F.col("c.word"))
+                & (F.col("p.pos") >= F.col("c.pos") - max_piece_len)
+                & (F.col("p.pos") < F.col("c.pos")),
+            )
+            .withColumn(
+                "__piece",
+                F.expr("substring(c.word, p.pos + 1, c.pos - p.pos)"),
+            )
+            .join(vb, F.col("__piece") == F.col("piece"))
+            .filter(
+                F.col("c.key")
+                == F.col("p.key") - F.lit(KEY_BASE) * F.col("cost") - F.lit(1)
+            )
+            .select(
+                F.col("c.word").alias("word"),
+                F.col("p.pos").alias("ppos"),
+                F.col("p.key").alias("pkey"),
+                F.col("__piece").alias("piece"),
+            )
+        )
+        chosen = (
+            cand.withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("word").orderBy("ppos")),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint()
+        )
+        emitted = chosen.select("word", "piece")
+        pieces = emitted if pieces is None else pieces.unionByName(emitted)
+        cur = chosen.select(
+            "word", F.col("ppos").alias("pos"), F.col("pkey").alias("key")
+        )
+    assert pieces is not None
+    wf = words.select(
+        F.col(word_col).alias("word"), F.col(freq_col).alias("freq")
+    )
+    return pieces.join(wf, "word").groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("usage")
+    )

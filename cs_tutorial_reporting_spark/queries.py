@@ -1180,6 +1180,8 @@ _DEMOTED_TAIL: list[str] = [
     "mann_kendall_trend",       # sign-pair trend test ⊂ trend/seasonal family
     "ks_value_drift",           # ECDF-gap two-sample test ⊂ profile-drift family
     "unigram_viterbi_stats",    # SentencePiece-style Viterbi ⊂ bpe/tokenizer family
+    "unigram_piece_usage",      # DP-backtrack usage census ⊂ bpe/tokenizer family
+    "event_trigram_paths",      # 3-step path mining ⊂ transition-matrix family
 ]
 
 _CHECK_WINDOW = 50

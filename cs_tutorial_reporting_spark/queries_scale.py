@@ -5024,3 +5024,65 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (max(n1) * max(n2)) AS BIGINT)"
         ).alias("ks_d_ppm"),
     )
+
+
+@register(
+    "event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt
+        FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(cnt) AS t FROM tri)
+    SELECT e1, e2, e3, cnt,
+           CAST(cnt * 1000000 // (SELECT t FROM tot) AS BIGINT)
+               AS share_ppm,
+           CAST(row_number() OVER (
+               ORDER BY cnt DESC, e1, e2, e3) AS BIGINT) AS rnk
+    FROM tri QUALIFY rnk <= 20
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining one order above the Markov transition
+    matrix (event_transition_matrix): the top-20 within-user event
+    TRIGRAMS by global frequency, with exact ppm shares — the
+    "what three-step paths do users actually take" report behind
+    funnel design. Lead windows over (user, time) make each trigram
+    once; ties in count rank deterministically by the type triple.
+
+    100 TB: one per-user window pass (the sessionize shuffle shape) +
+    one map-combined count over a bounded key space (|types|^3); the
+    top-20 is a tiny ordered limit, never a global row sort.
+    """
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = tri.agg(F.sum("cnt").alias("__t"))
+    ranked = tri.crossJoin(F.broadcast(tot)).select(
+        "e1",
+        "e2",
+        "e3",
+        "cnt",
+        F.expr("CAST(cnt * 1000000 div __t AS BIGINT)").alias("share_ppm"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "e1", "e2", "e3"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 20)

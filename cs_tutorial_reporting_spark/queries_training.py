@@ -930,15 +930,16 @@ def quality_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _unigram_oracle(
+def _unigram_cte(
     max_piece_len: int = 4, top_v: int = 24, max_word_len: int = 12
 ) -> str:
-    """DuckDB replication of the FULL unigram pipeline — seed
-    substring counts, top-V + single-char vocab with quantized-log2
-    scores, and the integer Viterbi DP unrolled to ``max_word_len``
+    """Shared WITH-body for the unigram oracles — seed substring
+    counts, top-V + single-char vocab with quantized -log2 bit costs,
+    and the integer Viterbi DP unrolled to ``max_word_len``
     MATERIALIZED levels (each level is referenced by up to
     ``max_piece_len`` later ones; plain CTEs would inline
-    exponentially — the HITS lesson)."""
+    exponentially — the HITS lesson). Ends after d{max_word_len}
+    with no trailing comma."""
     parts = [r"""
     WITH wf AS (
         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -994,11 +995,19 @@ def _unigram_oracle(
         WHERE length(p.word) >= {j}
         GROUP BY p.word
     )""")
+    return "".join(parts)
+
+
+def _unigram_oracle(
+    max_piece_len: int = 4, top_v: int = 24, max_word_len: int = 12
+) -> str:
+    """Segmentation-census oracle: the shared DP body plus the
+    per-piece-count rollup."""
     alld = "\n        UNION ALL ".join(
         f"SELECT word, pos, key FROM d{j}"
         for j in range(1, max_word_len + 1)
     )
-    parts.append(f""",
+    return _unigram_cte(max_piece_len, top_v, max_word_len) + f""",
     final AS (
         SELECT w.word, w.freq,
                (-d.key) % 64 AS n_pieces,
@@ -1010,7 +1019,60 @@ def _unigram_oracle(
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(freq) AS BIGINT) AS total_occurrences,
            CAST(sum(cost_total) AS BIGINT) AS sum_cost_bits
-    FROM final GROUP BY n_pieces""")
+    FROM final GROUP BY n_pieces"""
+
+
+def _unigram_usage_oracle(
+    max_piece_len: int = 4, top_v: int = 24, max_word_len: int = 12
+) -> str:
+    """Usage-census oracle: the shared DP body plus an unrolled
+    BACKTRACK — from each word's final state, each level picks the
+    valid predecessor (key(j) = key(p) - 64*cost - 1) with the
+    smallest p (longest piece), emits that piece, and recurses; the
+    emitted multiset is weighted by word frequency. Every b-level is
+    MATERIALIZED (referenced by the next level AND the final union)."""
+    parts = [_unigram_cte(max_piece_len, top_v, max_word_len)]
+    alld = "\n        UNION ALL ".join(
+        f"SELECT word, pos, key FROM d{j}"
+        for j in range(0, max_word_len + 1)
+    )
+    parts.append(f""",
+    alld AS MATERIALIZED ({alld}),
+    f0 AS (
+        SELECT w.word, length(w.word) AS pos, d.key
+        FROM wl w JOIN alld d ON d.word = w.word AND d.pos = length(w.word)
+    )""")
+    for r in range(1, max_word_len + 1):
+        parts.append(f""",
+    c{r} AS (
+        SELECT cur.word, prev.pos AS ppos, prev.key AS pkey,
+               substr(cur.word, prev.pos + 1, cur.pos - prev.pos) AS piece,
+               row_number() OVER (
+                   PARTITION BY cur.word ORDER BY prev.pos) AS rn
+        FROM f{r-1} cur
+        JOIN alld prev ON prev.word = cur.word
+         AND prev.pos >= cur.pos - {max_piece_len} AND prev.pos < cur.pos
+        JOIN vocab v
+          ON v.piece = substr(cur.word, prev.pos + 1, cur.pos - prev.pos)
+        WHERE cur.pos > 0 AND cur.key = prev.key - 64 * v.cost - 1
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT word, ppos, pkey, piece FROM c{r} WHERE rn = 1
+    ),
+    f{r} AS (SELECT word, ppos AS pos, pkey AS key FROM b{r})""")
+    allb = "\n        UNION ALL ".join(
+        f"SELECT word, piece FROM b{r}" for r in range(1, max_word_len + 1)
+    )
+    parts.append(f""",
+    used AS (
+        SELECT u.piece, CAST(sum(w.freq) AS BIGINT) AS usage
+        FROM ({allb}) u JOIN wl w USING (word) GROUP BY u.piece
+    ),
+    utot AS (SELECT sum(usage) AS t FROM used)
+    SELECT piece, usage,
+           CAST(usage * 1000000 // (SELECT t FROM utot) AS BIGINT)
+               AS share_ppm
+    FROM used""")
     return "".join(parts)
 
 
@@ -1055,4 +1117,40 @@ def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_words"),
         F.sum("freq").cast("bigint").alias("total_occurrences"),
         F.sum("cost_total").cast("bigint").alias("sum_cost_bits"),
+    )
+
+
+@register("unigram_piece_usage", oracle=_unigram_usage_oracle(4, 24, 12))
+def unigram_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer piece USAGE census
+    (operators/unigram_lm.py::viterbi_backtrack_usage): which
+    vocabulary pieces the learned segmentations actually use, weighted
+    by corpus word frequency — the M-step statistic of unigram-LM EM
+    and the vocabulary-pruning report (a seeded piece with near-zero
+    usage share is dead vocab). Optimal paths are recovered by walking
+    the DP table backward with a deterministic longest-piece
+    tie-break; usage conservation (sum(usage) = sum(freq * n_pieces))
+    is pinned in pytest.
+
+    100 TB: same scale shape as unigram_viterbi_stats — one corpus
+    word count, then DP + backtrack rounds on the distinct-word frame
+    with a broadcast vocab; the backtrack adds maxlen bounded
+    self-joins of the (word, pos) frame."""
+    from .operators.bpe import word_frequencies
+    from .operators.unigram_lm import (
+        seed_piece_scores,
+        viterbi_backtrack_usage,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text").localCheckpoint()
+    vocab = seed_piece_scores(words, max_piece_len=4, top_v=24)
+    used = viterbi_backtrack_usage(
+        words, vocab, max_piece_len=4, max_word_len=12
+    )
+    tot = used.agg(F.sum("usage").alias("__t"))
+    return used.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "usage",
+        F.expr("CAST(usage * 1000000 div __t AS BIGINT)").alias("share_ppm"),
     )

@@ -970,3 +970,18 @@ def test_unigram_viterbi_hand_computed(spark):
     assert (r.n_pieces, r.n_words, r.total_occurrences, r.sum_cost_bits) == (
         1, 2, 6, 7,
     )
+
+
+def test_unigram_usage_conservation(spark):
+    """sum(usage) over the piece census must equal
+    sum(freq * n_pieces) over the segmentation census — every piece of
+    every word's optimal path is emitted exactly once."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    d = "/root/testdata/sf0.001"
+    seg = QUERIES["unigram_viterbi_stats"].fn(spark, d).collect()
+    usage = QUERIES["unigram_piece_usage"].fn(spark, d).collect()
+    want = sum(r.total_occurrences * r.n_pieces for r in seg)
+    got = sum(r.usage for r in usage)
+    assert got == want
+    assert all(r.usage > 0 for r in usage)
