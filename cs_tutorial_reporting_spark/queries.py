@@ -1182,6 +1182,8 @@ _DEMOTED_TAIL: list[str] = [
     "unigram_viterbi_stats",    # SentencePiece-style Viterbi ⊂ bpe/tokenizer family
     "unigram_piece_usage",      # DP-backtrack usage census ⊂ bpe/tokenizer family
     "event_trigram_paths",      # 3-step path mining ⊂ transition-matrix family
+    "unigram_bits_per_token",   # model-based quality signal ⊂ tokenizer family
+    "quantile_normalize_doclen", # rank→pooled-quantile mapping ⊂ percentile family
 ]
 
 _CHECK_WINDOW = 50

@@ -5086,3 +5086,115 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
     )
     return ranked.filter(F.col("rnk") <= 20)
+
+
+@register(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    ranks AS (
+        SELECT source, v,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        FROM d
+    ),
+    hist AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY v
+    ),
+    cum AS (
+        SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c_hi,
+               CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    - cnt AS BIGINT) AS c_lo,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    pos AS (
+        SELECT unnest(range(c_lo + 1, c_hi + 1)) AS k, v AS mapped FROM cum
+    ),
+    mapped AS (
+        SELECT r.source, r.v,
+               (r.r * (SELECT max(n) FROM cum) + r.ns - 1) // r.ns AS k
+        FROM ranks r
+    )
+    SELECT m.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.v) AS BIGINT) AS sum_orig,
+           CAST(sum(p.mapped) AS BIGINT) AS sum_mapped,
+           CAST(sum(abs(m.v - p.mapped)) AS BIGINT) AS total_shift
+    FROM mapped m JOIN pos p ON p.k = m.k
+    GROUP BY m.source
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of each source's document-length
+    distribution onto the POOLED corpus distribution — the
+    distribution-matching transform (microarray-normalization
+    classic) a mixer applies so no source's length profile skews a
+    training batch: a doc at within-source rank r of n_s maps to the
+    pooled order statistic at position ceil(r*N/n_s). All positions
+    are integers; the k-th pooled value comes from exploding the
+    value histogram's cumulative slot ranges, never from sorting the
+    corpus twice. Per-source report: total displacement and mapped
+    mass (the transform audit).
+
+    100 TB: per-source ranks are one partitioned sort (the operation
+    IS an order statistic); the pooled side is histogram-sized until
+    the position explode, which is one row per document — corpus
+    -sized but map-only — followed by a single equi-join on position.
+    """
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("v")
+    )
+    ranks = d.select(
+        "source",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("v", "doc_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("ns"),
+    )
+    hist = d.groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(wc).alias("c_hi"),
+        (F.sum("cnt").over(wc) - F.col("cnt")).alias("c_lo"),
+    )
+    n_total = d.agg(F.count("*").cast("bigint").alias("n"))
+    pos = cum.select(
+        F.explode(
+            F.sequence(F.col("c_lo") + 1, F.col("c_hi"))
+        ).alias("k"),
+        F.col("v").alias("mapped"),
+    )
+    mapped = ranks.crossJoin(F.broadcast(n_total)).select(
+        "source",
+        "v",
+        F.expr("(r * n + ns - 1) div ns").alias("k"),
+    )
+    return (
+        mapped.join(pos, "k")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("v").cast("bigint").alias("sum_orig"),
+            F.sum("mapped").cast("bigint").alias("sum_mapped"),
+            F.sum(F.abs(F.col("v") - F.col("mapped")))
+            .cast("bigint")
+            .alias("total_shift"),
+        )
+    )

@@ -1154,3 +1154,83 @@ def unigram_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "usage",
         F.expr("CAST(usage * 1000000 div __t AS BIGINT)").alias("share_ppm"),
     )
+
+
+def _unigram_bits_oracle(
+    max_piece_len: int = 4, top_v: int = 24, max_word_len: int = 12
+) -> str:
+    """Bits-per-token oracle: the shared DP body, word costs off the
+    final states, then a per-source rollup over every token of every
+    document."""
+    alld = "\n        UNION ALL ".join(
+        f"SELECT word, pos, key FROM d{j}"
+        for j in range(1, max_word_len + 1)
+    )
+    return _unigram_cte(max_piece_len, top_v, max_word_len) + f""",
+    wcost AS (
+        SELECT w.word, (-d.key) // 64 AS bits
+        FROM wl w JOIN ({alld}) d
+          ON d.word = w.word AND d.pos = length(w.word)
+    ),
+    toks AS (
+        SELECT source, unnest(string_split(
+            trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(c.bits) AS BIGINT) AS total_bits,
+           CAST(sum(c.bits) * 1000000 // count(*) AS BIGINT)
+               AS bits_per_token_ppm
+    FROM toks t JOIN wcost c ON c.word = t.w
+    GROUP BY t.source"""
+
+
+@register("unigram_bits_per_token", oracle=_unigram_bits_oracle(4, 24, 12))
+def unigram_bits_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus quality signal: each document token costs
+    its word's optimal segmentation bit cost under the unigram LM
+    (quantized -log2 likelihood — the tokenizer's own compression
+    measure), rolled up per source as exact bits-per-token ppm. The
+    integer stand-in for the perplexity/compression-ratio quality
+    filters real curation pipelines run: a source whose text
+    compresses badly under the corpus model is out-of-domain or
+    noisy. Complements the surface-statistics quality family
+    (corpus_quality_filter) with a MODEL-based score.
+
+    100 TB: word costs are a distinct-word-frame artifact (the same
+    DP as unigram_viterbi_stats); scoring is one token explode +
+    broadcast-sized join + per-source map-combined rollup."""
+    from .operators.bpe import word_frequencies
+    from .operators.unigram_lm import (
+        KEY_BASE,
+        seed_piece_scores,
+        viterbi_segment_keys,
+    )
+    from .functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text").localCheckpoint()
+    vocab = seed_piece_scores(words, max_piece_len=4, top_v=24)
+    wcost = viterbi_segment_keys(
+        words, vocab, max_piece_len=4, max_word_len=12
+    ).select(
+        F.col("word").alias("w"),
+        F.expr(f"(-key) div {KEY_BASE}").alias("bits"),
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(wcost), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+            F.expr(
+                "CAST(sum(bits) * CAST(1000000 AS BIGINT) div count(*)"
+                " AS BIGINT)"
+            ).alias("bits_per_token_ppm"),
+        )
+    )

@@ -985,3 +985,33 @@ def test_unigram_usage_conservation(spark):
     got = sum(r.usage for r in usage)
     assert got == want
     assert all(r.usage > 0 for r in usage)
+
+
+def test_quantile_normalize_identity_when_distributions_match(spark):
+    """Two sources with IDENTICAL length distributions map onto the
+    pooled distribution unchanged: rank r of 3 -> pooled position 2r
+    -> the same value, so total_shift = 0 for both."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    rows = [
+        (i, "x", "en", src, v)
+        for i, (src, v) in enumerate(
+            [("s1", 10), ("s1", 20), ("s1", 30),
+             ("s2", 10), ("s2", 20), ("s2", 30)]
+        )
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.source: r
+            for r in QUERIES["quantile_normalize_doclen"].fn(spark, d).collect()
+        }
+    for src in ("s1", "s2"):
+        assert (out[src].n_docs, out[src].total_shift) == (3, 0)
+        assert out[src].sum_mapped == out[src].sum_orig == 60
