@@ -1184,6 +1184,7 @@ _DEMOTED_TAIL: list[str] = [
     "event_trigram_paths",      # 3-step path mining ⊂ transition-matrix family
     "unigram_bits_per_token",   # model-based quality signal ⊂ tokenizer family
     "quantile_normalize_doclen", # rank→pooled-quantile mapping ⊂ percentile family
+    "unigram_em_refine",        # one EM round, usage-recosted ⊂ tokenizer family
 ]
 
 _CHECK_WINDOW = 50

@@ -1234,3 +1234,142 @@ def unigram_bits_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token_ppm"),
         )
     )
+
+
+def _unigram_em_oracle(
+    max_piece_len: int = 4, top_v: int = 24, max_word_len: int = 12
+) -> str:
+    """EM-round oracle: the usage-census body (DP + backtrack), a
+    re-costed vocab2 (cost = quantized -log2(usage/U), zero-usage
+    pieces pruned — provably safe: every piece on any optimal path
+    has usage >= that word's freq), a SECOND unrolled DP chain under
+    vocab2, and the convergence compare."""
+    usage_body = _unigram_usage_oracle(max_piece_len, top_v, max_word_len)
+    # strip the usage oracle's final SELECT (everything after utot's
+    # closing paren) and keep its WITH-chain through ``used``
+    marker = ",\n    utot AS"
+    body = usage_body[: usage_body.index(marker)]
+    parts = [body]
+    parts.append(""",
+    vocab2 AS MATERIALIZED (
+        SELECT piece,
+               CAST(length(bin((SELECT sum(usage) FROM used)))
+                    - length(bin(usage)) AS BIGINT) AS cost
+        FROM used
+    ),
+    e0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS key FROM wl)""")
+    for j in range(1, max_word_len + 1):
+        lo = max(0, j - max_piece_len)
+        prev = "\n            UNION ALL ".join(
+            f"SELECT word, pos, key FROM e{i}" for i in range(lo, j)
+        )
+        parts.append(f""",
+    e{j} AS MATERIALIZED (
+        SELECT p.word, {j} AS pos, max(p.key - 64 * v.cost - 1) AS key
+        FROM ({prev}) p
+        JOIN vocab2 v
+          ON v.piece = substr(p.word, p.pos + 1, {j} - p.pos)
+        WHERE length(p.word) >= {j}
+        GROUP BY p.word
+    )""")
+    alle = "\n        UNION ALL ".join(
+        f"SELECT word, pos, key FROM e{j}"
+        for j in range(1, max_word_len + 1)
+    )
+    alld1 = "\n        UNION ALL ".join(
+        f"SELECT word, pos, key FROM d{j}"
+        for j in range(1, max_word_len + 1)
+    )
+    parts.append(f""",
+    r0 AS (
+        SELECT w.word, w.freq,
+               (-d.key) // 64 AS bits0, (-d.key) % 64 AS np0
+        FROM wl w JOIN ({alld1}) d
+          ON d.word = w.word AND d.pos = length(w.word)
+    ),
+    r1 AS (
+        SELECT w.word, w.freq,
+               (-e.key) // 64 AS bits1, (-e.key) % 64 AS np1
+        FROM wl w JOIN ({alle}) e
+          ON e.word = w.word AND e.pos = length(w.word)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(r0.freq * r0.bits0) AS BIGINT) AS corpus_bits_seed,
+           CAST(sum(r0.freq * r1.bits1) AS BIGINT) AS corpus_bits_em,
+           CAST(sum(CASE WHEN r0.np0 <> r1.np1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_words_resegmented
+    FROM r0 JOIN r1 USING (word)""")
+    return "".join(parts)
+
+
+@register("unigram_em_refine", oracle=_unigram_em_oracle(4, 24, 12))
+def unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE honest EM iteration of the unigram tokenizer: E-step =
+    Viterbi usage census under the seed costs
+    (unigram_piece_usage's backtrack); M-step = re-cost every piece
+    from its ACTUAL usage (quantized -log2(usage/U), zero-usage
+    pieces pruned — safe because every piece on an optimal path
+    carries its word's frequency); then re-segment under the new
+    costs and report convergence: corpus bit cost under seed vs EM
+    costs and how many words changed piece count (the conservative
+    re-segmentation proxy — equal-length path swaps don't register,
+    and the two bit totals are each under their OWN quantized code,
+    which is what a compression report quotes). The quantized analogue of
+    Kudo (2018)'s EM loop, every quantity an exact integer.
+
+    100 TB: two DP sweeps + one backtrack over the distinct-word
+    frame (broadcast vocabs); the corpus is touched once for word
+    counts — the EM round costs the same at any corpus size."""
+    from .operators.bpe import word_frequencies
+    from .operators.unigram_lm import (
+        KEY_BASE,
+        seed_piece_scores,
+        viterbi_backtrack_usage,
+        viterbi_segment_keys,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text").localCheckpoint()
+    vocab = seed_piece_scores(words, max_piece_len=4, top_v=24)
+    usage = viterbi_backtrack_usage(
+        words, vocab, max_piece_len=4, max_word_len=12
+    ).localCheckpoint()  # E-step artifact feeds the M-step re-cost
+    utot = usage.agg(F.sum("usage").alias("__u"))
+    vocab2 = usage.crossJoin(F.broadcast(utot)).select(
+        "piece",
+        F.expr(
+            "CAST(length(bin(__u)) - length(bin(usage)) AS BIGINT)"
+        ).alias("cost"),
+    )
+    k0 = viterbi_segment_keys(
+        words, vocab, max_piece_len=4, max_word_len=12
+    ).select(
+        "word",
+        F.expr(f"(-key) div {KEY_BASE}").alias("bits0"),
+        F.expr(f"(-key) % {KEY_BASE}").alias("np0"),
+    )
+    k1 = viterbi_segment_keys(
+        words, vocab2, max_piece_len=4, max_word_len=12
+    ).select(
+        "word",
+        F.expr(f"(-key) div {KEY_BASE}").alias("bits1"),
+        F.expr(f"(-key) % {KEY_BASE}").alias("np1"),
+    )
+    return (
+        words.join(k0, "word")
+        .join(k1, "word")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("bits0"))
+            .cast("bigint")
+            .alias("corpus_bits_seed"),
+            F.sum(F.col("freq") * F.col("bits1"))
+            .cast("bigint")
+            .alias("corpus_bits_em"),
+            F.sum(
+                F.when(F.col("np0") != F.col("np1"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_words_resegmented"),
+        )
+    )

@@ -1015,3 +1015,28 @@ def test_quantile_normalize_identity_when_distributions_match(spark):
     for src in ("s1", "s2"):
         assert (out[src].n_docs, out[src].total_shift) == (3, 0)
         assert out[src].sum_mapped == out[src].sum_orig == 60
+
+
+def test_unigram_em_recost_hand_computed(spark):
+    """'abab'x4 + 'cd'x2: the E-step usage census is {abab:4, cd:2}
+    (U=6, bitlen 3), so M-step costs become abab: 3-3=0, cd: 3-2=1;
+    re-segmentation keeps both single-piece paths. Corpus bits drop
+    from 4*3+2*4=20 (seed code) to 4*0+2*1=2 (EM code), with zero
+    piece-count changes."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, "abab abab abab abab cd cd", "en", "s", 25)],
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        r = QUERIES["unigram_em_refine"].fn(spark, d).collect()[0]
+    assert (
+        r.n_words,
+        r.corpus_bits_seed,
+        r.corpus_bits_em,
+        r.n_words_resegmented,
+    ) == (2, 20, 2, 0)
