@@ -5070,8 +5070,11 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
     ).filter(F.col("e3").isNotNull())
-    tri = seq.groupBy("e1", "e2", "e3").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    tri = (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()  # |types|^3-bounded; two consumers (tot +
+        # ranked) would otherwise re-run the corpus window pass each
     )
     tot = tri.agg(F.sum("cnt").alias("__t"))
     ranked = tri.crossJoin(F.broadcast(tot)).select(
@@ -5164,7 +5167,12 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ns"),
     )
-    hist = d.groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
+    hist = (
+        d.groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()  # value-cardinality-sized; two consumers
+        # (cum + n_total) would each re-scan the corpus otherwise
+    )
     wc = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -5174,7 +5182,8 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wc).alias("c_hi"),
         (F.sum("cnt").over(wc) - F.col("cnt")).alias("c_lo"),
     )
-    n_total = d.agg(F.count("*").cast("bigint").alias("n"))
+    # total count off the HISTOGRAM, not a third corpus scan
+    n_total = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     pos = cum.select(
         F.explode(
             F.sequence(F.col("c_lo") + 1, F.col("c_hi"))
