@@ -1185,6 +1185,8 @@ _DEMOTED_TAIL: list[str] = [
     "unigram_bits_per_token",   # model-based quality signal ⊂ tokenizer family
     "quantile_normalize_doclen", # rank→pooled-quantile mapping ⊂ percentile family
     "unigram_em_refine",        # one EM round, usage-recosted ⊂ tokenizer family
+    "knn_label_agreement",      # label-noise kNN audit ⊂ similarity family
+    "dbscan_embedding_clusters", # density clustering ⊂ near-dup/CC family
 ]
 
 _CHECK_WINDOW = 50

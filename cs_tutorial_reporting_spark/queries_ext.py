@@ -4167,3 +4167,248 @@ def multimodal_wav_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     return synth_and_vad_wav(d)
+
+
+@register(
+    "knn_label_agreement",
+    oracle="""
+    WITH nn AS (
+        SELECT query_id, q_label, n_label, rank FROM (
+            SELECT q.vec_id AS query_id, q.label AS q_label,
+                   e.label AS n_label,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                           DESC, e.vec_id
+                   ) AS BIGINT) AS rank
+            FROM embeddings e JOIN embeddings q ON e.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    ),
+    per_q AS (
+        SELECT query_id, q_label,
+               CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM nn GROUP BY query_id, q_label
+    )
+    SELECT q_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(n_agree) * 1000000 // (count(*) * 10) AS BIGINT)
+               AS mean_agreement_ppm,
+           CAST(sum(CASE WHEN n_agree < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suspect
+    FROM per_q GROUP BY q_label
+    """,
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit over the embedding space: every vector's
+    10 nearest neighbors (exact cosine, self excluded) vote on its
+    label; per label class, the mean agreement (exact ppm) and the
+    count of SUSPECT vectors (minority agreement, < 5 of 10) — the
+    standard kNN label-consistency screen a curation pipeline runs
+    before training on labeled data. Rides the brute-force scorer's
+    Arrow matmul path (operators/similarity.py) with every vector as
+    a query.
+
+    100 TB: all-pairs is the documented exact baseline (harness
+    corpus is vector-thousands); at real scale the identical
+    dataflow runs on LSH/IVF candidate pairs (similarity.py's
+    bucketed variants) — the agreement aggregation is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import brute_force_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("q_label"),
+    )
+    nn = brute_force_topk(
+        e.select("vec_id", "embedding"),
+        q.select("query_id", "query_vec"),
+        k=11,  # self ranks first with cos 1.0; drop it below
+        dim=64,
+    )
+    nn = (
+        nn.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rank2",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("rank2") <= 10)
+    )
+    labels = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    n_labels = e.select("vec_id", F.col("label").alias("n_label"))
+    per_q = (
+        nn.join(F.broadcast(labels), "query_id")
+        .join(F.broadcast(n_labels), "vec_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_agree")
+        )
+    )
+    return per_q.groupBy(F.col("q_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.expr(
+            "CAST(sum(n_agree) * CAST(1000000 AS BIGINT)"
+            " div (count(*) * 10) AS BIGINT)"
+        ).alias("mean_agreement_ppm"),
+        F.sum(F.when(F.col("n_agree") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suspect"),
+    )
+
+
+@register(
+    "dbscan_embedding_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS u, b.vec_id AS w
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    und AS (
+        SELECT u, w FROM pairs UNION ALL SELECT w, u FROM pairs
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    cores AS (SELECT node FROM deg WHERE d >= 2),
+    cce AS (
+        SELECT p.u, p.w FROM pairs p
+        JOIN cores c1 ON c1.node = p.u
+        JOIN cores c2 ON c2.node = p.w
+    ),
+    cund AS (SELECT u, w FROM cce UNION ALL SELECT w, u FROM cce),
+    reach AS (
+        SELECT node, node AS r FROM cores
+        UNION
+        SELECT c.u, reach.r FROM cund c JOIN reach ON reach.node = c.w
+    ),
+    labels AS (
+        SELECT node, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    border AS (
+        SELECT n.u AS node, CAST(min(l.cluster_id) AS BIGINT) AS cluster_id
+        FROM und n
+        JOIN labels l ON l.node = n.w
+        WHERE n.u NOT IN (SELECT node FROM cores)
+        GROUP BY n.u
+    ),
+    clusters AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_core,
+               CAST(0 AS BIGINT) AS n_border
+        FROM labels GROUP BY cluster_id
+    ),
+    borders AS (
+        SELECT cluster_id, CAST(0 AS BIGINT) AS n_core,
+               CAST(count(*) AS BIGINT) AS n_border
+        FROM border GROUP BY cluster_id
+    ),
+    merged AS (
+        SELECT cluster_id, CAST(sum(n_core) AS BIGINT) AS n_core,
+               CAST(sum(n_border) AS BIGINT) AS n_border
+        FROM (SELECT * FROM clusters UNION ALL SELECT * FROM borders)
+        GROUP BY cluster_id
+    )
+    SELECT cluster_id, n_core, n_border FROM merged
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST((SELECT count(*) FROM e)
+                - (SELECT count(*) FROM labels)
+                - (SELECT count(*) FROM border) AS BIGINT)
+    """,
+)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN with cosine neighborhoods)
+    over the embedding corpus: CORE points have >= 2 neighbors at
+    cosine >= 0.35; clusters are connected components over core-core
+    edges (pointer-doubling CC, min-id cluster labels — singleton
+    cores label themselves); BORDER points attach to the smallest
+    adjacent core cluster; everything else is NOISE, reported as the
+    cluster_id = -1 row. The density screen a curation pipeline runs
+    to find topic islands vs one-off embeddings — semdedup's
+    complement (semdedup prunes within clusters; DBSCAN finds them
+    without k).
+
+    100 TB: the edge list here is the exact all-pairs baseline
+    (vector-thousands harness); at scale the IDENTICAL downstream
+    (degree, CC, border, census) runs on LSH-bucketed candidate pairs
+    (embedding_near_dup_pairs n_planes>0) — density semantics only
+    need the neighbor pairs, however they were found.
+    """
+    from .operators.dedup import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        e, threshold=0.35, n_planes=0, dim=64
+    ).select("id_a", "id_b").localCheckpoint()  # edge list feeds four
+    # consumers (degree, core filter both sides, CC, border)
+    und = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    deg = und.groupBy(F.col("id_a").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    cores = deg.filter(F.col("d") >= 2).select("node").localCheckpoint()
+    cce = pairs.join(
+        F.broadcast(cores.select(F.col("node").alias("id_a"))), "id_a"
+    ).join(F.broadcast(cores.select(F.col("node").alias("id_b"))), "id_b")
+    labels = connected_components(cce)
+    singletons = (
+        cores.join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    all_cores = labels.unionByName(singletons).localCheckpoint()
+    border = (
+        und.join(F.broadcast(cores.select(F.col("node").alias("id_a"))),
+                 "id_a", "left_anti")
+        .join(
+            all_cores.select(
+                F.col("node").alias("id_b"), "cluster_id"
+            ),
+            "id_b",
+        )
+        .groupBy(F.col("id_a").alias("node"))
+        .agg(F.min("cluster_id").cast("bigint").alias("cluster_id"))
+    )
+    clusters = all_cores.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_core")
+    )
+    borders = border.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_border")
+    )
+    merged = (
+        clusters.join(borders, "cluster_id", "full_outer")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.coalesce("n_core", F.lit(0)).cast("bigint").alias("n_core"),
+            F.coalesce("n_border", F.lit(0)).cast("bigint").alias("n_border"),
+        )
+    )
+    n_total = e.agg(F.count("*").alias("n")).collect()[0][0]  # bounded scalar
+    n_assigned = all_cores.count() + border.count()
+    noise = spark.createDataFrame(
+        [(-1, 0, int(n_total - n_assigned))],
+        "cluster_id bigint, n_core bigint, n_border bigint",
+    )
+    return merged.unionByName(noise)

@@ -2526,3 +2526,60 @@ def test_wav_vad_segments_planted_utterances():
 
     silent = wav_vad_segments(wav_bytes(quiet * 4, sampwidth=2))
     assert silent["n_segments"] == 1 and silent["n_active"] == 4
+
+
+def test_knn_label_agreement_flags_mislabeled_vector(spark):
+    """Two tight clusters of 12 identical vectors; one cluster-A
+    vector carries cluster-B's label. Every correctly-labeled vector
+    gets 10/10 neighbor agreement; the mislabeled one gets 0/10 and
+    is the only suspect."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    a = [1.0] + [0.0] * 63
+    b = [0.0, 1.0] + [0.0] * 62
+    rows = [(i, a, 1 if i == 11 else 0) for i in range(12)]
+    rows += [(12 + i, b, 1) for i in range(12)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        out = {
+            r.label: r
+            for r in QUERIES["knn_label_agreement"].fn(spark, d).collect()
+        }
+    assert (out[0].n_vectors, out[0].mean_agreement_ppm, out[0].n_suspect) == (
+        11, 1_000_000, 0,
+    )
+    # 12 true B vectors at 10/10 plus the mislabeled one at 0/10
+    assert (out[1].n_vectors, out[1].n_suspect) == (13, 1)
+    assert out[1].mean_agreement_ppm == 120 * 1_000_000 // 130
+
+
+def test_dbscan_chain_cores_borders_noise(spark):
+    """5-vector chain x_i = e_i + e_(i+1) (adjacent cos = 1/2, else
+    0) plus one isolated vector: chain ends have degree 1 (border),
+    middles degree 2 (core) -> one cluster labeled by the smallest
+    core id with 3 cores + 2 borders; the isolated vector is noise."""
+    import tempfile
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    def vec(*dims):
+        v = [0.0] * 64
+        for d in dims:
+            v[d] = 1.0
+        return v
+
+    rows = [(i, vec(i, i + 1), 0) for i in range(5)]  # chain 0-1-2-3-4
+    rows.append((5, vec(40), 0))  # isolated
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        out = {
+            r.cluster_id: (r.n_core, r.n_border)
+            for r in QUERIES["dbscan_embedding_clusters"].fn(spark, d).collect()
+        }
+    assert out == {1: (3, 2), -1: (0, 1)}
