@@ -145,3 +145,46 @@ def maintain_join_mv(
         v_old.unionByName(leg_a.select(*cols))
         .unionByName(leg_b.select(*cols))
     )
+
+
+def maintain_agg_mv(
+    mv: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    cnt_col: str = "n_events",
+    sum_col: str = "sum_v",
+    sign_col: str = "__sign",
+    val_col: str = "__v",
+) -> DataFrame:
+    """Incremental maintenance of a COUNT/SUM aggregate view under a
+    signed delta stream (+1 inserts, -1 deletes): the new view is the
+    old view full-outer-merged with the delta's per-key (sum(sign),
+    sum(sign*v)); keys whose maintained count reaches zero disappear,
+    exactly as a recompute would drop them. COUNT and SUM are the
+    SELF-MAINTAINABLE aggregates (Gupta & Mumick's taxonomy) — they
+    absorb deletions from the aggregate alone; MIN/MAX under deletes
+    need the base table and are deliberately out of this operator's
+    contract.
+
+    100 TB: the view is group-cardinality-sized; the refresh touches
+    the DELTA (one map-combined per-key rollup) plus one
+    view-vs-delta outer merge keyed on the group — never the loaded
+    history. This is why warehouses keep additive rollups
+    incrementally and schedule recomputes only for non-maintainable
+    aggregates."""
+    d = delta.groupBy(*keys).agg(
+        F.sum(F.col(sign_col)).cast("bigint").alias("__dc"),
+        F.sum(F.col(sign_col) * F.col(val_col)).cast("bigint").alias("__dv"),
+    )
+    merged = mv.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(cnt_col), F.lit(0))
+            + F.coalesce(F.col("__dc"), F.lit(0))
+        ).cast("bigint").alias(cnt_col),
+        (
+            F.coalesce(F.col(sum_col), F.lit(0))
+            + F.coalesce(F.col("__dv"), F.lit(0))
+        ).cast("bigint").alias(sum_col),
+    )
+    return merged.filter(F.col(cnt_col) > 0)

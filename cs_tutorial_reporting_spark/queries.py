@@ -1187,6 +1187,8 @@ _DEMOTED_TAIL: list[str] = [
     "unigram_em_refine",        # one EM round, usage-recosted ⊂ tokenizer family
     "knn_label_agreement",      # label-noise kNN audit ⊂ similarity family
     "dbscan_embedding_clusters", # density clustering ⊂ near-dup/CC family
+    "lexical_diversity_by_source", # TTR/hapax stylometrics ⊂ text-stats family
+    "matview_agg_delta_refresh", # signed-delta agg IVM ⊂ matview/IVM family
 ]
 
 _CHECK_WINDOW = 50

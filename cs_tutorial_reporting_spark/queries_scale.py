@@ -5207,3 +5207,128 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_shift"),
         )
     )
+
+
+@register(
+    "lexical_diversity_by_source",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(
+            trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents
+    ),
+    wf AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_share_ppm
+    FROM wf GROUP BY source
+    """,
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity screen per source: type-token ratio (distinct
+    words / total words) and hapax-legomena share (words occurring
+    once / vocabulary size), both exact ppm — the cheap stylometric
+    quality signals (template/boilerplate text has low TTR; OCR noise
+    and gibberish inflate hapax share) that complement the
+    surface-statistics and model-based quality families.
+
+    100 TB: one token explode into a (source, word) count — the
+    word_frequencies shuffle keyed by source — then a map-combined
+    per-source rollup over the vocabulary frame. TTR depends on
+    corpus size (documented; compare like-sized slices), which is why
+    the report keeps raw n_tokens/n_types next to the ratios.
+    """
+    from .functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return wf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.expr(
+            "CAST(count(*) * CAST(1000000 AS BIGINT) div sum(c) AS BIGINT)"
+        ).alias("ttr_ppm"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+            " * CAST(1000000 AS BIGINT) div count(*) AS BIGINT)"
+        ).alias("hapax_share_ppm"),
+    )
+
+
+@register(
+    "matview_agg_delta_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_v
+    FROM events
+    WHERE (event_id % 7 <> 0 AND event_id % 11 <> 3) OR event_id % 7 = 0
+    GROUP BY 1, 2
+    """,
+)
+def matview_agg_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE-view maintenance
+    (operators/matview.py::maintain_agg_mv): the hourly per-type
+    count/sum rollup is first built over the "loaded" history
+    (event_id % 7 != 0), then maintained through ONE signed delta
+    batch containing both inserts (the % 7 == 0 arrivals, +1) and
+    deletes (the % 11 == 3 slice of loaded history retracted, -1 —
+    a GDPR-erasure/correction replay). The maintained view MUST equal
+    the full recompute over (loaded - deletes) ∪ inserts — the
+    oracle IS that recompute; keys whose count reaches zero must
+    vanish. COUNT/SUM are the self-maintainable aggregates; the
+    docstring of the operator records why MIN/MAX stay out.
+
+    100 TB: the refresh cost is the DELTA rollup plus a
+    view-cardinality outer merge — the loaded history is never
+    re-read; pair this with the join-IVM (matview_join_delta_refresh)
+    for the standard warehouse rollup chain.
+    """
+    from .operators.matview import maintain_agg_mv
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) * 1000).alias(
+            "hour_ms"
+        ),
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("__v"),
+    )
+    loaded = ev.filter(F.col("event_id") % 7 != 0)
+    mv = loaded.groupBy("event_type", "hour_ms").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("__v").cast("bigint").alias("sum_v"),
+    )
+    inserts = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "__sign", F.lit(1)
+    )
+    deletes = loaded.filter(F.col("event_id") % 11 == 3).withColumn(
+        "__sign", F.lit(-1)
+    )
+    delta = inserts.unionByName(deletes)
+    return maintain_agg_mv(
+        mv, delta, ["event_type", "hour_ms"]
+    )

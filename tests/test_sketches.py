@@ -1040,3 +1040,23 @@ def test_unigram_em_recost_hand_computed(spark):
         r.corpus_bits_em,
         r.n_words_resegmented,
     ) == (2, 20, 2, 0)
+
+
+def test_agg_mv_keys_vanish_at_zero_and_appear_on_insert(spark):
+    """maintain_agg_mv: retracting every row of a key drops it from
+    the view (exactly as a recompute would); a key seen only in the
+    delta's inserts appears with the delta's aggregate."""
+    from cs_tutorial_reporting_spark.operators.matview import maintain_agg_mv
+
+    mv = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 7)], "k string, n_events long, sum_v long"
+    )
+    delta = spark.createDataFrame(
+        [("a", -1, 4), ("a", -1, 6), ("c", 1, 9)],
+        "k string, __sign int, __v long",
+    )
+    out = {
+        r.k: (r.n_events, r.sum_v)
+        for r in maintain_agg_mv(mv, delta, ["k"]).collect()
+    }
+    assert out == {"b": (1, 7), "c": (1, 9)}
