@@ -189,3 +189,32 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
     # bind normalized text, then the gram-hash array, exactly once per
     # row — inlined they re-evaluate per element (O(n²) per document)
     return bind_once(bind_once(normalized, _grams), _winnow)
+
+
+def learned_quality_parts(col: Column) -> tuple[Column, Column]:
+    """Learned (frozen-linear-model) quality logit, as its two integer
+    parts: ``(weight_sum, n_tokens)``. The per-document logit is
+    ``weight_sum div n_tokens`` (ppm) — callers do the integer
+    division on NAMED columns (``F.expr("__tot div __n")``) so the
+    truncation semantics stay in the SQL engine, never in a lossy
+    double round-trip.
+
+    Model: fastText-style linear scorer over the hashed bag of words —
+    each whitespace token of the normalized text hashes (portable md5
+    ``hash60 % QW_N``) into one of QW_N buckets; the frozen ppm weight
+    vector lives in ``duck_sql.QW_WEIGHTS`` (single source for both
+    engines' literals). At 100 TB this is a pure map expression: one
+    single-level fold per document, no shuffle, no Python, whole-stage
+    codegen. DuckDB twin: ``duck_sql.LEARNED_LOGIT_SQL``.
+    """
+    from ..duck_sql import QW_N, QW_WEIGHTS
+
+    warr = F.array(*[F.lit(w).cast("bigint") for w in QW_WEIGHTS])
+    words = F.split(normalize_text(col), " ")
+    tot = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.element_at(warr, (hash60(w) % QW_N).cast("int") + F.lit(1)),
+    )
+    return tot, F.size(words).cast("bigint")

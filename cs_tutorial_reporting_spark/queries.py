@@ -966,32 +966,26 @@ from . import queries_training  # noqa: E402,F401
 #: round-5 ones + round-6's asof_join_next_event and
 #: multimodal_jpeg_decode) plus the FIFTEEN oldest r1/r2-stale rows,
 #: demoting twenty-five [r5 ✓] non-bench shapes with untouched code.
-#: After the round-6 driver run, round 7 owes rows to the TEN
-#: r2-stale entries (the tail's first block), the FIFTEEN round-6
-#: mid-round additions (the tail's last block), and the deferred
-#: ngram_jaccard_consecutive — TWENTY-SIX promotions, within the
-#: window's 27 non-bench slots. Round 8 owes the 21 continuation
-#: entries (hll_portable_distinct … twap_user_value); round 9 the
-#: remaining continuation + fifth/sixth-wave entrants (hll_merge
-#: onward through kcore_copurchase, ~24 rows). The round-6 seventh
-#: wave (dedup_substring_spans … join_fanout_hotspots, 11 rows at the
-#: tail's end) queues behind them (r9/r10). After that every row is
-#: ≤ 2 rounds old. `tools/freshness_report.py` prints the live
-#: worklist.
+#:
+#: Round 7 (this round) retires the first block of the attestation
+#: debt per the VERDICT r6 schedule: the TEN r2-stale entries, the
+#: FIFTEEN round-6 mid-round additions, and the deferred
+#: ngram_jaccard_consecutive — TWENTY-SIX promotions — plus the one
+#: verdict-demanded newcomer (corpus_quality_score, the learned
+#: quality stage, windowed immediately so it never joins the debt).
+#: The REGISTRY IS FROZEN otherwise (VERDICT r6 next-round #1): no
+#: new tail entries until the never-attested count is below one
+#: window. Round 8 owes the next 27 continuation entries
+#: (hll_portable_distinct … hits_event_graph, tail order); round 9
+#: the following 27 (hourly_trend_slope_exact … lsh_precision_funnel);
+#: round 10 the remaining 29 never-attested + the oldest re-demoted
+#: rows. After that every row is ≤ 2 rounds old.
+#: `tools/freshness_report.py` prints the live worklist;
+#: `tools/freshness_report.py --gate` (wired into ship_gate.sh) FAILS
+#: the round if a non-bench window slot is spent on a query that
+#: already holds a current-round row, or the never-attested tail
+#: exceeds the retirement schedule.
 _DEMOTED_TAIL: list[str] = [
-    # ---- still-stale r2 rows: the LAST rotation debt, scheduled for
-    # the round-7 window (round-6 promoted the 15 oldest; these ten
-    # carry [r2 ✓] rows and unchanged code)
-    "approx_count_distinct",    # [r1+r2 ✓] sketch-agg twin of percentile_stats (bench)
-    "subquery_exists_anti",     # [r2 ✓] EXISTS/NOT-EXISTS ⊂ q21/q22 newcomers
-    "scalar_subquery_above_avg",  # [r2 ✓] scalar subquery ⊂ q22_dormant_balances
-    "array_functions_spectrum", # [r2 ✓] array exprs ⊂ chunking/novelty newcomers
-    "string_agg_suppliers",     # [r2 ✓] ordered agg ⊂ vocab_top_terms (in window)
-    "regexp_extract_part_colors",  # [r2 ✓] regex ⊂ pii_scrub_stats (in window)
-    "null_safe_join_props",     # [r2 ✓] join-variant ⊂ join_full_outer (tail, r4 ✓)
-    "map_functions_scalar",     # [r2 ✓] map exprs ⊂ doc_lang_id family
-    "grouped_trend_slope",      # [r2 ✓] applyInPandas ⊂ multimodal decode plumbing
-    "explode_lateral_shingles", # [r2 ✓] unnest ⊂ flag_contaminated_docs, minhash
     # round-4 rotation: winnow_containment_pairs promoted (the one
     # registered query with no driver row after r3); [r3 ✓] shapes
     # demoted to free its slot and the round-4 newcomers' slots
@@ -1059,12 +1053,6 @@ _DEMOTED_TAIL: list[str] = [
     "similarity_topk_ivf_pruned",  # [r5 ✓] partition pruning ⊂ ivfpq_pruned (promoted)
     "similarity_topk_ivfpq",    # [r5 ✓] composed IVF+PQ ⊂ ivfpq_residual (bench)
     "multimodal_feature_extract",  # [r5 ✓] mapInPandas fake ⊂ jpeg/gif/png decodes
-    # NOTE: multimodal_wav_decode re-windowed mid-round (policy (a)):
-    # decode_wav gained the want_data parameter for the DSP path, so
-    # its r5 row attests superseded code; ngram_jaccard_consecutive
-    # (r1, verify math ⊂ the bench-checked minhash oracle) defers to
-    # the round-7 promotion batch in its place.
-    "ngram_jaccard_consecutive",  # [r1 ✓] verify math ⊂ minhash_lsh_dedup_pairs (bench)
     "constraint_check_report",  # [r5 ✓] K4 enforcement ⊂ incremental_watermark (bench)
     "q9_product_profit",        # [r5 ✓] 5-way join graph ⊂ q5 (bench)
     "q16_supplier_part_counts", # [r5 ✓] NOT-IN + distinct agg ⊂ q4/q21 family
@@ -1076,23 +1064,6 @@ _DEMOTED_TAIL: list[str] = [
     "embedding_int8_quantize",  # [r5 ✓] array quantize ⊂ similarity_topk_pq (bench)
     "winnow_containment_pairs", # [r5 ✓] posting-list join ⊂ minhash (bench)
     "training_mix_order",       # [r5 ✓] weighted interleave ⊂ mixture_temperature (promoted)
-    # round-6 mid-round additions, no driver row yet — window already
-    # full of never-attested rows; promote in round 7 with the r2 block
-    "bpe_tokenize_stats",       # encode path ⊂ bpe_merge_ranks (promoted, same loop)
-    "ngram_cross_domain_rarity",  # held-out LM scoring ⊂ ngram_novelty_scores (promoted)
-    "multimodal_mjpeg_frames",  # MJPEG = jpeg ∘ avi ⊂ multimodal_jpeg_decode (promoted)
-    "multimodal_wav_dsp",       # int-exact audio DSP ⊂ multimodal_wav_decode family
-    "timeseries_gapfill_hourly",  # grid+interp windows ⊂ asof/sessionize family
-    "inverted_index_search",    # posting-list AND query ⊂ tfidf/vocab family
-    "funnel_conversion_stages", # staged conditional mins ⊂ sessionize/asof family
-    "record_linkage_blocked",   # blocked levenshtein ⊂ dedup family (bounded blocks)
-    "phrase_search_positional", # positional adjacency ⊂ inverted_index_search family
-    "profile_drift_orders",     # one-pass stats + stack unpivot ⊂ constraint/diagnostics family
-    "snapshot_diff_orders",     # row-level CDC diff ⊂ merge_upsert/profile family
-    "event_transition_matrix",  # lead-window pairs ⊂ sessionize/window family
-    "fk_candidate_containment", # distinct-set semi joins ⊂ constraint family
-    "cohort_retention_weekly",  # cohort triangle ⊂ sessionize/date family
-    "timeseries_anomaly_hours", # decimal-exact 3σ scan ⊂ gapfill/percentile family
     # round-6 late additions (sketch/scale primitives), no driver row
     # yet — join the round-7 promotion queue behind the blocks above
     "hll_portable_distinct",    # md5-register HLL ⊂ approx_count_distinct family
@@ -1189,9 +1160,51 @@ _DEMOTED_TAIL: list[str] = [
     "dbscan_embedding_clusters", # density clustering ⊂ near-dup/CC family
     "lexical_diversity_by_source", # TTR/hapax stylometrics ⊂ text-stats family
     "matview_agg_delta_refresh", # signed-delta agg IVM ⊂ matview/IVM family
+    # ---- round-7 rotation (standing policy): the twenty-seven [r6 ✓]
+    # non-bench window shapes with code UNCHANGED since their r6 row
+    # step down so the owed 26-block (ten r2-stale + fifteen round-6
+    # mid-round additions + deferred ngram_jaccard_consecutive) and the
+    # one verdict-demanded newcomer (corpus_quality_score) can attest.
+    # These are the FRESHEST rows in the registry — they queue at the
+    # very end of the retirement schedule (r10+).
+    "dedup_anti_join",          # [r6 ✓] F2/J1 ⊂ incremental_watermark_load (bench)
+    "project_cast_null_if_empty",  # [r6 ✓] P1-P3 ⊂ incremental_watermark_load (bench)
+    "watermark_scalar",         # [r6 ✓] A1 ⊂ incremental_watermark_load (bench)
+    "q6_forecast_revenue",      # [r6 ✓] pushdown filter-agg ⊂ q1 (bench)
+    "join_semi",                # [r6 ✓] semi ⊂ q3 (bench) + subquery_exists family
+    "distinct_pairs",           # [r6 ✓] A2 key-set ⊂ dedup_exact_docs (bench)
+    "scalar_date_functions",    # [r6 ✓] X1-X3 ⊂ events_hourly/sessionize family
+    "events_hourly_rollup",     # [r6 ✓] time-bucket agg ⊂ streaming_hourly_rollup (bench)
+    "pivot_status_by_priority", # [r6 ✓] pivot ⊂ q1 conditional aggs (bench)
+    "doc_winnow_fingerprints",  # [r6 ✓] winnowing ⊂ doc_text_stats (bench) + minhash
+    "fuzzy_decontaminate_docs", # [r6 ✓] gram-overlap probe ⊂ minhash (bench)
+    "dedup_transitive_clusters",  # [r6 ✓] CC over pairs ⊂ minhash (bench)
+    "asof_join_next_event",     # [r6 ✓] forward mirror ⊂ asof_join_last_click (bench)
+    "range_join_value_buckets", # [r6 ✓] bucketed range ⊂ asof family + interval_bucket
+    "dedup_fuzzy_keepmin",      # [r6 ✓] keep-min policy ⊂ minhash (bench)
+    "multimodal_wav_decode",    # [r6 ✓] RIFF+PCM decode ⊂ multimodal codec family
+    "multimodal_png_decode",    # [r6 ✓] DEFLATE decode ⊂ multimodal codec family
+    "multimodal_gif_decode",    # [r6 ✓] LZW decode ⊂ multimodal codec family
+    "multimodal_jpeg_decode",   # [r6 ✓] DCT+Huffman ⊂ multimodal codec family
+    "corpus_quality_filter",    # [r6 ✓] rule gates ⊂ corpus_quality_score (promoted)
+    "mixture_temperature_sample",  # [r6 ✓] temperature mix ⊂ deterministic_sample family
+    "deterministic_sample",     # [r6 ✓] hash-threshold sample ⊂ mixture family
+    "similarity_topk_ivfpq_pruned",  # [r6 ✓] partition-pruned ADC ⊂ ivfpq_residual (bench)
+    "similarity_topk_ivfpq_rerank",  # [r6 ✓] two-stage rerank ⊂ ivfpq_residual (bench)
+    "union_by_name_missing",    # [r6 ✓] set-op surface ⊂ distinct_pairs family
+    "bpe_merge_ranks",          # [r6 ✓] BPE train loop ⊂ bpe_tokenize_stats (promoted)
+    "doc_length_mad_by_lang",   # [r6 ✓] grouped-agg pandas UDF ⊂ multimodal Arrow family
 ]
 
 _CHECK_WINDOW = 50
+
+#: Rotation-policy clause (a) escape hatch for the freshness gate
+#: (tools/freshness_report.py --gate): a query listed here was
+#: RE-WINDOWED because its operator code changed since its latest
+#: driver row — the gate would otherwise reject it as "window slot
+#: spent on a fresh row". Reset to empty each round after the driver
+#: run attests the new code. Round 7: empty (no clause-(a) cases).
+REWINDOWED: set[str] = set()
 
 
 def _reorder_registry() -> None:

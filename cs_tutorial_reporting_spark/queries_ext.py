@@ -20,7 +20,17 @@ from .queries import register, t
 # -- shared SQL fragments (DuckDB dialect) — single-sourced in the leaf
 # module duck_sql.py so sibling queries_* modules can import them
 # without a cycle through queries.py; re-exported here for back-compat
-from .duck_sql import HASH60_SQL, NORM_SQL, WORDS_SQL  # noqa: F401
+from .duck_sql import (  # noqa: F401
+    HASH60_SQL,
+    LEARNED_LOGIT_SQL,
+    NORM_SQL,
+    QW_PASS_PPM,
+    WORDS_SQL,
+)
+
+#: DuckDB twin of the per-document learned quality logit over the
+#: normalized whitespace tokens of documents.text
+_LOGIT_SQL = LEARNED_LOGIT_SQL.format(words=WORDS_SQL)
 
 
 def _shingles_n_sql(n: int) -> str:
@@ -3455,6 +3465,60 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_quality_score",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               {_LOGIT_SQL} AS logit_ppm
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(logit_ppm) // count(*) AS BIGINT) AS mean_logit_ppm,
+           CAST(sum(CASE WHEN logit_ppm >= {QW_PASS_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass
+    FROM scored GROUP BY source
+    """,
+)
+def corpus_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality-score stage (VERDICT r6 next-round #5): a frozen
+    fastText-style linear classifier — hashed bag-of-words features ×
+    an integer ppm weight vector — scored per document and reported
+    per source (doc count, mean logit ppm, pass count at the frozen
+    threshold). The classifier complements the RULE gates
+    (corpus_quality_filter): rules encode what curators wrote down,
+    the linear scorer encodes what a trained model learned; standard
+    pipelines run both (e.g. CCNet/fastText quality filtering).
+
+    Integer-exact end to end: weights are frozen ppm integers
+    (duck_sql.QW_WEIGHTS — one Python list drives both engines), the
+    per-doc logit is a truncating integer division of non-negative
+    parts, so Spark `div` and DuckDB `//` agree bit-for-bit.
+
+    100 TB: ONE corpus scan; the scorer is a single-level fold per
+    document (whole-stage codegen, no Python, no shuffle) and the only
+    shuffle is the tiny per-source rollup.
+    """
+    from .duck_sql import QW_PASS_PPM
+    from .functions.text import learned_quality_parts
+
+    d = t(spark, sf_dir, "documents")
+    tot, ntok = learned_quality_parts(F.col("text"))
+    scored = d.select(
+        "source", tot.alias("__tot"), ntok.alias("__n")
+    ).select("source", F.expr("CAST(__tot div __n AS BIGINT)").alias("logit_ppm"))
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(logit_ppm) div count(*) AS BIGINT)").alias(
+            "mean_logit_ppm"
+        ),
+        F.sum(F.when(F.col("logit_ppm") >= QW_PASS_PPM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+
+
+@register(
     "corpus_cleaning_funnel",
     oracle=f"""
     WITH keepers AS MATERIALIZED (
@@ -3465,6 +3529,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                (n_chars BETWEEN 100 AND 500) AS len_ok,
                ({_QUALITY_SQL}) >= 0.5 AS q_ok,
+               ({_LOGIT_SQL}) >= {QW_PASS_PPM} AS s_ok,
                ({_PRED_SQL}) = lang AS lang_ok,
                doc_id IN (SELECT doc_id FROM keepers) AS uniq_ok
         FROM (SELECT doc_id, source, lang, text, n_chars, {_SCORES_SQL},
@@ -3477,29 +3542,40 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_len_ok,
            CAST(sum(CASE WHEN len_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT)
                AS n_quality_ok,
-           CAST(sum(CASE WHEN len_ok AND q_ok AND lang_ok
+           CAST(sum(CASE WHEN len_ok AND q_ok AND s_ok THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_score_ok,
+           CAST(sum(CASE WHEN len_ok AND q_ok AND s_ok AND lang_ok
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
-           CAST(sum(CASE WHEN len_ok AND q_ok AND lang_ok AND uniq_ok
+           CAST(sum(CASE WHEN len_ok AND q_ok AND s_ok AND lang_ok AND uniq_ok
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
     FROM flags GROUP BY source
     """,
 )
 def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-cleaning acceptance funnel, per source: total docs →
-    length gate (100–500 chars) → quality gate (composite score ≥ 0.5)
-    → language gate (heuristic lang-id agrees with the label) → exact
-    dedup keep-min survivors — the stage-by-stage survivor report every
-    training-data pipeline publishes, composed from the engine's own
-    primitives (quality_score, lang_id, exact_dedup) so the report and
-    the pipeline can never disagree.
+    length gate (100–500 chars) → rule quality gate (composite score
+    ≥ 0.5) → LEARNED quality gate (frozen linear classifier logit ≥
+    threshold — the round-7 verdict-demanded stage) → language gate
+    (heuristic lang-id agrees with the label) → exact dedup keep-min
+    survivors — the stage-by-stage survivor report every training-data
+    pipeline publishes, composed from the engine's own primitives
+    (quality_score, learned_quality_parts, lang_id, exact_dedup) so
+    the report and the pipeline can never disagree.
 
-    100 TB: ONE corpus scan computes all stage flags as expressions;
+    100 TB: ONE corpus scan computes all stage flags as expressions
+    (the learned logit included — a single-level fold, no Python);
     the only shuffle is the 16-byte-key exact-dedup groupBy (keep-min
     is a semi-join against the keeper ids). Stages are cumulative ANDs
     — each row contributes to every stage count in the same pass, so
     adding a stage costs an expression, not a scan.
     """
-    from .functions.text import fingerprint, lang_id, quality_score
+    from .duck_sql import QW_PASS_PPM as _pass
+    from .functions.text import (
+        fingerprint,
+        lang_id,
+        learned_quality_parts,
+        quality_score,
+    )
 
     d = t(spark, sf_dir, "documents")
     keepers = (
@@ -3508,16 +3584,21 @@ def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    tot, ntok = learned_quality_parts(F.col("text"))
     # hint-free: Catalyst broadcasts the keeper ids while they fit and
     # falls back to a shuffle semi at scale (keepers ≈ corpus-sized)
-    flags = d.join(
-        keepers.withColumn("__keep", F.lit(True)), "doc_id", "left"
-    ).select(
-        "source",
-        F.col("n_chars").between(100, 500).alias("len_ok"),
-        (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
-        (lang_id(F.col("text")) == F.col("lang")).alias("lang_ok"),
-        F.coalesce(F.col("__keep"), F.lit(False)).alias("uniq_ok"),
+    flags = (
+        d.join(keepers.withColumn("__keep", F.lit(True)), "doc_id", "left")
+        .select(
+            "source",
+            F.col("n_chars").between(100, 500).alias("len_ok"),
+            (quality_score(F.col("text")) >= 0.5).alias("q_ok"),
+            tot.alias("__tot"),
+            ntok.alias("__n"),
+            (lang_id(F.col("text")) == F.col("lang")).alias("lang_ok"),
+            F.coalesce(F.col("__keep"), F.lit(False)).alias("uniq_ok"),
+        )
+        .withColumn("s_ok", F.expr(f"(__tot div __n) >= {_pass}"))
     )
 
     def cum(*cols):
@@ -3530,8 +3611,9 @@ def corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_total"),
         cum("len_ok").alias("n_len_ok"),
         cum("len_ok", "q_ok").alias("n_quality_ok"),
-        cum("len_ok", "q_ok", "lang_ok").alias("n_lang_ok"),
-        cum("len_ok", "q_ok", "lang_ok", "uniq_ok").alias("n_unique"),
+        cum("len_ok", "q_ok", "s_ok").alias("n_score_ok"),
+        cum("len_ok", "q_ok", "s_ok", "lang_ok").alias("n_lang_ok"),
+        cum("len_ok", "q_ok", "s_ok", "lang_ok", "uniq_ok").alias("n_unique"),
     )
 
 

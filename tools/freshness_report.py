@@ -28,14 +28,115 @@ from collections import Counter
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def registry_order() -> tuple[list[str], set[str]]:
+def registry_order() -> tuple[list[str], set[str], set[str], set[str]]:
     """Registry names in window order from the live registry (imports
-    pyspark for the DataFrame types but starts no JVM)."""
+    pyspark for the DataFrame types but starts no JVM). Returns
+    (names, window, bench, rewindowed)."""
     sys.path.insert(0, REPO)
-    from cs_tutorial_reporting_spark.queries import QUERIES
+    from cs_tutorial_reporting_spark.queries import QUERIES, REWINDOWED
 
     names = list(QUERIES)
-    return names, set(names[:50])
+    bench = {n for n, q in QUERIES.items() if q.bench}
+    return names, set(names[:50]), bench, set(REWINDOWED)
+
+
+#: hard-gate budgets (tools/ship_gate.sh runs ``--gate``; VERDICT r6
+#: next-round #1). The never-attested TAIL ceiling follows the debt
+#: retirement schedule. NOTE the VERDICT quoted "never-count ≤ 83"
+#: (109 − 26), but its own demanded 26-block contains 11 entries that
+#: are STALE, not never (10 r2 rows + ngram_jaccard_consecutive's r1
+#: row) — only 15 of the 26 are never-attested, so the correct
+#: post-rotation tail-never count is 109 − 15 = 94, falling 27/round
+#: (r8: 67, r9: 40, r10: 13, r11: 0). The row-age ceiling is the
+#: steady-state refresh period: ~179 non-bench tail entries /
+#: 27 slots ≈ 7 rounds.
+NEVER_BASE_ROUND, NEVER_BASE = 6, 94
+MAX_ROW_AGE = 7
+
+
+def gate() -> int:
+    """Hard freshness gate — exit 1 unless the registry rotation is on
+    schedule. Three rules, all mechanical:
+
+    1. WINDOW DISCIPLINE: every non-bench window slot must be spent on
+       a query that NEEDS a row — never-attested, or latest row older
+       than the latest driver round — or be explicitly listed in
+       ``queries.REWINDOWED`` (rotation-policy clause (a): operator
+       code changed since its last row). A slot holding a current-round
+       green row is a wasted slot while debt exists.
+    2. NEVER-CEILING: never-attested TAIL entries must not exceed the
+       retirement schedule (new queries must be windowed immediately or
+       not added — the registry freeze, mechanized).
+    3. ROW-AGE: no attested tail entry's latest row may be older than
+       MAX_ROW_AGE rounds — the steady-state staleness bound once the
+       never-debt is retired.
+    """
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    latest_green: dict[str, int] = {}
+    for path in files:
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        for name, row in json.load(open(path)).items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            if ok:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    cur = max(
+        (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
+    )
+    names, window, bench, rewindowed = registry_order()
+    failures: list[str] = []
+
+    wasted = [
+        n
+        for n in names[:50]
+        if n not in bench
+        and n not in rewindowed
+        and latest_green.get(n, 0) >= cur
+    ]
+    if wasted:
+        failures.append(
+            f"window discipline: {len(wasted)} non-bench window slot(s) "
+            f"hold a current-round (r{cur}) row while debt exists — "
+            f"rotate them out: {wasted}"
+        )
+
+    tail_never = [
+        n for n in names[50:] if latest_green.get(n, 0) == 0
+    ]
+    ceiling = max(0, NEVER_BASE - 27 * (cur - NEVER_BASE_ROUND))
+    if len(tail_never) > ceiling:
+        failures.append(
+            f"never-ceiling: {len(tail_never)} never-attested tail "
+            f"entries > schedule ceiling {ceiling} at r{cur} — promote "
+            f"oldest-first (and don't add tail queries: registry is "
+            f"frozen until the debt clears)"
+        )
+
+    overage = [
+        (n, latest_green[n])
+        for n in names[50:]
+        if latest_green.get(n, 0) > 0 and cur - latest_green[n] > MAX_ROW_AGE
+    ]
+    if overage:
+        failures.append(
+            f"row-age: {len(overage)} tail entries older than "
+            f"{MAX_ROW_AGE} rounds: {overage}"
+        )
+
+    if failures:
+        for f in failures:
+            print(f"FRESHNESS GATE FAIL — {f}")
+        return 1
+    print(
+        f"freshness gate green: window disciplined, "
+        f"{len(tail_never)}/{ceiling} never-budget, no row older than "
+        f"{MAX_ROW_AGE} rounds"
+    )
+    return 0
 
 
 def main() -> int:
@@ -55,7 +156,7 @@ def main() -> int:
     cur = max(
         (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
     )
-    names, window = registry_order()
+    names, window, _, _ = registry_order()
     hist = Counter(latest_green.get(n, 0) for n in names)
     print(f"registered queries: {len(names)}   latest driver round: r{cur}")
     print("latest-green-row histogram (0 = never attested):")
@@ -85,4 +186,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(gate() if "--gate" in sys.argv[1:] else main())

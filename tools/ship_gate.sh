@@ -8,17 +8,20 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== ship gate 1/3: oracle gate (full registry) =="
+echo "== ship gate 0/4: freshness gate (rotation on schedule) =="
+python tools/freshness_report.py --gate
+
+echo "== ship gate 1/4: oracle gate (full registry) =="
 python tools/check_oracle.py /root/testdata/sf0.01
 if [[ "${FULL:-0}" == "1" ]]; then
   python tools/check_oracle.py /root/testdata/sf0.001
   python tools/check_oracle.py /root/testdata/sf0.1
 fi
 
-echo "== ship gate 2/3: pytest =="
+echo "== ship gate 2/4: pytest =="
 python -m pytest tests/ -q
 
-echo "== ship gate 3/3: bench drift vs best recorded round =="
+echo "== ship gate 3/4: bench drift vs best recorded round =="
 python tools/bench_compare.py
 
 echo "SHIP GATE GREEN"
