@@ -143,6 +143,52 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
     out["build_ivfpq_layout_write"] = round(best_w, 3)
     out["build_ivfpq_append_1k"] = round(best_a, 3)
 
+    # Persisted MinHash dedup index (round 7): build / probe / append
+    # benched separately — the probe row is the ingest-path answer that
+    # dedup_incremental_new_batch's docstring promised (that query
+    # recomputes corpus signatures per run because parquet is its only
+    # harness input; this one reads the STORED index, so its cost is
+    # the batch's signatures + broadcast joins).
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        append_to_band_index,
+        probe_band_index,
+        write_band_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    app_batch = corpus.limit(1000).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    best_bw = best_ba = float("inf")
+    idx_path = None
+    for _ in range(2):
+        path = tempfile.mkdtemp(prefix="bench_bandidx_")
+        t0 = time.perf_counter()
+        write_band_index(corpus, path, "text", "doc_id")
+        best_bw = min(best_bw, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        append_to_band_index(app_batch, path, "text", "doc_id")
+        best_ba = min(best_ba, time.perf_counter() - t0)
+        if idx_path is None:
+            # keep the first build (pre-append would double-count the
+            # synthetic ids; rebuild a clean copy for the probe)
+            idx_path = tempfile.mkdtemp(prefix="bench_bandidx_probe_")
+            write_band_index(corpus, idx_path, "text", "doc_id")
+        shutil.rmtree(path, ignore_errors=True)
+    out["build_band_index_write"] = round(best_bw, 3)
+    out["build_band_index_append_1k"] = round(best_ba, 3)
+    best_p = float("inf")
+    for _ in range(4):  # probes follow the query best-of-4 protocol
+        t0 = time.perf_counter()
+        probe_band_index(spark, idx_path, batch, "text", "doc_id").collect()
+        best_p = min(best_p, time.perf_counter() - t0)
+    out["dedup_probe_persisted_index"] = round(best_p, 3)
+    shutil.rmtree(idx_path, ignore_errors=True)
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_quantity"
     )

@@ -497,3 +497,75 @@ def test_bitmap_retention_single_event_shuffle(spark):
     p = plan_text(QUERIES["bitmap_retention_days"].fn(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # 31-row broadcast day grid
+
+
+def test_band_index_lifecycle_probe_matches_full_recompute(spark, tmp_path):
+    """The persisted MinHash dedup index (VERDICT r6 next-round #3 —
+    the dedup twin of the IVF-PQ layout lifecycle above): (1) probing
+    the STORED index with a new batch returns bit-identical pairs to
+    the full-recompute incremental path over corpus ∪ batch; (2)
+    append leaves every existing index file byte-untouched (a day's
+    arrivals cost a day's signatures, never a rebuild), and a probe
+    after append equals a probe of an index rebuilt from scratch over
+    the appended corpus; (3) the probe plan broadcasts the batch side
+    — the corpus posting lists are filtered by broadcast join, never
+    shuffled or re-aggregated."""
+    import glob
+    import os
+
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        append_to_band_index,
+        minhash_lsh_pairs_incremental,
+        probe_band_index,
+        write_band_index,
+    )
+    from cs_tutorial_reporting_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+
+    # (1) probe == full recompute restricted to batch-touching pairs
+    path = str(tmp_path / "dedup_idx")
+    write_band_index(old, path, "text", "doc_id")
+    probe = probe_band_index(spark, path, new, "text", "doc_id")
+    got = {(r.id_a, r.id_b, r.jaccard) for r in probe.collect()}
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs_incremental(
+            docs.withColumn("is_new", F.col("doc_id") % 10 == 0),
+            "text",
+            "doc_id",
+            "is_new",
+        ).collect()
+    }
+    assert got == want and got  # non-empty at sf0.001
+
+    # (3) plan shape: batch side broadcast, no cartesian anywhere
+    p = plan_text(probe)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # (2) append is O(batch) and rewrite-free: split the corpus, build
+    # on half, append the other half — old files byte-untouched, and
+    # the probe sees the appended docs exactly as a fresh build would
+    half_a = old.filter(F.col("doc_id") % 2 == 1)
+    half_b = old.filter(F.col("doc_id") % 2 == 0)
+    path2 = str(tmp_path / "dedup_idx_appended")
+    write_band_index(half_a, path2, "text", "doc_id")
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{path2}/**/*.parquet", recursive=True)
+    }
+    append_to_band_index(half_b, path2, "text", "doc_id")
+    after = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{path2}/**/*.parquet", recursive=True)
+    }
+    assert set(before) <= set(after)
+    assert all(after[f] == v for f, v in before.items())
+    got2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in probe_band_index(spark, path2, new, "text", "doc_id").collect()
+    }
+    assert got2 == got
