@@ -2583,3 +2583,150 @@ def test_dbscan_chain_cores_borders_noise(spark):
             for r in QUERIES["dbscan_embedding_clusters"].fn(spark, d).collect()
         }
     assert out == {1: (3, 2), -1: (0, 1)}
+
+
+def _clustered_labeled_embeddings(spark, n_clusters=16, per=25, noise=0.005,
+                                  n_outliers=10, seed=7, margin_planes=3):
+    """16 tight unit-norm clusters + a handful of isolated outliers,
+    with a deterministic 5% label flip — the fixture on which exact
+    and candidate-driven (LSH/IVF) neighbor sources must agree.
+
+    Centers are rejection-sampled to keep a MARGIN from the first
+    ``margin_planes`` deterministic LSH hyperplanes: a cluster whose
+    center sits within the cluster radius of a plane straddles two
+    buckets, and a lone minority-side vector loses every candidate
+    edge — a recall property of the fixture, not of the dataflow
+    under test. With margin ≫ radius every cluster lands whole in one
+    bucket, so bucketed-candidate recall is structurally 1 and census
+    equality tests the DATAFLOW claim, not sampling luck."""
+    import numpy as np
+
+    from cs_tutorial_reporting_spark.operators.similarity import _hyperplane
+
+    planes = np.array([_hyperplane(p, 64) for p in range(margin_planes)])
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    # cluster angular radius ~ noise * ||g||_max ≈ noise * 11 for 64-d
+    # gaussians; 0.2 is >3x that at noise=0.005
+    margin = 0.2
+
+    rng = np.random.default_rng(seed)
+    centers = np.empty((n_clusters, 64))
+    for c in range(n_clusters):
+        while True:
+            v = rng.normal(size=64)
+            v /= np.linalg.norm(v)
+            if np.abs(planes @ v).min() > margin:
+                centers[c] = v
+                break
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            i = c * per + j
+            v = centers[c] + noise * rng.normal(size=64)
+            v /= np.linalg.norm(v)
+            label = (c + 1) % n_clusters if i % 20 == 0 else c
+            rows.append((i, [float(x) for x in v], int(label)))
+    base = n_clusters * per
+    for j in range(n_outliers):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((base + j, [float(x) for x in v], int(j % n_clusters)))
+    # parquet round-trip: the exact scorer self-joins this frame, and a
+    # local-relation (or localCheckpoint'd) source trips Catalyst
+    # attribute binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND __va) under
+    # the .rdd-probe + crossJoin combination; parquet-backed tables —
+    # the production shape — never hit this
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="knn_dbscan_fixture_") + "/emb"
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_knn_agreement_identical_on_ivf_candidates(spark):
+    """The round-6 verdict's 'same dataflow on candidates' claim for
+    the kNN label-noise audit, as a passing test: on a clustered
+    corpus, knn_agreement_from_candidates fed IVF candidate top-k
+    (4 of 16 probed cells — a real candidate restriction, not a full
+    scan) produces the BIT-IDENTICAL agreement report to the exact
+    brute-force neighbor source. The aggregation downstream is the
+    same function object the registered query calls."""
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_centroids,
+        ivf_topk,
+    )
+    import cs_tutorial_reporting_spark.queries  # noqa: F401  (registry init first — avoids partial-module import)
+    from cs_tutorial_reporting_spark.queries_ext import (
+        knn_agreement_from_candidates,
+    )
+
+    e = _clustered_labeled_embeddings(spark)
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact_nn = brute_force_topk(
+        e.select("vec_id", "embedding"), q, k=11, dim=64
+    )
+    cents = build_ivf_centroids(e, 16, lloyd_iters=3)
+    cand_nn = ivf_topk(
+        e.select("vec_id", "embedding"), q, k=11, n_probes=4,
+        centroids=cents,
+    )
+    got_exact = {
+        tuple(r)
+        for r in knn_agreement_from_candidates(e, exact_nn).collect()
+    }
+    got_cand = {
+        tuple(r)
+        for r in knn_agreement_from_candidates(e, cand_nn).collect()
+    }
+    assert got_exact == got_cand and got_exact
+    # the fixture's flips must be visible (non-degenerate audit)
+    assert any(r[3] > 0 for r in got_exact)  # n_suspect column
+
+
+def test_dbscan_census_identical_on_lsh_candidates(spark):
+    """Same claim for DBSCAN: dbscan_census_from_pairs fed
+    LSH-bucketed candidate edges (embedding_near_dup_pairs
+    n_planes=3 — 8 hyperplane buckets, a real candidate restriction)
+    produces the BIT-IDENTICAL cluster census to the exact all-pairs
+    edge source on the clustered fixture, outliers landing in the
+    noise row either way. The downstream (degree → cores → CC →
+    border → census) is the same function object the registered
+    query calls."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        bucket_corpus,
+        embedding_near_dup_pairs,
+    )
+    import cs_tutorial_reporting_spark.queries  # noqa: F401  (registry init first)
+    from cs_tutorial_reporting_spark.queries_ext import (
+        dbscan_census_from_pairs,
+    )
+
+    e = _clustered_labeled_embeddings(spark)
+    exact_pairs = embedding_near_dup_pairs(
+        e, threshold=0.8, n_planes=0, dim=64
+    )
+    # materialized index, like the registered LSH query's _NEARDUP_INDEX
+    # (the self-join of a lazily-derived pandas-UDF bucket frame trips
+    # Catalyst attribute binding — persisting the index is the
+    # documented probe pattern anyway)
+    bucketed = bucket_corpus(e, n_planes=3, dim=64).localCheckpoint()
+    lsh_pairs = embedding_near_dup_pairs(
+        e, threshold=0.8, n_planes=3, dim=64, bucketed=bucketed
+    )
+    got_exact = {
+        tuple(r) for r in dbscan_census_from_pairs(e, exact_pairs).collect()
+    }
+    got_lsh = {
+        tuple(r) for r in dbscan_census_from_pairs(e, lsh_pairs).collect()
+    }
+    assert got_exact == got_lsh
+    # non-degenerate: 16 clusters + the noise row, outliers all noise
+    assert len(got_exact) == 17
+    noise = {r for r in got_exact if r[0] == -1}
+    assert noise == {(-1, 0, 10)}

@@ -76,6 +76,10 @@ GUARDED = [
     # a checked path) — guard its consumer like minhash after ITS
     # rewrite
     "winnow_containment_pairs",
+    # round 7 (VERDICT r6 item #4): both consume the Arrow brute-force
+    # scorer / dot_flat fold — same guard class as the ANN queries
+    "knn_label_agreement",
+    "dbscan_embedding_clusters",
 ]
 
 #: how many registry entries to replay before checking — comfortably
