@@ -2730,3 +2730,66 @@ def test_dbscan_census_identical_on_lsh_candidates(spark):
     assert len(got_exact) == 17
     noise = {r for r in got_exact if r[0] == -1}
     assert noise == {(-1, 0, 10)}
+
+
+def test_streaming_neardup_ingest_indexed_matches_recompute(spark, tmp_path):
+    """The persisted-index ingest stream (round 7): the drained answer
+    of run_neardup_ingest_stream_indexed — each batch probing the
+    STORED band index, then folding itself in — must equal the
+    recompute-per-batch stream's answer on the same staged batches,
+    including the cross-batch new-new pair (found because batch 0
+    appended itself to the index before batch 1 probed). Also pins the
+    replay fence: the index's _last_batch_id survives the drain at the
+    final batch id."""
+    import os
+
+    from cs_tutorial_reporting_spark.operators.dedup import write_band_index
+    from cs_tutorial_reporting_spark.streaming.incremental import (
+        run_neardup_ingest_stream,
+        run_neardup_ingest_stream_indexed,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (10, dup),                      # new, batch 0
+        (20, dup),                      # new, batch 1 -> cross-batch pair
+        (1, dup + " extra tail"),       # old: high-overlap with both
+        (2, "completely unrelated text about spark physical plans"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    old = corpus.filter(F.col("doc_id").isin([1, 2]))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i, ids in enumerate(([10], [20])):
+        sub = tmp_path / f"w{i}"
+        corpus.filter(F.col("doc_id").isin(ids)).coalesce(1).write.parquet(
+            str(sub)
+        )
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        os.rename(str(sub / part), str(stage / f"{i:04d}.parquet"))
+
+    idx = str(tmp_path / "band_idx")
+    write_band_index(old, idx, "text", "doc_id")
+    got_idx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in run_neardup_ingest_stream_indexed(
+            idx,
+            str(stage),
+            str(tmp_path / "out_idx"),
+            str(tmp_path / "ckpt_idx"),
+        ).collect()
+    }
+    got_rec = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in run_neardup_ingest_stream(
+            corpus,
+            str(stage),
+            str(tmp_path / "out_rec"),
+            str(tmp_path / "ckpt_rec"),
+            n_batches=2,
+        ).collect()
+    }
+    assert got_idx == got_rec
+    assert (10, 20) in got_idx and got_idx[(10, 20)] == 1.0
+    with open(os.path.join(idx, "_last_batch_id")) as f:
+        assert int(f.read()) == 1  # two batches: ids 0 and 1
