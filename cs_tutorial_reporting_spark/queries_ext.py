@@ -2204,10 +2204,16 @@ def fk_candidate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ct, cc, pt, pc in checks:
         child = t(spark, sf_dir, ct).select(cc).distinct()
         parent = t(spark, sf_dir, pt).select(F.col(pc).alias(cc)).distinct()
-        contained = child.join(parent, cc, "left_semi")
+        # ONE pass computes both counts: left-join a presence marker and
+        # count it alongside count(*) — no scalar crossJoins (the r7
+        # window plan audit found the old two-agg × crossJoin shape: 3
+        # BroadcastNestedLoopJoins, each 1-row × 1-row — harmless but
+        # strictly worse than one aggregate over one join)
+        marked = child.join(parent.withColumn("__m", F.lit(1)), cc, "left")
         outs.append(
-            child.agg(F.count("*").alias("n_child")).crossJoin(
-                contained.agg(F.count("*").alias("n_contained"))
+            marked.agg(
+                F.count("*").alias("n_child"),
+                F.count("__m").alias("n_contained"),
             ).select(
                 F.lit(f"{ct}.{cc}").alias("child_col"),
                 F.lit(f"{pt}.{pc}").alias("parent_col"),

@@ -42,6 +42,7 @@ SCALAR_BROADCAST = {
     "constraint_check_report",  # 1-row violation-count threshold
     "q11_important_parts",      # global HAVING scalar vs grouped sums
     "mixture_temperature_sample",  # 1-row Σ√n normalizer vs source dims
+    "scalar_subquery_above_avg",  # 1-row global avg vs every order (r7 window)
 }
 
 #: window queries not plan-audited here: the returned DataFrame is a
