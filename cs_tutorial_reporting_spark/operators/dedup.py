@@ -1227,6 +1227,9 @@ def write_band_index(
     sh_df, bands = _shingle_band_frames(
         df, text_col, id_col, num_hashes, band_size, shingle_n
     )
+    # two consumers (posting-list write + counts rollup): materialize
+    # once or the signature explode+min agg runs twice per build
+    bands = bands.localCheckpoint(eager=True)
     sh_df.write.mode("overwrite").parquet(f"{path}/shingles")
     bands.select("__band", "__id").write.mode("overwrite").parquet(
         f"{path}/bands"
@@ -1255,6 +1258,7 @@ def append_to_band_index(
     sh_df, bands = _shingle_band_frames(
         new_df, text_col, id_col, num_hashes, band_size, shingle_n
     )
+    bands = bands.localCheckpoint(eager=True)  # 2 consumers, as in build
     sh_df.write.mode("append").parquet(f"{path}/shingles")
     bands.select("__band", "__id").write.mode("append").parquet(
         f"{path}/bands"
