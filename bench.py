@@ -187,6 +187,16 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
         probe_band_index(spark, idx_path, batch, "text", "doc_id").collect()
         best_p = min(best_p, time.perf_counter() - t0)
     out["dedup_probe_persisted_index"] = round(best_p, 3)
+    # the O(batch) evidence row: a 100-doc arrival against the same
+    # index must cost a fraction of the 10%-of-corpus probe above —
+    # probe cost tracks |new|, never |corpus|
+    small = batch.limit(100).localCheckpoint(eager=True)
+    best_s = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        probe_band_index(spark, idx_path, small, "text", "doc_id").collect()
+        best_s = min(best_s, time.perf_counter() - t0)
+    out["dedup_probe_persisted_100"] = round(best_s, 3)
     shutil.rmtree(idx_path, ignore_errors=True)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(

