@@ -1359,19 +1359,24 @@ def probe_band_index(
 
     Plan shape (the 100 TB contract):
       * batch signatures: |new| docs, one map-combined shuffle;
-      * PARTITION PRUNING FIRST: the batch's band-hash buckets (a
-        bounded ≤ BAND_INDEX_BUCKETS int list, collected driver-side
+      * PARTITION PRUNING FIRST (pruned layout, auto-detected from
+        the read schema; modulus from _index_meta.json): the batch's
+        band-hash buckets (a bounded int list collected driver-side
         like an IVF probe's cell list) filter the bands/counts reads,
         so only the index FILES the batch hashes into are scanned —
-        PartitionFilters pinned in test_plans.py;
+        PartitionFilters pinned in test_plans.py. On the default flat
+        layout this step is skipped (see the BAND_INDEX_BUCKETS
+        measured-trade note);
       * the batch's distinct band keys + partial counts are SMALL →
         broadcast; the surviving posting lists are filtered by a
         broadcast-hash join (no corpus shuffle), and the max_bucket
         cap is evaluated from SUMMED partial counts restricted to
         probed bands — the corpus bands table is never aggregated;
-      * verify joins touch only candidate ids' shingle FILES: the
-        candidate set's id-hash buckets prune the shingle store the
-        same way.
+      * verify joins touch only candidate ids' shingle FILES on the
+        pruned layout (the candidate set's id-hash buckets prune the
+        shingle store the same way); on the flat layout they touch
+        only candidate ROWS (the join keys bound the probe either
+        way — pruning moves the bound from rows to files).
     """
     new_sh, new_bands = _shingle_band_frames(
         new_df, text_col, id_col, num_hashes, band_size, shingle_n
