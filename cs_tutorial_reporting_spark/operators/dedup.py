@@ -1355,7 +1355,13 @@ def probe_band_index(
     ≥ 1 batch doc — BIT-IDENTICAL to running
     ``minhash_lsh_pairs_incremental`` over (indexed corpus ∪ batch)
     with the batch marked new (pytest-pinned equality), but the only
-    signature work per run is the batch's own.
+    signature work per run is the batch's own. CONTRACT: batch ids
+    must be disjoint from indexed ids (an id present on both sides
+    would double its shingle rows in the verify join and duplicate
+    its output pairs) — re-crawls of existing documents arrive under
+    new ids or are deduped upstream; the streaming wrapper's replay
+    fence preserves this by skipping the re-append, and its sink
+    read-back applies a distinct either way.
 
     Plan shape (the 100 TB contract):
       * batch signatures: |new| docs, one map-combined shuffle;
