@@ -257,42 +257,20 @@ def minhash_lsh_pairs_incremental(
     signatures + one band join against the index + verify joins that
     touch only candidate ids.
     """
-    n_bands = num_hashes // band_size
-    src = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__txt"),
-        F.col(new_col).alias("__new"),
+    # shared signature pipeline (_shingle_band_frames — the same
+    # expressions build the persisted index, so index probes stay
+    # probe-compatible by construction, not by parallel maintenance;
+    # the bit-identity is additionally pinned by the lifecycle pytest)
+    sh_df, bands = _shingle_band_frames(
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        band_size,
+        shingle_n,
+        extra_cols={"__new": new_col},
     )
-    sh_df = src.select(
-        "__id", "__new", shingles(F.col("__txt"), shingle_n).alias("__sh")
-    ).localCheckpoint(eager=True)
-    salted_mins = [
-        F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("__s")))).alias(f"__mh{j}")
-        for j in range(num_hashes)
-    ]
-    mh = (
-        sh_df.select("__id", F.explode("__sh").alias("__s"))
-        .groupBy("__id")
-        .agg(*salted_mins)
-    )
-    bands = mh.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[
-                            F.col(f"__mh{b * band_size + i}").cast("string")
-                            for i in range(band_size)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("__band"),
-    ).join(sh_df.select("__id", "__new"), "__id")
+    bands = bands.join(sh_df.select("__id", "__new"), "__id")
     ok = (
         bands.groupBy("__band")
         .agg(F.count("*").alias("__n"))
@@ -1153,6 +1131,7 @@ def _shingle_band_frames(
     num_hashes: int,
     band_size: int,
     shingle_n: int,
+    extra_cols: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature pipeline: returns ``(sh_df, bands)`` where
     ``sh_df`` is (``__id``, ``__sh``) — eagerly checkpointed, it feeds
@@ -1163,8 +1142,13 @@ def _shingle_band_frames(
     no higher-order lambdas — the round-4 hazard class), so an index
     built here is probe-compatible with the full-recompute paths."""
     n_bands = num_hashes // band_size
+    carried = [
+        F.col(srccol).alias(alias)
+        for alias, srccol in (extra_cols or {}).items()
+    ]
     sh_df = df.select(
         F.col(id_col).alias("__id"),
+        *carried,
         shingles(F.col(text_col), shingle_n).alias("__sh"),
     ).localCheckpoint(eager=True)
     salted_mins = [
@@ -1223,6 +1207,25 @@ def _band_bucket(band_col, buckets: int = BAND_INDEX_BUCKETS):
 def _id_bucket(id_col_expr, buckets: int = BAND_INDEX_BUCKETS):
     """Partition bucket of a doc id (shingle-store pruning key)."""
     return F.pmod(F.xxhash64(id_col_expr), F.lit(buckets)).cast("int")
+
+
+def _empty_pairs(spark, new_df: DataFrame, id_col: str) -> DataFrame:
+    """Empty (id_a, id_b, jaccard) frame whose id columns carry the
+    CALLER's id type — a hardcoded bigint schema would type-mismatch
+    string-keyed indexes on the empty-input path only."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = new_df.schema[id_col].dataType
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("id_a", id_type),
+                StructField("id_b", id_type),
+                StructField("jaccard", DoubleType()),
+            ]
+        ),
+    )
 
 
 def _write_index_tables(
@@ -1293,18 +1296,22 @@ def write_band_index(
     agg) — the same cost minhash_lsh_pairs pays ONCE per full-dedup
     run, now paid once per corpus LIFETIME.
 
-    LAYOUT IS PARTITION-PRUNED (the IVF-probe pattern,
-    similarity.py::ivfpq_topk_pruned): bands and counts are
-    partitioned by a band-hash bucket, shingles by an id-hash bucket
-    (``BAND_INDEX_BUCKETS`` dirs each). A probe collects its batch's
-    bucket ids (a bounded ≤ BAND_INDEX_BUCKETS int list) and filters
-    the reads, so PartitionFilters prune index FILES before any scan —
-    at 100 TB a small arrival batch reads the fraction of the index
-    its keys hash to, never the corpus (plan-pinned in
-    test_plans.py). Parameters (num_hashes, band_size, shingle_n, the
-    bucket constant) are the frozen index contract — probes and
-    appends must match (cf. the frozen-quantizer contract of
-    append_to_ivfpq_layout)."""
+    Layout: FLAT by default; pass ``buckets=N`` for the
+    PARTITION-PRUNED layout (the IVF-probe pattern,
+    similarity.py::ivfpq_topk_pruned) — bands/counts partitioned by a
+    band-hash bucket, shingles by an id-hash bucket, so a probe's
+    bounded bucket-list collect lets PartitionFilters prune index
+    FILES before any scan (plan-pinned in test_plans.py). Choose by
+    the measured trade at BAND_INDEX_BUCKETS: pruning wins only at
+    production bucket counts where a batch's keys cover a small
+    fraction of buckets. Parameters (num_hashes, band_size,
+    shingle_n, and the bucket count — persisted in _index_meta.json)
+    are the frozen index contract — appends must match and probes
+    auto-detect (cf. the frozen-quantizer contract of
+    append_to_ivfpq_layout). The meta/fence sidecars use driver-local
+    file IO: the harness indexes live on local disk; an object-store
+    deployment replaces them with a conditional put (same contract as
+    sources/versioned.py's pointer files)."""
     sh_df, bands = _shingle_band_frames(
         df, text_col, id_col, num_hashes, band_size, shingle_n
     )
@@ -1410,9 +1417,7 @@ def probe_band_index(
             .collect()
         ]
         if not bp_list:
-            return spark.createDataFrame(
-                [], "id_a bigint, id_b bigint, jaccard double"
-            )
+            return _empty_pairs(spark, new_df, id_col)
         idx_bands = idx_bands.filter(F.col("__bp").isin(bp_list))
         idx_counts = idx_counts.filter(F.col("__bp").isin(bp_list))
     idx_bands = idx_bands.select("__band", "__id")
@@ -1462,9 +1467,7 @@ def probe_band_index(
             .collect()
         ]
         if not sp_list:
-            return spark.createDataFrame(
-                [], "id_a bigint, id_b bigint, jaccard double"
-            )
+            return _empty_pairs(spark, new_df, id_col)
         sh_idx = sh_idx.filter(F.col("__sp").isin(sp_list))
     sh_all = sh_idx.select("__id", "__sh").unionByName(new_sh)
     verified = cand.join(

@@ -233,15 +233,21 @@ def run_neardup_ingest_stream_indexed(
     recompute-per-batch answer).
 
     Exactly-once: the pair sink is idempotent under replay (distinct
-    collapses re-finds), but the index APPEND is additive — a
-    replayed batch would double its posting-list rows and partial
-    counts (duplicate candidates still collapse, but doubled counts
-    could spuriously trip max_bucket). The fence is the same
-    epoch-id sidecar run_mv_refresh_stream uses: ``_last_batch_id``
-    inside the index directory, written AFTER the append — a
-    replayed batch sees its own id and skips the append (its pair
-    probe re-runs harmlessly).
+    collapses re-finds); the index APPEND is additive, so it is
+    fenced with a TWO-PHASE epoch-id sidecar (``_append_intent`` /
+    ``_last_batch_id`` inside the index directory). The append write
+    itself is all-or-nothing (Spark's job commit), so the only
+    ambiguous crash window is between the append's commit and the
+    done-fence write; the intent marker makes that window LOUD
+    instead of silently double-appending: a restart that finds an
+    intent with no matching done-fence raises with repair guidance
+    (a doubled batch would conservatively trip max_bucket earlier
+    and fan out verify joins — bounded, never wrong pairs, but an
+    index owner should decide, not a silent default). The layout /
+    bucket-count contract is honored automatically: the append reads
+    the modulus from the index's own ``_index_meta.json``.
     """
+    import json
     import os
 
     from pyspark.sql import SparkSession
@@ -250,6 +256,12 @@ def run_neardup_ingest_stream_indexed(
 
     spark = SparkSession.getActiveSession()
     fence = os.path.join(index_path, "_last_batch_id")
+    intent = os.path.join(index_path, "_append_intent")
+    meta_path = os.path.join(index_path, "_index_meta.json")
+    built_buckets = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            built_buckets = json.load(f).get("buckets")
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -260,10 +272,29 @@ def run_neardup_ingest_stream_indexed(
         if os.path.exists(fence):
             with open(fence) as f:
                 applied = int(f.read().strip() or -1)
-        if batch_id > applied:
-            append_to_band_index(batch_df, index_path, text_col, id_col)
-            with open(fence, "w") as f:
-                f.write(str(batch_id))
+        if batch_id <= applied:
+            return  # replayed batch: append already fenced as done
+        if os.path.exists(intent):
+            with open(intent) as f:
+                pending = int(f.read().strip() or -1)
+            if pending == batch_id:
+                raise RuntimeError(
+                    f"band index at {index_path} has an unresolved append "
+                    f"intent for batch {batch_id}: a prior attempt crashed "
+                    "between the append's job commit and its done-fence. "
+                    "The batch's rows are either fully present or fully "
+                    "absent (job commit is atomic). Repair: rebuild the "
+                    "index, or verify presence of the batch's ids in the "
+                    "posting lists and write the done-fence by hand."
+                )
+        with open(intent, "w") as f:
+            f.write(str(batch_id))
+        append_to_band_index(
+            batch_df, index_path, text_col, id_col, buckets=built_buckets
+        )
+        with open(fence, "w") as f:
+            f.write(str(batch_id))
+        os.remove(intent)
 
     stream = (
         spark.readStream.schema(f"{id_col} bigint, {text_col} string")

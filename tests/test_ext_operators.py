@@ -2793,3 +2793,20 @@ def test_streaming_neardup_ingest_indexed_matches_recompute(spark, tmp_path):
     assert (10, 20) in got_idx and got_idx[(10, 20)] == 1.0
     with open(os.path.join(idx, "_last_batch_id")) as f:
         assert int(f.read()) == 1  # two batches: ids 0 and 1
+    assert not os.path.exists(os.path.join(idx, "_append_intent"))
+
+    # pruned-layout index: the stream reads the modulus from the
+    # index's own meta, so its appends honor the frozen contract
+    # (regression pin for the buckets-passthrough fix)
+    idx2 = str(tmp_path / "band_idx_pruned")
+    write_band_index(old, idx2, "text", "doc_id", buckets=8)
+    got_pruned = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in run_neardup_ingest_stream_indexed(
+            idx2,
+            str(stage),
+            str(tmp_path / "out_pruned"),
+            str(tmp_path / "ckpt_pruned"),
+        ).collect()
+    }
+    assert got_pruned == got_rec

@@ -33,11 +33,15 @@ def registry_order() -> tuple[list[str], set[str], set[str], set[str]]:
     pyspark for the DataFrame types but starts no JVM). Returns
     (names, window, bench, rewindowed)."""
     sys.path.insert(0, REPO)
-    from cs_tutorial_reporting_spark.queries import QUERIES, REWINDOWED
+    from cs_tutorial_reporting_spark.queries import (
+        _CHECK_WINDOW,
+        QUERIES,
+        REWINDOWED,
+    )
 
     names = list(QUERIES)
     bench = {n for n, q in QUERIES.items() if q.bench}
-    return names, set(names[:50]), bench, set(REWINDOWED)
+    return names, set(names[:_CHECK_WINDOW]), bench, set(REWINDOWED)
 
 
 #: hard-gate budgets (tools/ship_gate.sh runs ``--gate``; VERDICT r6
@@ -88,11 +92,18 @@ def gate() -> int:
         (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
     )
     names, window, bench, rewindowed = registry_order()
+    if cur == 0:
+        # no driver round recorded yet (fresh clone / archived rounds):
+        # there is no row freshness to gate — window composition is
+        # enforced by queries.py's import-time asserts
+        print("freshness gate: no CORRECTNESS_r*.json found — skipped")
+        return 0
+    n_window = len(window)
     failures: list[str] = []
 
     wasted = [
         n
-        for n in names[:50]
+        for n in names[:n_window]
         if n not in bench
         and n not in rewindowed
         and latest_green.get(n, 0) >= cur
@@ -105,7 +116,7 @@ def gate() -> int:
         )
 
     tail_never = [
-        n for n in names[50:] if latest_green.get(n, 0) == 0
+        n for n in names[n_window:] if latest_green.get(n, 0) == 0
     ]
     ceiling = max(0, NEVER_BASE - 27 * (cur - NEVER_BASE_ROUND))
     if len(tail_never) > ceiling:
@@ -118,7 +129,7 @@ def gate() -> int:
 
     overage = [
         (n, latest_green[n])
-        for n in names[50:]
+        for n in names[n_window:]
         if latest_green.get(n, 0) > 0 and cur - latest_green[n] > MAX_ROW_AGE
     ]
     if overage:
