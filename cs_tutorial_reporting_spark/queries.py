@@ -1064,35 +1064,10 @@ _DEMOTED_TAIL: list[str] = [
     "embedding_int8_quantize",  # [r5 ✓] array quantize ⊂ similarity_topk_pq (bench)
     "winnow_containment_pairs", # [r5 ✓] posting-list join ⊂ minhash (bench)
     "training_mix_order",       # [r5 ✓] weighted interleave ⊂ mixture_temperature (promoted)
-    # round-6 late additions (sketch/scale primitives), no driver row
-    # yet — join the round-7 promotion queue behind the blocks above
-    "hll_portable_distinct",    # md5-register HLL ⊂ approx_count_distinct family
-    "bloom_prefilter_semi",     # literal-bitmap prefilter ⊂ flag_contaminated_docs (broadcast probe)
-    "split_assign_stats",       # salted-hash split ⊂ stratified_sample family
-    "user_activity_islands",    # anchor-window runs ⊂ sessionization/gapfill family
-    "interval_bucket_join",     # hour-bucket equi-join ⊂ asof/range family
-    "udtf_chunk_rows",          # UDTF surface ⊂ doc_chunking_stats (expression twin)
-    "cms_heavy_hitters",        # count-min grid ⊂ vocab/tfidf + hll sketch family
-    "seasonal_hourly_profile",  # hod baseline ⊂ timeseries_anomaly/gapfill family
-    "pagerank_event_graph",     # unrolled iterative joins ⊂ transition matrix family
-    "histogram_quantile_sketch",  # mergeable bins ⊂ percentile_stats (bench)
-    "prefix_filter_jaccard_pairs",  # AllPairs prefix ⊂ minhash (bench, probabilistic twin)
-    "streaming_hll_distinct",   # bounded-state stream distinct ⊂ streaming_hourly (bench)
-    "window_rank_spectrum",     # ntile/percent_rank/cume_dist ⊂ window_topk (bench)
-    "posting_gap_encode_stats", # varint audit ⊂ inverted_index/search family
-    "bm25_rank_topk",           # integer-rational ranked retrieval ⊂ search/tfidf family
-    "user_behavior_gini",       # log-free diversity ⊂ agg/diagnostics family
-    "pareto_revenue_coverage",  # cumulative-share window ⊂ q15/top-supplier family
-    "scd2_interval_stats",      # change-point intervals ⊂ sessionize/asof family
-    "skyline_orders_2d",        # window skyline vs NOT-EXISTS oracle ⊂ window family
-    "benford_digit_audit",      # first-digit screen ⊂ constraint/profile family
-    "twap_user_value",          # duration-weighted avg ⊂ gapfill/sessionize family
-    "event_type_lift_pairs",    # support/confidence/lift ⊂ transition/gini family
-    "hll_merge_shards",         # lossless merge proof ⊂ hll_portable_distinct
-    "equidepth_partition_bounds",  # quantile cuts ⊂ histogram_quantile_sketch
-    "weighted_sample_topk",     # priority sampling ⊂ stratified/split family
-    "label_centroid_inertia",   # fixed-point k-means audit ⊂ similarity/quantize family
-    "multimodal_tiff_decode",   # PackBits strips ⊂ gif/png compressed-codec family
+    # round-6 late additions (sketch/scale primitives): the r8 27-block
+    # (hll_portable_distinct … multimodal_tiff_decode) PROMOTED to the
+    # window per the mechanical r8–r11 schedule (SURVEY §12); the rest
+    # queue for r9+ below
     "table_ndv_profile",        # per-column HLL NDV ⊂ profile/sketch families
     "interval_union_coverage",  # merged-window coverage ⊂ islands/interval family
     "cms_join_size_estimate",   # sketch inner product ⊂ cms/fk-containment family
@@ -1194,6 +1169,38 @@ _DEMOTED_TAIL: list[str] = [
     "union_by_name_missing",    # [r6 ✓] set-op surface ⊂ distinct_pairs family
     "bpe_merge_ranks",          # [r6 ✓] BPE train loop ⊂ bpe_tokenize_stats (promoted)
     "doc_length_mad_by_lang",   # [r6 ✓] grouped-agg pandas UDF ⊂ multimodal Arrow family
+    # ---- round-8 rotation (standing policy): the twenty-seven [r7 ✓]
+    # non-bench window shapes with code UNCHANGED since their r7 row
+    # step down so the r8 27-block (SURVEY §12 schedule) can attest.
+    # Freshest rows in the registry — they queue at the very end of
+    # the retirement schedule (r11+).
+    "approx_count_distinct",    # [r7 ✓] HLL agg surface ⊂ hll_portable_distinct family
+    "ngram_jaccard_consecutive",  # [r7 ✓] gram-overlap ⊂ minhash (bench) family
+    "multimodal_mjpeg_frames",  # [r7 ✓] frame split+decode ⊂ multimodal codec family
+    "multimodal_wav_dsp",       # [r7 ✓] PCM DSP ⊂ multimodal codec family
+    "record_linkage_blocked",   # [r7 ✓] blocked fuzzy match ⊂ prefix-filter family
+    "cohort_retention_weekly",  # [r7 ✓] cohort pivot ⊂ cumulative_new_users family
+    "event_transition_matrix",  # [r7 ✓] lag-pair census ⊂ trigram/lift family
+    "fk_candidate_containment", # [r7 ✓] containment profiling ⊂ fd/constraint family
+    "snapshot_diff_orders",     # [r7 ✓] full-outer diff ⊂ scd2/matview family
+    "profile_drift_orders",     # [r7 ✓] stats drift ⊂ distribution_drift_tv family
+    "funnel_conversion_stages", # [r7 ✓] ordered-step funnel ⊂ sessionize family
+    "inverted_index_search",    # [r7 ✓] posting-list AND ⊂ bm25/search family
+    "phrase_search_positional", # [r7 ✓] adjacency verify ⊂ inverted_index family
+    "timeseries_gapfill_hourly",  # [r7 ✓] sequence() scaffold ⊂ seasonal/twap family
+    "timeseries_anomaly_hours", # [r7 ✓] robust z-score ⊂ cusum/seasonal family
+    "grouped_trend_slope",      # [r7 ✓] grouped-agg pandas UDF ⊂ hourly_trend_slope_exact
+    "corpus_quality_score",     # [r7 ✓] learned scorer ⊂ corpus_cleaning_funnel
+    "subquery_exists_anti",     # [r7 ✓] EXISTS/NOT-EXISTS ⊂ join_semi family
+    "scalar_subquery_above_avg",  # [r7 ✓] scalar subquery ⊂ q17 family
+    "array_functions_spectrum", # [r7 ✓] array scalar surface ⊂ map_functions family
+    "string_agg_suppliers",     # [r7 ✓] listagg ⊂ string scalar family
+    "regexp_extract_part_colors",  # [r7 ✓] regex surface ⊂ string scalar family
+    "null_safe_join_props",     # [r7 ✓] <=> join ⊂ join surface family
+    "explode_lateral_shingles", # [r7 ✓] lateral explode ⊂ udtf_chunk_rows family
+    "map_functions_scalar",     # [r7 ✓] map scalar surface ⊂ array family
+    "ngram_cross_domain_rarity",  # [r7 ✓] cross-domain LM ⊂ ngram_novelty family
+    "bpe_tokenize_stats",       # [r7 ✓] BPE encode ⊂ bpe_merge_ranks family
 ]
 
 _CHECK_WINDOW = 50
