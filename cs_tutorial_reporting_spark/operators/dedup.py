@@ -1195,6 +1195,18 @@ def _shingle_band_frames(
 #: (buckets=None): the broadcast-probe plan never shuffles the corpus
 #: either way, so flat is strictly better until file pruning can
 #: actually bite. PartitionFilters on the pruned path are pytest-pinned.
+#: MEASURED CROSSOVER (round 8, test_scale_layout.py::
+#: test_band_index_pruned_layout_wins_at_design_point): at the
+#: design point — 4096-doc corpus, 64 buckets, a 4-doc batch whose
+#: ≤16 band keys cover ≤25% of the buckets — the pruned probe reads
+#: 8,171 input rows vs the flat probe's 36,956 (0.22×), bit-identical
+#: output (stage-level inputRecords; the runtime twin of the
+#: PartitionFilters plan pin). So the rule of thumb is geometric:
+#: pruning wins once (batch distinct band keys) / buckets ≪ 1 AND
+#: per-bucket bytes ≫ per-file overhead; the harness default (100-doc
+#: batch ≈ 400 band keys over 32 buckets — full coverage) sits on the
+#: losing side, a 100 TB daily batch over 4096 buckets on the winning
+#: side.
 BAND_INDEX_BUCKETS = 32
 
 

@@ -831,3 +831,105 @@ def test_sorted_layout_compresses_smaller_on_disk(spark, tmp_path):
     write_sorted(df, sorted_, ["status", "priority"], n_files=4)
     a, b = disk_bytes(shuffled), disk_bytes(sorted_)
     assert b < a * 0.9, f"sorted {b} not ≥10% smaller than shuffled {a}"
+
+
+def test_band_index_pruned_layout_wins_at_design_point(spark, tmp_path):
+    """The partition-pruned band-index layout at its DESIGN POINT (the
+    regime dedup.py::BAND_INDEX_BUCKETS documents as "where pruning
+    wins"): a corpus big enough that per-bucket data outweighs file
+    overhead, probed by a SMALL batch whose band keys cover a small
+    fraction of the buckets. Measured via stage-level inputRecords
+    (the rows the probe's scans actually emit — the runtime twin of
+    the PartitionFilters plan pin in test_plans.py): the pruned probe
+    must read well under half of the flat probe's rows, with
+    bit-identical output. 4096-doc corpus, 64 buckets, 4-doc batch
+    (≤16 distinct band keys → ≤16/64 buckets touched; measured
+    0.22× rows read at authoring time). At 100 TB this ratio is the
+    difference between scanning the full posting-list store per
+    arrival batch and scanning only the batch's hash buckets."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        probe_band_index,
+        write_band_index,
+    )
+
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    store = sc._jsc.sc().statusStore()
+
+    def input_records() -> int:
+        # drain the async listener bus so late task-end events are in
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            import time as _t
+
+            _t.sleep(0.5)
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        return sum(
+            stages.apply(i).inputRecords() for i in range(stages.size())
+        )
+
+    # deterministic synthetic corpus: 4096 docs x 40 md5 "words"
+    words = F.concat_ws(
+        " ",
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws("|", F.col("id").cast("string"), F.lit(str(k)))
+                )
+                for k in range(40)
+            ]
+        ),
+    )
+    corpus_path = str(tmp_path / "corpus")
+    spark.range(4096).select(
+        F.col("id").alias("doc_id"), words.alias("text")
+    ).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    # batch: 4 near-dup twins of scattered corpus docs (text + a tail
+    # token -> jaccard ~0.97, far above the 0.5 threshold)
+    twin_ids = [17, 1033, 2048, 3999]
+    batch_path = str(tmp_path / "batch")
+    corpus.filter(F.col("doc_id").isin(twin_ids)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    ).write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+
+    flat, pruned = str(tmp_path / "flat"), str(tmp_path / "pruned")
+    write_band_index(corpus, flat, "text", "doc_id")
+    write_band_index(corpus, pruned, "text", "doc_id", buckets=64)
+
+    def probe(path):
+        r0 = input_records()
+        rows = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in probe_band_index(
+                spark, path, batch, "text", "doc_id"
+            ).collect()
+        )
+        return rows, input_records() - r0
+
+    got_flat, read_flat = probe(flat)
+    got_pruned, read_pruned = probe(pruned)
+
+    # lossless: identical pairs, and exactly the four planted twins
+    assert got_flat == got_pruned
+    assert [(a, b) for a, b, _ in got_flat] == [
+        (i, i + 10_000_000) for i in twin_ids
+    ]
+    # the design-point claim, quantified: pruning skips most of the
+    # index (bands + counts outside the batch's band-hash buckets,
+    # shingles outside the candidates' id-hash buckets). Measured
+    # 8,171 vs 36,956 rows (0.22x); assert <=0.5x for slack against
+    # hash placement shifting with Spark versions.
+    assert read_pruned <= read_flat * 0.5, (read_pruned, read_flat)
+    # and the flat probe really does scan the whole index (sanity of
+    # the instrument: >= bands + shingles full row counts)
+    assert read_flat >= 16384 + 4096
