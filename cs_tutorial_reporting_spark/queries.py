@@ -1210,7 +1210,9 @@ _CHECK_WINDOW = 50
 #: RE-WINDOWED because its operator code changed since its latest
 #: driver row — the gate would otherwise reject it as "window slot
 #: spent on a fresh row". Reset to empty each round after the driver
-#: run attests the new code. Round 7: empty (no clause-(a) cases).
+#: run attests the new code. Round 8: empty (no clause-(a) cases —
+#: the only operator-file edit this round is a comment at
+#: dedup.py::BAND_INDEX_BUCKETS).
 REWINDOWED: set[str] = set()
 
 

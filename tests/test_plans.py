@@ -31,6 +31,10 @@ EXEMPT_QUADRATIC = {
     # range_join_broadcast); the 100 TB path is bucketized_range_join
     # (equi + residual filter), pinned in test_ext_operators
     "range_join_value_buckets",
+    # crossJoin against the 7-row LITERAL cut-point grid
+    # (spark.range(1, _EQD_PARTS)) — constant fan-out over the
+    # per-type histogram, O(k·bins), never data × data (r8 window)
+    "equidepth_partition_bounds",
 }
 
 #: window queries allowed EXACTLY ONE BroadcastNestedLoopJoin whose
@@ -43,6 +47,9 @@ SCALAR_BROADCAST = {
     "q11_important_parts",      # global HAVING scalar vs grouped sums
     "mixture_temperature_sample",  # 1-row Σ√n normalizer vs source dims
     "scalar_subquery_above_avg",  # 1-row global avg vs every order (r7 window)
+    "bm25_rank_topk",           # 1-row corpus totals (T, N) vs query postings (r8 window)
+    "benford_digit_audit",      # 1-row observed-total vs 9-digit expected grid (r8 window)
+    "event_type_lift_pairs",    # 1-row n_users normalizer vs pair counts (r8 window)
 }
 
 #: window queries not plan-audited here: the returned DataFrame is a
