@@ -196,7 +196,17 @@ def hits_ppm(
 
 
 def _normalize_ppm(nodes: DataFrame, raw: DataFrame, out_col: str) -> DataFrame:
-    """ppm-normalize a raw score frame over ALL nodes (missing = 0)."""
+    """ppm-normalize a raw score frame over ALL nodes (missing = 0).
+
+    ``raw`` is consumed TWICE (the global total + the per-node join)
+    and chains to the previous iteration's scores, so without a
+    materialization the unrolled HITS plan doubles per normalization —
+    2^(2·iters) subtree growth, the Spark twin of the DuckDB
+    CTE-inlining blowup hits_ppm_sql pins with AS MATERIALIZED.
+    Measured (r8, iters=4): 12,489-line plan / ~32 s wall at ANY SF
+    before; 200-line plan / ~2 s after. localCheckpoint per round is
+    the same lineage bound lpa_communities/kcore already pay."""
+    raw = raw.localCheckpoint()
     total = raw.agg(F.sum("__raw").alias("__t"))
     return (
         nodes.join(raw, "node", "left")
