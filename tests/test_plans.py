@@ -639,3 +639,35 @@ def test_band_index_pruned_layout_partition_filters(spark, tmp_path):
         "doc_id",
         buckets=8,
     )
+
+
+def test_iterative_plans_stay_bounded(spark):
+    """Unrolled iterative operators must grow their plans LINEARLY in
+    the iteration count, never exponentially. The hazard (round 8,
+    hits_ppm): a per-iteration frame consumed twice without a
+    materialization doubles the subtree per round — 2^(2·iters)
+    growth, 12,489 plan lines and ~32 s of pure compile/execute
+    overhead at ANY data size before the fix (operators/graph.py::
+    _normalize_ppm docstring). This pins every registered iterative
+    query's plan under a generous linear bound so the class cannot
+    re-enter silently; the DuckDB-side twin of the same hazard is the
+    AS MATERIALIZED rule (oracle generators, SURVEY engine gotchas)."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    ITERATIVE = [
+        "pagerank_event_graph",
+        "hits_event_graph",
+        "lpa_communities_copurchase",
+        "kcore_copurchase",
+        "bfs_levels_copurchase",
+        "dedup_transitive_clusters",
+        "unigram_em_refine",
+        "label_centroid_inertia",
+    ]
+    for name in ITERATIVE:
+        p = plan_text(QUERIES[name].fn(spark, SF))
+        lines = len(p.splitlines())
+        assert lines < 1000, (
+            f"{name}: {lines}-line plan — exponential unroll growth? "
+            "materialize the per-iteration frame (localCheckpoint)"
+        )
