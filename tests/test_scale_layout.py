@@ -856,7 +856,7 @@ def test_band_index_pruned_layout_wins_at_design_point(spark, tmp_path):
     jvm, gw = sc._jvm, sc._gateway
     store = sc._jsc.sc().statusStore()
 
-    def input_records() -> int:
+    def _stages():
         # drain the async listener bus so late task-end events are in
         try:
             sc._jsc.sc().listenerBus().waitUntilEmpty()
@@ -864,15 +864,32 @@ def test_band_index_pruned_layout_wins_at_design_point(spark, tmp_path):
             import time as _t
 
             _t.sleep(0.5)
-        stages = store.stageList(
+        return store.stageList(
             jvm.java.util.ArrayList(),
             False,
             False,
             gw.new_array(jvm.double, 0),
             jvm.java.util.ArrayList(),
         )
+
+    # Count ONLY stages submitted after a marker id. A delta of the
+    # GLOBAL sum breaks in a long pytest session: the status store
+    # retains ~spark.ui.retainedStages entries and evicts old ones
+    # asynchronously, so between two global samples the baseline
+    # shrinks and the delta corrupts (this test passed standalone and
+    # failed mid-suite before the marker).
+    def max_stage_id() -> int:
+        s = _stages()
+        return max(
+            (s.apply(i).stageId() for i in range(s.size())), default=-1
+        )
+
+    def records_since(marker: int) -> int:
+        s = _stages()
         return sum(
-            stages.apply(i).inputRecords() for i in range(stages.size())
+            s.apply(i).inputRecords()
+            for i in range(s.size())
+            if s.apply(i).stageId() > marker
         )
 
     # deterministic synthetic corpus: 4096 docs x 40 md5 "words"
@@ -907,14 +924,14 @@ def test_band_index_pruned_layout_wins_at_design_point(spark, tmp_path):
     write_band_index(corpus, pruned, "text", "doc_id", buckets=64)
 
     def probe(path):
-        r0 = input_records()
+        marker = max_stage_id()
         rows = sorted(
             (r.id_a, r.id_b, r.jaccard)
             for r in probe_band_index(
                 spark, path, batch, "text", "doc_id"
             ).collect()
         )
-        return rows, input_records() - r0
+        return rows, records_since(marker)
 
     got_flat, read_flat = probe(flat)
     got_pruned, read_pruned = probe(pruned)
