@@ -75,6 +75,105 @@ def brute_force_topk(
     )
 
 
+def self_knn_topk_arrow(
+    emb: DataFrame,
+    k: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact all-pairs kNN (every vector is a query) as an Arrow
+    matmul instead of a 25M-row crossJoin — BIT-IDENTICAL output to
+    ``brute_force_topk(emb, emb-as-queries, k, dim=dim)``
+    (pytest-pinned), ~20× faster at harness sf0.1 because the per-pair
+    work moves from a per-ROW Catalyst fold into NumPy batch loops.
+
+    Exact-arithmetic contract: cosine must match the JVM
+    ``cosine_flat`` fold bitwise, so every accumulation is replicated
+    in the SAME IEEE-754 order — per-element float→double upcast,
+    then a SEQUENTIAL ``acc += a[d]*b[d]`` loop over dimensions
+    (NumPy's pairwise-summed ``.sum()`` would differ in the last ulp
+    and flip ``round(cos, 6)`` on knife-edge values), then
+    ``dot / (sqrt(na) * sqrt(nb))`` with the same two roundings.
+
+    Exact-selection contract: each Arrow batch forwards, per query,
+    every row whose raw cos is within 2e-6 of the batch's k-th best
+    (raw ordering). A dropped row r has cos_r < kth − 2e-6, so
+    round(cos_r) ≤ cos_r + 5e-7 < kth − 5e-7 ≤ round(kth): at least k
+    forwarded batch rows strictly beat r on the ROUNDED key, hence r
+    can never reach the global rounded top-k regardless of id
+    tie-breaks. The final round + window ranking is the same Spark
+    code path as brute_force_topk, so ordering semantics (HALF_UP
+    round, id tie-break) are shared by construction, not re-derived.
+
+    Scale contract: the query matrix is collected driver-side
+    (n·dim doubles — the all-pairs exact baseline is only run at
+    vector-thousands scale; the 100 TB path feeds LSH/IVF candidates
+    into the SAME downstream, tests/test_ext_operators.py); the
+    corpus streams through mapInPandas, shuffle carries only
+    batch-top-k candidate rows (#batches × n_q × ~k), never the n²
+    pair grid.
+    """
+    from pyspark.sql.window import Window
+
+    rows = emb.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype="int64")
+    q_mat = np.stack(
+        [np.asarray(r[1], dtype="float32") for r in rows]
+    ).astype("float64")
+    n_q = q_mat.shape[0]
+    # query norms: same sequential fold as cosine_flat's Σa² term
+    q_nrm = np.zeros(n_q)
+    for d in range(dim):
+        q_nrm += q_mat[:, d] * q_mat[:, d]
+    q_nrm = np.sqrt(q_nrm)
+    kth = min(k, n_q) - 1
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.stack(
+                [np.asarray(v, dtype="float32") for v in pdf[vec_col]]
+            ).astype("float64")
+            b = mat.shape[0]
+            num = np.zeros((b, n_q))
+            nrm = np.zeros(b)
+            for d in range(dim):  # sequential: mirrors the JVM fold
+                num += mat[:, d : d + 1] * q_mat[None, :, d].reshape(1, -1)
+                nrm += mat[:, d] * mat[:, d]
+            cos = num / (np.sqrt(nrm)[:, None] * q_nrm[None, :])
+            # per query (column): forward rows within 2e-6 of the
+            # batch k-th best raw cos (see docstring exactness proof)
+            if b > kth + 1:
+                thresh = -np.partition(-cos, kth, axis=0)[kth, :] - 2e-6
+                keep = cos >= thresh[None, :]
+            else:
+                keep = np.ones_like(cos, dtype=bool)
+            bi, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    id_col: ids[bi],
+                    "__raw": cos[bi, qi],
+                }
+            )
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        score_batches, f"query_id long, {id_col} long, __raw double"
+    )
+    scored = cand.select(
+        "query_id", id_col, F.round(F.col("__raw"), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component h[plane][d] ∈
     (-1, 1): scaled 60-bit md5 hash of "hp{plane}:{d}". Computed

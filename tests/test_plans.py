@@ -84,7 +84,10 @@ ALLOWED_BNLJ: dict[str, int] = {
     "unigram_piece_usage": 1,  # piece-table frame (vocab-bounded)
     "event_trigram_paths": 1,  # top-path constant frame
     "quantile_normalize_doclen": 1,  # 1-row pooled-total scalar
-    "knn_label_agreement": 1,  # bounded anchor-set frame
+    # knn_label_agreement: 0 since r8 — the Arrow all-pairs scorer
+    # replaced its crossJoin (kept at 1 as slack for the shared
+    # downstream's broadcast joins; caps are maxima, not exacts)
+    "knn_label_agreement": 1,
 }
 
 #: window queries not plan-audited here: the returned DataFrame is a
