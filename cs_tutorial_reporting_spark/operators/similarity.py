@@ -174,6 +174,79 @@ def self_knn_topk_arrow(
     )
 
 
+def allpairs_threshold_arrow(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact all-pairs threshold scoring (id_a < id_b, rounded cos ≥
+    threshold) as an Arrow matmul — BIT-IDENTICAL to
+    ``embedding_near_dup_pairs(..., n_planes=0)``'s crossJoin + JVM
+    fold (pytest-pinned) without materializing the n² pair rows.
+    Same exact-arithmetic recipe as :func:`self_knn_topk_arrow`
+    (sequential per-dimension IEEE accumulation mirroring
+    cosine_flat); candidate forwarding keeps every pair with raw
+    cos ≥ threshold − 1e-6 (if round(cos) ≥ threshold then
+    cos ≥ threshold − 5e-7, so no qualifying pair can be dropped),
+    and the authoritative ``F.round(...) ≥ threshold`` filter runs
+    Spark-side exactly as the crossJoin path's. Each unordered pair
+    is emitted once: every vector streams through as a batch row
+    exactly once and emits only against larger corpus ids.
+
+    Scale contract: the exact all-pairs form is the declared
+    vector-thousands baseline (the 100 TB path is the LSH-bucketed
+    ``embedding_near_dup_pairs(n_planes>0)``); within that contract
+    this path moves the O(n²) work from per-row Catalyst eval into
+    NumPy batches and ships only above-threshold pairs."""
+    rows = emb.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype="int64")
+    q_mat = np.stack(
+        [np.asarray(r[1], dtype="float32") for r in rows]
+    ).astype("float64")
+    q_nrm = np.zeros(q_mat.shape[0])
+    for d in range(dim):
+        q_nrm += q_mat[:, d] * q_mat[:, d]
+    q_nrm = np.sqrt(q_nrm)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.stack(
+                [np.asarray(v, dtype="float32") for v in pdf[vec_col]]
+            ).astype("float64")
+            b = mat.shape[0]
+            num = np.zeros((b, q_mat.shape[0]))
+            nrm = np.zeros(b)
+            for d in range(dim):  # sequential: mirrors the JVM fold
+                num += mat[:, d : d + 1] * q_mat[None, :, d].reshape(1, -1)
+                nrm += mat[:, d] * mat[:, d]
+            cos = num / (np.sqrt(nrm)[:, None] * q_nrm[None, :])
+            keep = (cos >= threshold - 1e-6) & (
+                ids[:, None] < q_ids[None, :]
+            )
+            bi, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[bi],
+                    "id_b": q_ids[qi],
+                    "__raw": cos[bi, qi],
+                }
+            )
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        score_batches, "id_a long, id_b long, __raw double"
+    )
+    return (
+        cand.withColumn("cos", F.round(F.col("__raw"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component h[plane][d] ∈
     (-1, 1): scaled 60-bit md5 hash of "hp{plane}:{d}". Computed

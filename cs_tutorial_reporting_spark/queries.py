@@ -1210,13 +1210,13 @@ _CHECK_WINDOW = 50
 #: RE-WINDOWED because its operator code changed since its latest
 #: driver row — the gate would otherwise reject it as "window slot
 #: spent on a fresh row". Reset to empty each round after the driver
-#: run attests the new code. Round 8: empty — the round's two
-#: operator-code changes (hits_ppm plan-growth fix, knn's Arrow
-#: all-pairs scorer) touch only NEVER-attested tail queries
-#: (hits_event_graph r10, knn_label_agreement r11), so there is no
-#: stale green row to re-window; their first driver rows attest the
-#: new code on schedule. Both tri-SF oracle-verified locally at
-#: change time.
+#: run attests the new code. Round 8: empty — the round's
+#: operator-code changes (hits_ppm plan-growth fix, the Arrow
+#: all-pairs scorers behind knn/dbscan) touch only NEVER-attested
+#: tail queries (hits_event_graph r10; knn_label_agreement and
+#: dbscan_embedding_clusters r11), so there is no stale green row to
+#: re-window; their first driver rows attest the new code on
+#: schedule. All tri-SF oracle-verified locally at change time.
 REWINDOWED: set[str] = set()
 
 

@@ -4513,14 +4513,18 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     without k).
 
     100 TB: the edge list here is the exact all-pairs baseline
-    (vector-thousands harness); at scale the IDENTICAL downstream —
-    dbscan_census_from_pairs, the shared function this query calls —
-    runs on LSH-bucketed candidate pairs (embedding_near_dup_pairs
-    n_planes>0); census equality of the two edge sources on a
-    clustered corpus is pytest-pinned (round-7 verdict item #4).
+    (vector-thousands harness), computed since r8 as the Arrow
+    all-pairs matmul (similarity.py::allpairs_threshold_arrow —
+    bit-identical to embedding_near_dup_pairs n_planes=0,
+    pytest-pinned, without materializing n² pair rows); at scale the
+    IDENTICAL downstream — dbscan_census_from_pairs, the shared
+    function this query calls — runs on LSH-bucketed candidate pairs
+    (embedding_near_dup_pairs n_planes>0); census equality of the two
+    edge sources on a clustered corpus is pytest-pinned (round-7
+    verdict item #4).
     """
-    from .operators.dedup import embedding_near_dup_pairs
+    from .operators.similarity import allpairs_threshold_arrow
 
     e = t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(e, threshold=0.35, n_planes=0, dim=64)
+    pairs = allpairs_threshold_arrow(e, threshold=0.35, dim=64)
     return dbscan_census_from_pairs(e, pairs)

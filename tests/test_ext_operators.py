@@ -2722,6 +2722,41 @@ def test_self_knn_arrow_bitwise_equals_crossjoin_path(spark):
         assert jvm == arrow and jvm
 
 
+def test_allpairs_threshold_arrow_bitwise_equals_crossjoin_path(spark):
+    """Same r8 contract for the threshold-pairs form (dbscan's edge
+    source): allpairs_threshold_arrow must be BIT-IDENTICAL — ids AND
+    rounded cos — to embedding_near_dup_pairs(n_planes=0), including
+    the empty result at a threshold nothing reaches (the forwarding
+    margin must not leak sub-threshold pairs through)."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from cs_tutorial_reporting_spark.operators.similarity import (
+        allpairs_threshold_arrow,
+    )
+
+    for sf, th in (
+        ("/root/testdata/sf0.001", 0.35),
+        ("/root/testdata/sf0.01", 0.35),
+        ("/root/testdata/sf0.001", 0.95),
+    ):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        jvm = {
+            (r.id_a, r.id_b, r.cos)
+            for r in embedding_near_dup_pairs(
+                e, threshold=th, n_planes=0, dim=64
+            ).collect()
+        }
+        arrow = {
+            (r.id_a, r.id_b, r.cos)
+            for r in allpairs_threshold_arrow(e, threshold=th, dim=64).collect()
+        }
+        assert jvm == arrow, (sf, th, len(jvm), len(arrow))
+    assert not arrow  # the 0.95 case really is the empty edge case
+
+
 def test_dbscan_census_identical_on_lsh_candidates(spark):
     """Same claim for DBSCAN: dbscan_census_from_pairs fed
     LSH-bucketed candidate edges (embedding_near_dup_pairs
