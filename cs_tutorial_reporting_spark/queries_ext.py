@@ -492,14 +492,21 @@ def simhash_collision_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the corpus ∪ an exact copy
-    (cos=1.0 planted dups) plus naturally-similar pairs ≥ 0.45."""
-    from .operators.dedup import embedding_near_dup_pairs
+    (cos=1.0 planted dups) plus naturally-similar pairs ≥ 0.45.
+
+    Since r8 the exact leg runs as the Arrow all-pairs matmul
+    (similarity.py::allpairs_threshold_arrow — pytest-pinned
+    BIT-IDENTICAL to embedding_near_dup_pairs n_planes=0, which this
+    query previously called and which remains the operator's exact
+    fallback): the doubled corpus is 50M ordered pairs at sf0.1, and
+    the crossJoin + per-row fold cost 8.3 s warm vs ~1.5 s batched."""
+    from .operators.similarity import allpairs_threshold_arrow
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = e.unionByName(
         e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    return embedding_near_dup_pairs(corpus, threshold=0.45)
+    return allpairs_threshold_arrow(corpus, threshold=0.45, dim=64)
 
 
 def _near_dup_lsh_oracle(

@@ -54,6 +54,7 @@ EXEMPT_QUADRATIC = {
 #: accidental cross is a regression even where one is declared).
 ALLOWED_BNLJ: dict[str, int] = {
     # --- current + past window entries
+    "approx_count_distinct": 1,  # 1-row HLL frame joined to the exact counts (r8 split — see the query's comment on why one Aggregate was a merge bomb)
     "tfidf_top_terms": 1,
     "constraint_check_report": 1,  # 1-row violation-count threshold
     "q11_important_parts": 1,  # global HAVING scalar vs grouped sums
