@@ -988,11 +988,13 @@ from . import queries_training  # noqa: E402,F401
 #: quality stage, windowed immediately so it never joins the debt).
 #: The REGISTRY IS FROZEN otherwise (VERDICT r6 next-round #1): no
 #: new tail entries until the never-attested count is below one
-#: window. Round 8 owes the next 27 continuation entries
-#: (hll_portable_distinct … hits_event_graph, tail order); round 9
-#: the following 27 (hourly_trend_slope_exact … lsh_precision_funnel);
-#: round 10 the remaining 29 never-attested + the oldest re-demoted
-#: rows. After that every row is ≤ 2 rounds old.
+#: window. Round 8 promoted the 27-block hll_portable_distinct …
+#: multimodal_tiff_decode (never-count 94→67). Round 9 (this round)
+#: promotes the next 27 in tail order — table_ndv_profile …
+#: corpus_cleaning_funnel (never-count 67→40). Round 10 owes the
+#: following 27 (dedup_substring_spans … q2_min_cost_supplier);
+#: round 11 the final 13 nevers + the oldest re-demoted rows. After
+#: that every row is ≤ 2 rounds old.
 #: `tools/freshness_report.py` prints the live worklist;
 #: `tools/freshness_report.py --gate` (wired into ship_gate.sh) FAILS
 #: the round if a non-bench window slot is spent on a query that
@@ -1078,36 +1080,10 @@ _DEMOTED_TAIL: list[str] = [
     "winnow_containment_pairs", # [r5 ✓] posting-list join ⊂ minhash (bench)
     "training_mix_order",       # [r5 ✓] weighted interleave ⊂ mixture_temperature (promoted)
     # round-6 late additions (sketch/scale primitives): the r8 27-block
-    # (hll_portable_distinct … multimodal_tiff_decode) PROMOTED to the
-    # window per the mechanical r8–r11 schedule (SURVEY §12); the rest
-    # queue for r9+ below
-    "table_ndv_profile",        # per-column HLL NDV ⊂ profile/sketch families
-    "interval_union_coverage",  # merged-window coverage ⊂ islands/interval family
-    "cms_join_size_estimate",   # sketch inner product ⊂ cms/fk-containment family
-    "kmv_distinct_estimate",    # bottom-k order statistics ⊂ hll sketch family
-    "hopping_window_traffic",   # sliding windows ⊂ streaming_hourly/seasonal family
-    "period_over_period_revenue",  # MoM lag deltas ⊂ window/date family
-    "hits_event_graph",         # hub/authority iterations ⊂ pagerank family
-    "hourly_trend_slope_exact", # closed-form OLS ⊂ grouped_trend_slope (UDF twin)
-    "cumulative_new_users",     # growth accounting ⊂ cohort/date family
-    "multitouch_attribution_linear",  # fractional credit ⊂ asof/interval family
-    "cluster_best_representative",  # keep-best policy ⊂ dedup_transitive family
-    "quota_waterfall_mix",      # per-source caps ⊂ mixture/training family
-    "arrow_native_tokenstats",  # mapInArrow class ⊂ multimodal Arrow family
-    "simhash_hamming_census",   # pigeonhole band blocking ⊂ simhash/minhash family
-    "layout_locality_audit",    # similarity-clustered ordering ⊂ zorder/simhash family
-    "bitmap_retention_days",    # bitmap-index mask rollup ⊂ hll/sketch + cohort family
-    "kmv_jaccard_sources",      # bottom-k set-overlap estimate ⊂ kmv/minhash family
-    "keyset_pagination_orders", # seek-method cursor page ⊂ limit_offset (scale twin)
-    "triangle_count_copurchase",  # degree-oriented closure ⊂ pagerank/hits graph family
-    "hll_intersection_overlap", # inclusion-exclusion register math ⊂ hll_merge_shards
-    "hard_negative_mining",     # label-filtered exact ANN ⊂ similarity_topk_bruteforce
-    "bfs_levels_copurchase",    # unrolled frontier relaxation ⊂ pagerank/hits family
-    "dedup_incremental_new_batch",  # new×index band join ⊂ minhash (bench) family
-    "kcore_copurchase",         # unrolled peeling ⊂ bfs/pagerank graph family
-    "embedding_dim_covariance_topk",  # Arrow XᵀX partials ⊂ inertia/quantize family
-    "rendezvous_shard_rebalance",  # HRW argmax assignment ⊂ split/shard hash family
-    "corpus_cleaning_funnel",   # composed quality/lang/dedup gates ⊂ those families
+    # (hll_portable_distinct … multimodal_tiff_decode) and the r9
+    # 27-block (table_ndv_profile … corpus_cleaning_funnel) PROMOTED to
+    # the window per the mechanical r8–r11 schedule (SURVEY §12); the
+    # rest queue for r10+ below
     "dedup_substring_spans",    # ExactSubstr k-gram spans ⊂ minhash/winnow dedup family
     "doc_topgram_repetition",   # Gopher top/dup n-gram shares ⊂ repetition/text-stats family
     "semdedup_prune_report",    # cluster-scoped semantic dedup ⊂ near-dup/CC/inertia families
@@ -1214,6 +1190,39 @@ _DEMOTED_TAIL: list[str] = [
     "map_functions_scalar",     # [r7 ✓] map scalar surface ⊂ array family
     "ngram_cross_domain_rarity",  # [r7 ✓] cross-domain LM ⊂ ngram_novelty family
     "bpe_tokenize_stats",       # [r7 ✓] BPE encode ⊂ bpe_merge_ranks family
+    # ---- round-9 rotation (standing policy): the twenty-seven [r8 ✓]
+    # non-bench window shapes with code UNCHANGED since their r8 row
+    # step down so the r9 27-block (table_ndv_profile …
+    # corpus_cleaning_funnel, SURVEY §12 schedule) can attest. Freshest
+    # rows in the registry — they queue at the very end of the
+    # retirement schedule (r12+).
+    "hll_portable_distinct",    # [r8 ✓] register-exact HLL ⊂ hll_intersection_overlap (promoted)
+    "bloom_prefilter_semi",     # [r8 ✓] bloom semi-probe ⊂ cms/kmv sketch family
+    "split_assign_stats",       # [r8 ✓] hash-split assignment ⊂ rendezvous_shard_rebalance (promoted)
+    "user_activity_islands",    # [r8 ✓] gaps-and-islands ⊂ interval_union_coverage (promoted)
+    "interval_bucket_join",     # [r8 ✓] bucketed interval join ⊂ asof_join_last_click (bench)
+    "udtf_chunk_rows",          # [r8 ✓] UDTF+LATERAL ⊂ arrow_native_tokenstats (promoted)
+    "cms_heavy_hitters",        # [r8 ✓] CMS point queries ⊂ cms_join_size_estimate (promoted)
+    "seasonal_hourly_profile",  # [r8 ✓] hour-of-week profile ⊂ hopping_window_traffic (promoted)
+    "pagerank_event_graph",     # [r8 ✓] iterative link analysis ⊂ hits_event_graph (promoted)
+    "histogram_quantile_sketch",  # [r8 ✓] equi-width sketch ⊂ equidepth/percentile family
+    "prefix_filter_jaccard_pairs",  # [r8 ✓] exact-Jaccard prefix filter ⊂ minhash (bench)
+    "streaming_hll_distinct",   # [r8 ✓] streaming sketch ⊂ streaming_hourly_rollup (bench)
+    "window_rank_spectrum",     # [r8 ✓] rank-fn surface ⊂ window_topk_per_group (bench)
+    "posting_gap_encode_stats", # [r8 ✓] delta-gap encoding ⊂ inverted_index/bm25 family
+    "bm25_rank_topk",           # [r8 ✓] BM25 scoring ⊂ tfidf_top_terms (bench)
+    "user_behavior_gini",       # [r8 ✓] Lorenz/Gini math ⊂ pareto/coverage family
+    "pareto_revenue_coverage",  # [r8 ✓] cumulative coverage ⊂ cumulative_new_users (promoted)
+    "scd2_interval_stats",      # [r8 ✓] validity intervals ⊂ multitouch_attribution_linear (promoted)
+    "skyline_orders_2d",        # [r8 ✓] dominance filter ⊂ window/top-k family
+    "benford_digit_audit",      # [r8 ✓] leading-digit audit ⊂ distribution_drift_tv family
+    "twap_user_value",          # [r8 ✓] time-weighted avg ⊂ ewma/twap ts family
+    "event_type_lift_pairs",    # [r8 ✓] co-occurrence lift ⊂ item_similarity_topk family
+    "hll_merge_shards",         # [r8 ✓] register-max merge ⊂ hll_intersection_overlap (promoted)
+    "equidepth_partition_bounds",  # [r8 ✓] NDV-bounded ranges ⊂ quality_curriculum_phases family
+    "weighted_sample_topk",     # [r8 ✓] A-ES weighted sample ⊂ deterministic_sample family
+    "label_centroid_inertia",   # [r8 ✓] grouped Arrow agg ⊂ embedding_dim_covariance_topk (promoted)
+    "multimodal_tiff_decode",   # [r8 ✓] PackBits decode ⊂ multimodal codec family
 ]
 
 _CHECK_WINDOW = 50
