@@ -28,6 +28,32 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, cosine_flat, dot, dot_flat
 
+#: per-chunk score-grid budget for the Arrow all-pairs scorers:
+#: rows × n_q doubles ≤ 8M (≈64 MB transient per Python worker).
+_ROW_BLOCK_DOUBLES = 8_000_000
+
+
+def _row_block(n_q: int) -> int:
+    """Rows per scoring chunk so the (rows × n_q) float64 grid stays
+    within the 64 MB budget; floor of 64 keeps tiny-corpus overhead
+    negligible (ADVICE r8: a 10k-row Arrow batch against a 10k corpus
+    was ~0.8 GB transient otherwise)."""
+    return max(64, _ROW_BLOCK_DOUBLES // max(n_q, 1))
+
+
+def _assert_nonzero_norms(nrm: np.ndarray, ids: np.ndarray) -> None:
+    """Zero-norm vectors make cosine NaN, and NaN ranking DIVERGES
+    between the NumPy prefilter (comparisons drop NaN) and Spark's
+    JVM ordering (NaN sorts greatest) — the bit-identity contract of
+    the Arrow scorers cannot hold on such input, so fail loudly."""
+    bad = ids[nrm == 0.0]
+    if bad.size:
+        raise ValueError(
+            "zero-norm embedding vectors (cosine undefined, NaN ordering "
+            f"diverges between NumPy and JVM paths): ids {bad[:10].tolist()}"
+            + ("…" if bad.size > 10 else "")
+        )
+
 
 def brute_force_topk(
     emb: DataFrame,
@@ -112,11 +138,26 @@ def self_knn_topk_arrow(
     into the SAME downstream, tests/test_ext_operators.py); the
     corpus streams through mapInPandas, shuffle carries only
     batch-top-k candidate rows (#batches × n_q × ~k), never the n²
-    pair grid.
+    pair grid. The query matrix ships to workers via
+    ``SparkContext.broadcast`` (one torrent transfer per executor,
+    not one pickled closure copy per task), and per-batch temporaries
+    are chunked to ≤ ``_ROW_BLOCK_DOUBLES`` doubles so the transient
+    (rows × n_q) score grid stays ~64 MB regardless of Arrow batch
+    size (ADVICE r8).
+
+    Input contract (ADVICE r8): every vector must have non-zero norm
+    — zero norms make cosine NaN, and NaN ordering DIVERGES between
+    this path (NumPy comparisons drop NaN) and the JVM crossJoin fold
+    (Spark sorts NaN greatest), silently breaking bit-identity. Raises
+    ``ValueError`` up front instead.
     """
     from pyspark.sql.window import Window
 
     rows = emb.select(id_col, vec_col).collect()
+    if not rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, cos double, rank int"
+        )
     q_ids = np.array([r[0] for r in rows], dtype="int64")
     q_mat = np.stack(
         [np.asarray(r[1], dtype="float32") for r in rows]
@@ -127,38 +168,46 @@ def self_knn_topk_arrow(
     for d in range(dim):
         q_nrm += q_mat[:, d] * q_mat[:, d]
     q_nrm = np.sqrt(q_nrm)
+    _assert_nonzero_norms(q_nrm, q_ids)
     kth = min(k, n_q) - 1
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    block = _row_block(n_q)
 
     def score_batches(batches):
+        b_ids, b_mat, b_nrm = bc.value
         for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy(dtype="int64")
-            mat = np.stack(
-                [np.asarray(v, dtype="float32") for v in pdf[vec_col]]
-            ).astype("float64")
-            b = mat.shape[0]
-            num = np.zeros((b, n_q))
-            nrm = np.zeros(b)
-            for d in range(dim):  # sequential: mirrors the JVM fold
-                num += mat[:, d : d + 1] * q_mat[None, :, d].reshape(1, -1)
-                nrm += mat[:, d] * mat[:, d]
-            cos = num / (np.sqrt(nrm)[:, None] * q_nrm[None, :])
-            # per query (column): forward rows within 2e-6 of the
-            # batch k-th best raw cos (see docstring exactness proof)
-            if b > kth + 1:
-                thresh = -np.partition(-cos, kth, axis=0)[kth, :] - 2e-6
-                keep = cos >= thresh[None, :]
-            else:
-                keep = np.ones_like(cos, dtype=bool)
-            bi, qi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[qi],
-                    id_col: ids[bi],
-                    "__raw": cos[bi, qi],
-                }
-            )
+            for lo in range(0, len(pdf), block):
+                chunk = pdf.iloc[lo : lo + block]
+                if not len(chunk):
+                    continue
+                ids = chunk[id_col].to_numpy(dtype="int64")
+                mat = np.stack(
+                    [np.asarray(v, dtype="float32") for v in chunk[vec_col]]
+                ).astype("float64")
+                b = mat.shape[0]
+                num = np.zeros((b, n_q))
+                nrm = np.zeros(b)
+                for d in range(dim):  # sequential: mirrors the JVM fold
+                    num += mat[:, d : d + 1] * b_mat[None, :, d].reshape(1, -1)
+                    nrm += mat[:, d] * mat[:, d]
+                cos = num / (np.sqrt(nrm)[:, None] * b_nrm[None, :])
+                # per query (column): forward rows within 2e-6 of the
+                # chunk k-th best raw cos (docstring exactness proof —
+                # the ≥k strictly-better witnesses live in the SAME
+                # chunk, so per-chunk thresholds stay sound)
+                if b > kth + 1:
+                    thresh = -np.partition(-cos, kth, axis=0)[kth, :] - 2e-6
+                    keep = cos >= thresh[None, :]
+                else:
+                    keep = np.ones_like(cos, dtype=bool)
+                bi, qi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_ids[qi],
+                        id_col: ids[bi],
+                        "__raw": cos[bi, qi],
+                    }
+                )
 
     cand = emb.select(id_col, vec_col).mapInPandas(
         score_batches, f"query_id long, {id_col} long, __raw double"
@@ -199,43 +248,60 @@ def allpairs_threshold_arrow(
     vector-thousands baseline (the 100 TB path is the LSH-bucketed
     ``embedding_near_dup_pairs(n_planes>0)``); within that contract
     this path moves the O(n²) work from per-row Catalyst eval into
-    NumPy batches and ships only above-threshold pairs."""
+    NumPy batches and ships only above-threshold pairs.
+
+    Same ADVICE-r8 hardening as :func:`self_knn_topk_arrow`: empty
+    input returns an empty frame, zero-norm vectors raise up front
+    (NaN ordering diverges between NumPy and the JVM fold), the query
+    matrix is a ``SparkContext.broadcast``, and score grids are
+    chunked to a bounded row block."""
     rows = emb.select(id_col, vec_col).collect()
+    if not rows:
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
     q_ids = np.array([r[0] for r in rows], dtype="int64")
     q_mat = np.stack(
         [np.asarray(r[1], dtype="float32") for r in rows]
     ).astype("float64")
-    q_nrm = np.zeros(q_mat.shape[0])
+    n_q = q_mat.shape[0]
+    q_nrm = np.zeros(n_q)
     for d in range(dim):
         q_nrm += q_mat[:, d] * q_mat[:, d]
     q_nrm = np.sqrt(q_nrm)
+    _assert_nonzero_norms(q_nrm, q_ids)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    block = _row_block(n_q)
 
     def score_batches(batches):
+        b_ids, b_mat, b_nrm = bc.value
         for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy(dtype="int64")
-            mat = np.stack(
-                [np.asarray(v, dtype="float32") for v in pdf[vec_col]]
-            ).astype("float64")
-            b = mat.shape[0]
-            num = np.zeros((b, q_mat.shape[0]))
-            nrm = np.zeros(b)
-            for d in range(dim):  # sequential: mirrors the JVM fold
-                num += mat[:, d : d + 1] * q_mat[None, :, d].reshape(1, -1)
-                nrm += mat[:, d] * mat[:, d]
-            cos = num / (np.sqrt(nrm)[:, None] * q_nrm[None, :])
-            keep = (cos >= threshold - 1e-6) & (
-                ids[:, None] < q_ids[None, :]
-            )
-            bi, qi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[bi],
-                    "id_b": q_ids[qi],
-                    "__raw": cos[bi, qi],
-                }
-            )
+            for lo in range(0, len(pdf), block):
+                chunk = pdf.iloc[lo : lo + block]
+                if not len(chunk):
+                    continue
+                ids = chunk[id_col].to_numpy(dtype="int64")
+                mat = np.stack(
+                    [np.asarray(v, dtype="float32") for v in chunk[vec_col]]
+                ).astype("float64")
+                b = mat.shape[0]
+                num = np.zeros((b, n_q))
+                nrm = np.zeros(b)
+                for d in range(dim):  # sequential: mirrors the JVM fold
+                    num += mat[:, d : d + 1] * b_mat[None, :, d].reshape(1, -1)
+                    nrm += mat[:, d] * mat[:, d]
+                cos = num / (np.sqrt(nrm)[:, None] * b_nrm[None, :])
+                keep = (cos >= threshold - 1e-6) & (
+                    ids[:, None] < b_ids[None, :]
+                )
+                bi, qi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[bi],
+                        "id_b": b_ids[qi],
+                        "__raw": cos[bi, qi],
+                    }
+                )
 
     cand = emb.select(id_col, vec_col).mapInPandas(
         score_batches, "id_a long, id_b long, __raw double"

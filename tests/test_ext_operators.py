@@ -2757,6 +2757,71 @@ def test_allpairs_threshold_arrow_bitwise_equals_crossjoin_path(spark):
     assert not arrow  # the 0.95 case really is the empty edge case
 
 
+def test_arrow_scorers_hardened_edges(spark):
+    """ADVICE-r8 hardening of the two Arrow all-pairs scorers: (1)
+    empty input returns an empty frame with the output schema instead
+    of np.stack crashing on a zero-length collect; (2) zero-norm
+    vectors raise ValueError up front (NaN cosine ordering diverges
+    between the NumPy prefilter and the JVM fold, so bit-identity is
+    unsatisfiable on such input); (3) the bounded row-block chunking
+    is value-neutral — forcing a tiny block must reproduce the
+    default-path output exactly (the per-chunk forward-margin proof
+    in the docstring is what this pins)."""
+    import pytest as _pytest
+
+    from cs_tutorial_reporting_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # (1) empty input → empty frame, right schema, no crash
+    empty = e.filter(F.lit(False))
+    out_knn = sim.self_knn_topk_arrow(empty, k=5, dim=64)
+    assert out_knn.columns == ["query_id", "vec_id", "cos", "rank"]
+    assert out_knn.count() == 0
+    out_pairs = sim.allpairs_threshold_arrow(empty, threshold=0.5, dim=64)
+    assert out_pairs.columns == ["id_a", "id_b", "cos"]
+    assert out_pairs.count() == 0
+    # (2) zero-norm vector → loud ValueError naming the ids
+    zero = e.limit(3).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == e.limit(1).collect()[0].vec_id,
+            F.array_repeat(F.lit(0.0).cast("float"), 64),
+        ).otherwise(F.col("embedding")),
+    )
+    with _pytest.raises(ValueError, match="zero-norm"):
+        sim.self_knn_topk_arrow(zero, k=2, dim=64).collect()
+    with _pytest.raises(ValueError, match="zero-norm"):
+        sim.allpairs_threshold_arrow(zero, threshold=0.1, dim=64).collect()
+    # (3) chunking is value-neutral: block=7 vs default must match
+    base_knn = {
+        (r.query_id, r.vec_id, r.rank, r.cos)
+        for r in sim.self_knn_topk_arrow(e, k=11, dim=64).collect()
+    }
+    base_pairs = {
+        (r.id_a, r.id_b, r.cos)
+        for r in sim.allpairs_threshold_arrow(e, threshold=0.35, dim=64).collect()
+    }
+    orig = sim._ROW_BLOCK_DOUBLES
+    sim._ROW_BLOCK_DOUBLES = 1  # _row_block floors at 64 rows
+    try:
+        tiny_knn = {
+            (r.query_id, r.vec_id, r.rank, r.cos)
+            for r in sim.self_knn_topk_arrow(e, k=11, dim=64).collect()
+        }
+        tiny_pairs = {
+            (r.id_a, r.id_b, r.cos)
+            for r in sim.allpairs_threshold_arrow(
+                e, threshold=0.35, dim=64
+            ).collect()
+        }
+    finally:
+        sim._ROW_BLOCK_DOUBLES = orig
+    assert tiny_knn == base_knn and base_knn
+    assert tiny_pairs == base_pairs and base_pairs
+
+
 def test_dbscan_census_identical_on_lsh_candidates(spark):
     """Same claim for DBSCAN: dbscan_census_from_pairs fed
     LSH-bucketed candidate edges (embedding_near_dup_pairs

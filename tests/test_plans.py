@@ -85,10 +85,13 @@ ALLOWED_BNLJ: dict[str, int] = {
     "unigram_piece_usage": 1,  # piece-table frame (vocab-bounded)
     "event_trigram_paths": 1,  # top-path constant frame
     "quantile_normalize_doclen": 1,  # 1-row pooled-total scalar
-    # knn_label_agreement: 0 since r8 — the Arrow all-pairs scorer
-    # replaced its crossJoin (kept at 1 as slack for the shared
-    # downstream's broadcast joins; caps are maxima, not exacts)
-    "knn_label_agreement": 1,
+    # knn_label_agreement: ABSENT (cap 0) since r9 — the r8 Arrow
+    # all-pairs scorer replaced its crossJoin; the r8 slack of 1 would
+    # have let the exact 25M-row crossJoin regression slip back in
+    # silently (ADVICE r8). Caps are EXACT declared counts, not maxima:
+    # the sweep below fails on count != cap in either direction, so a
+    # code change that adds OR removes a BNLJ forces a re-audit of the
+    # build side before the number moves.
 }
 
 #: window queries not plan-audited here: the returned DataFrame is a
@@ -140,24 +143,26 @@ def test_q5_one_fact_shuffle_four_broadcast_dims(spark):
 
 def test_no_cartesian_product_in_any_window_plan(spark):
     """Scale-killer sweep over the ENTIRE 50-query correctness window
-    (round 5 — previously benched-only): no plan may contain a
-    cartesian product or an unbounded nested-loop join. The only
-    allowed BroadcastNestedLoopJoins are the declared exact-baseline
-    broadcast scans and 1-row scalar joins (lists above — each with its
-    rationale)."""
+    (round 5 — previously benched-only) PLUS every ALLOWED_BNLJ entry
+    regardless of window position (round 9 — pre-granted caps for
+    unwindowed queries went stale otherwise, ADVICE r8): no plan may
+    contain a cartesian product or an unbounded nested-loop join, and
+    a declared BroadcastNestedLoopJoin count must match EXACTLY — a
+    count below the cap means the cap is stale slack that would mask
+    a future crossJoin regression; above means a new quadratic shape."""
     from cs_tutorial_reporting_spark.queries import QUERIES
 
+    audit = {n for n in list(QUERIES)[:50]} | set(ALLOWED_BNLJ)
     bad = {}
-    for name, q in list(QUERIES.items())[:50]:
-        if name in SKIP_PLAN_AUDIT:
+    for name in sorted(audit):
+        if name in SKIP_PLAN_AUDIT or name in EXEMPT_QUADRATIC:
             continue
-        p = plan_text(q.fn(spark, SF))
-        if name in EXEMPT_QUADRATIC:
-            continue
+        p = plan_text(QUERIES[name].fn(spark, SF))
         cap = ALLOWED_BNLJ.get(name, 0)
-        if p.count("BroadcastNestedLoopJoin") > cap or "CartesianProduct" in p:
-            bad[name] = p
-    assert not bad, f"quadratic join shapes in window plans: {list(bad)}"
+        n_bnlj = p.count("BroadcastNestedLoopJoin")
+        if n_bnlj != cap or "CartesianProduct" in p:
+            bad[name] = f"bnlj={n_bnlj} declared={cap}"
+    assert not bad, f"quadratic-join audit mismatches in plans: {bad}"
 
 
 def test_dedup_against_small_side_broadcasts_without_hint(spark):
