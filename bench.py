@@ -58,6 +58,13 @@ def main() -> None:
             # two-histogram drift pass
             "theilsen_slope_hourly",
             "ks_value_drift",
+            # round-9 (VERDICT r8 #3): the two Arrow all-pairs scorers
+            # — the registry's slowest queries before the r8 rewrite
+            # (100 s / 16.3 s); benched so a regression in the Arrow
+            # matmul path is visible to bench_compare, front-running
+            # their r11 window entry
+            "knn_label_agreement",
+            "dbscan_embedding_clusters",
         )
         if n in QUERIES
     ]
