@@ -1255,6 +1255,16 @@ _CHECK_WINDOW = 50
 #: re-attests under the driver. A SEMANTIC change to an attested
 #: query would still demand a true re-window (or wait for the debt
 #: to clear).
+#: Round 9 addendum: the ADVICE-r8 hardening of the Arrow scorers
+#: (broadcast query matrix, 64 MB row-block chunking, zero-norm
+#: guard, empty-input early return) touches embedding_near_dup_pairs'
+#: exact leg again — mechanics-only, bitwise-pinned by
+#: test_allpairs_threshold_arrow_bitwise_equals_crossjoin_path plus
+#: the new chunking value-neutrality pin; same clause-(a) ruling,
+#: same ≤ r12 re-attestation deadline. knn_label_agreement and
+#: dbscan_embedding_clusters share the changed code but have never
+#: been attested, so their first driver rows (r11) attest the new
+#: code on schedule.
 REWINDOWED: set[str] = set()
 
 
