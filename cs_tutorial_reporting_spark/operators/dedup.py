@@ -93,6 +93,52 @@ def minhash_signature(shingle_col, num_hashes: int = 8):
     )
 
 
+def minhash_sign(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Materialize the MinHash sign stage ONCE for reuse across several
+    bandings: returns an eagerly localCheckpointed frame
+    ``(__id, __sh, __mh0..__mh{n-1})`` — shingle set plus the full
+    signature — built with the exact expressions of
+    :func:`minhash_lsh_pairs` (same salted hash60 min-aggregates, so
+    signatures are bit-identical to the inline path's).
+
+    Why it exists (round 9, lsh_recall_audit): a banding parameter
+    sweep (the S-curve audit an operator runs before committing a
+    100 TB dedup to b×r) calls minhash_lsh_pairs once per banding —
+    each call re-scanning the corpus and re-computing shingles +
+    signatures. At 100 TB the sign stage IS the dominant cost (full
+    corpus scan + explode + map-combined shuffle); sign-once/band-K×
+    makes the sweep's marginal banding cost just the band shuffle.
+    Pass the result as ``presigned=`` to :func:`minhash_lsh_pairs`.
+    """
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+    target = spark.sparkContext.defaultParallelism * 2
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, "__id")
+    sh_df = src.select(
+        "__id", shingles(F.col("__txt"), shingle_n).alias("__sh")
+    )
+    salted_mins = [
+        F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("__s")))).alias(f"__mh{j}")
+        for j in range(num_hashes)
+    ]
+    mh = (
+        sh_df.select("__id", F.explode("__sh").alias("__s"))
+        .groupBy("__id")
+        .agg(*salted_mins)
+    )
+    # one eager checkpoint of the JOINED frame: the per-banding
+    # consumers read materialized blocks only (same eager rationale as
+    # the inline path's sh_df checkpoint — see minhash_lsh_pairs)
+    return sh_df.join(mh, "__id").localCheckpoint(eager=True)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -102,6 +148,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified
     with exact Jaccard over shingle sets.
@@ -111,7 +158,17 @@ def minhash_lsh_pairs(
     equi-joins on band keys; only same-bucket pairs are verified.
     ``max_bucket`` drops degenerate buckets (e.g. empty-text boilerplate)
     that would re-create the quadratic blowup.
+
+    ``presigned``: optional output of :func:`minhash_sign` (same
+    ``num_hashes``/``shingle_n``) — skips the shingle+signature stage
+    so a banding sweep signs the corpus once. Output is bit-identical
+    either way (pytest-pinned); when omitted, the inline plan is
+    unchanged from pre-round-9 (it backs attested benched queries).
     """
+    if presigned is not None:
+        return _lsh_pairs_from_signed(
+            presigned, num_hashes, band_size, jaccard_threshold, max_bucket
+        )
     n_bands = num_hashes // band_size
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
@@ -198,6 +255,72 @@ def minhash_lsh_pairs(
     # exactly the (i, j>i) combinations the nested transform produced.
     # Row counts are identical (the cap already bounded the quadratic),
     # and the plan stays whole-stage-codegen generate nodes.
+    pairs = (
+        buckets.select(
+            F.col("__ids"), F.posexplode("__ids").alias("__i", "id_a")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = pairs.join(
+        sh_df.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+        "id_a",
+    ).join(
+        sh_df.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = (F.size("__sh_a") + F.size("__sh_b")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _lsh_pairs_from_signed(
+    signed: DataFrame,
+    num_hashes: int,
+    band_size: int,
+    jaccard_threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Banding + bucket pair expansion + exact-Jaccard verify from a
+    :func:`minhash_sign` frame — the same expressions as the inline
+    path of :func:`minhash_lsh_pairs` (band key strings, sorted-bucket
+    posexplode/slice expansion, array_intersect verify), minus the
+    sign stage. Kept textually parallel to the inline path; any edit
+    there must land here too (the bitwise-equality pytest pins it)."""
+    n_bands = num_hashes // band_size
+    sh_df = signed.select("__id", "__sh")
+    bands = signed.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"__mh{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+    buckets = (
+        bands.groupBy("__band")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
     pairs = (
         buckets.select(
             F.col("__ids"), F.posexplode("__ids").alias("__i", "id_a")

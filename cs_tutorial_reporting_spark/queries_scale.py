@@ -3657,16 +3657,25 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three legs are the engine's own pinned pipelines (operators/
     dedup.py::prefix_filter_pairs / minhash_lsh_pairs); the audit adds
     two broadcast-sized left joins (|GT pairs| << corpus) and a decile
-    rollup; ground truth is materialized once and reused by both legs.
-    The oracle composes the same pinned SQL twins via
-    queries_ext.minhash_oracle_sql.
+    rollup; ground truth is materialized once and reused by both legs,
+    and the MinHash sign stage (shingles + 8-hash signature — the
+    full-corpus-scan cost of each LSH leg) is materialized ONCE via
+    minhash_sign and banded twice (round 9: sign-once/band-K× is the
+    parameter-sweep shape at 100 TB; output bit-identical to the
+    per-leg inline path, pytest-pinned). The oracle composes the same
+    pinned SQL twins via queries_ext.minhash_oracle_sql.
     """
-    from .operators.dedup import minhash_lsh_pairs, prefix_filter_pairs
+    from .operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_sign,
+        prefix_filter_pairs,
+    )
 
     docs = t(spark, sf_dir, "documents")
     gt = prefix_filter_pairs(
         docs, "text", "doc_id", 6, 10, shingle_n=3
     ).localCheckpoint()
+    signed = minhash_sign(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
 
     def leg(tag: str, band_size: int) -> DataFrame:
         lsh = minhash_lsh_pairs(
@@ -3676,6 +3685,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=8,
             band_size=band_size,
             jaccard_threshold=0.6,
+            presigned=signed,
         ).select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),

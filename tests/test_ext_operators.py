@@ -58,6 +58,38 @@ def test_minhash_flags_planted_near_duplicate(spark, docs):
         assert 0.0 <= r.jaccard <= 1.0
 
 
+def test_minhash_presigned_bitwise_equals_inline(spark):
+    """minhash_sign + presigned banding must be BIT-IDENTICAL — ids
+    AND rounded jaccard — to the inline minhash_lsh_pairs path, for
+    BOTH bandings of the same signature (the lsh_recall_audit shape:
+    sign once, band twice). Pins the textually-parallel
+    _lsh_pairs_from_signed against drift from the inline path."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_sign,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    signed = minhash_sign(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+    for band_size in (2, 4):
+        inline = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id",
+                num_hashes=8, band_size=band_size, jaccard_threshold=0.6,
+            ).collect()
+        }
+        pre = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id",
+                num_hashes=8, band_size=band_size, jaccard_threshold=0.6,
+                presigned=signed,
+            ).collect()
+        }
+        assert inline == pre and inline, (band_size, len(inline), len(pre))
+
+
 def test_minhash_identical_docs_always_pair(spark, docs):
     from cs_tutorial_reporting_spark.operators.dedup import minhash_lsh_pairs
 
