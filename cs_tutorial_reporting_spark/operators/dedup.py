@@ -23,6 +23,9 @@ cap (``max_bucket``) guards the pathological all-identical case.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -891,6 +894,112 @@ def substring_dup_spans(
     ).withColumnRenamed("__id", id_col)
 
 
+def _semdedup_pairs_jvm(v: DataFrame, dim: int, threshold: float) -> DataFrame:
+    """The pre-round-9 per-label pair source: label self-join + one
+    flat-fold dot per pair, norms hoisted out of the pair loop. Kept
+    as the semantics reference the Arrow twin is pytest-pinned
+    against (tests/test_ext_operators.py::
+    test_semdedup_pairs_arrow_bitwise_equals_jvm); not on the query
+    path — the HOF fold is interpreted per element, which made this
+    leg the bench board's slowest row (~3.5 s of the 5.3 s total at
+    harness scale for ~300k pair folds)."""
+    from ..functions.vectors import dot_flat
+
+    vn = v.withColumn("__nrm", F.sqrt(dot_flat("__v", "__v", dim)))
+    a = vn.select(
+        "__lbl",
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = vn.select(
+        "__lbl",
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    return (
+        a.join(b, "__lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                dot_flat("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def _semdedup_pairs_arrow(v: DataFrame, dim: int, threshold: float) -> DataFrame:
+    """Round-9 Arrow twin of :func:`_semdedup_pairs_jvm` — the same
+    per-label O(cluster²) pair scoring as a per-group NumPy batch loop
+    (applyInPandas over labels) instead of an interpreted JVM HOF fold
+    per pair. BIT-IDENTICAL output (pytest-pinned) via the r8 recipe
+    (similarity.py::allpairs_threshold_arrow): per-element float→
+    double upcast, SEQUENTIAL per-dimension accumulation mirroring
+    dot_flat's left-associated IEEE order for both the dot and the
+    norms, the same dot/(na·nb) rounding sequence, candidates
+    forwarded within 1e-6 of the threshold AND NaN candidates
+    forwarded too (Spark compares NaN ≥ threshold as TRUE, so the
+    authoritative Spark-side F.round filter — identical to the JVM
+    path's — must see them to decide identically), score grids
+    chunked to the shared ~64 MB row block.
+
+    Scale: parallelism is one task per label — exactly the key
+    parallelism of the equi-join it replaces; the SemDeDup bargain
+    (k chosen so clusters fit the budget) bounds per-task work the
+    same way it bounded per-key join fan-out.
+    """
+    from .similarity import _row_block
+
+    out_schema = "id_a long, id_b long, __raw double"
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "__raw": "float64"}
+            )
+        ids = pdf["__id"].to_numpy(dtype="int64")
+        mat = np.stack([np.asarray(x, dtype="float64") for x in pdf["__v"]])
+        nrm = np.zeros(n)
+        for d in range(dim):  # sequential: mirrors dot_flat(v, v)
+            nrm += mat[:, d] * mat[:, d]
+        nrm = np.sqrt(nrm)
+        parts = []
+        block = _row_block(n)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            num = np.zeros((hi - lo, n))
+            for d in range(dim):  # sequential: mirrors dot_flat(a, b)
+                num += mat[lo:hi, d : d + 1] * mat[None, :, d].reshape(1, -1)
+            cos = num / (nrm[lo:hi, None] * nrm[None, :])
+            keep = (
+                (cos >= threshold - 1e-6) | np.isnan(cos)
+            ) & (ids[lo:hi, None] < ids[None, :])
+            bi, qi = np.nonzero(keep)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[lo:hi][bi],
+                        "id_b": ids[qi],
+                        "__raw": cos[bi, qi],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    cand = v.select("__lbl", "__id", "__v").groupBy("__lbl").applyInPandas(
+        score_group, out_schema
+    )
+    return (
+        cand.filter(F.round(F.col("__raw"), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def semdedup_report(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -969,38 +1078,7 @@ def semdedup_report(
             ).alias("__cce6"),
         )
     )
-    from ..functions.vectors import dot_flat
-
-    # hoist per-vector norms OUT of the pair loop: the self-join scores
-    # O(cluster²) pairs, so pair cost must be ONE flat fold (the dot) —
-    # norms are O(n) and computed here once per side. The quotient
-    # dot/(√Σa²·√Σb²) is the same IEEE expression as cosine_flat, so
-    # round-6 oracle parity is unchanged.
-    vn = v.withColumn("__nrm", F.sqrt(dot_flat("__v", "__v", dim)))
-    a = vn.select(
-        "__lbl",
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__nrm").alias("__na"),
-    )
-    b = vn.select(
-        "__lbl",
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__nrm").alias("__nb"),
-    )
-    pairs = (
-        a.join(b, "__lbl")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(
-                dot_flat("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")),
-                6,
-            )
-            >= threshold
-        )
-        .select("id_a", "id_b")
-    )
+    pairs = _semdedup_pairs_arrow(v, dim, threshold)
     labels = connected_components(pairs)
     w = Window.partitionBy("cluster_id").orderBy("__cce6", "__id")
     members = (

