@@ -34,6 +34,24 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def fan_out_compute(df: DataFrame, key_col: str) -> DataFrame:
+    """Fan a compute-bound Arrow pass out of the small-file trap:
+    harness-scale parquet arrives as 1-2 partitions, and mapInPandas
+    inherits input partitioning — the whole Python decode would run
+    on 1-2 cores regardless of cluster width (the round-8 single-task
+    class; measured 8.5 s single-core for the MJPEG scene pass at
+    sf0.1). Keyed repartition to 2× the session parallelism when the
+    input is narrower; at real scale the input is already wide and
+    this is a no-op (same guard, same rationale as
+    operators/dedup.py::minhash_lsh_pairs). The ×2 keeps the count ≠
+    spark.sql.shuffle.partitions so CollapseRepartition cannot
+    silently remove it (round-8 lesson)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key_col)
+    return df
+
+
 def attach_media(df: DataFrame, payload_col, media_type: str, fmt: str) -> DataFrame:
     """Wrap a binary payload column into (content binary, meta struct) —
     the canonical multimodal column pair."""

@@ -289,6 +289,10 @@ def synth_and_scene_detect(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op, SCENES_SCHEMA
-    )
+    from .columns import fan_out_compute
+
+    # compute-bound decode: escape the 1-2-partition small-file trap
+    # (columns.py::fan_out_compute — no-op on already-wide inputs)
+    return fan_out_compute(
+        df.select(F.col(id_col), F.col(payload_col)), id_col
+    ).mapInPandas(op, SCENES_SCHEMA)

@@ -92,6 +92,10 @@ def synth_mixed_and_sniff(
                 rows.append((int(doc_id), fmt, int(units)))
             yield pd.DataFrame(rows, columns=["doc_id", "fmt", "units"])
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op, SNIFF_SCHEMA
-    )
+    from .columns import fan_out_compute
+
+    # compute-bound decode: escape the 1-2-partition small-file trap
+    # (columns.py::fan_out_compute — no-op on already-wide inputs)
+    return fan_out_compute(
+        df.select(F.col(id_col), F.col(payload_col)), id_col
+    ).mapInPandas(op, SNIFF_SCHEMA)

@@ -41,6 +41,37 @@ def _row_block(n_q: int) -> int:
     return max(64, _ROW_BLOCK_DOUBLES // max(n_q, 1))
 
 
+#: minimum score-grid cells (corpus rows × n_q) per task before the
+#: Arrow scorers fan the corpus out — below this, per-task Python
+#: worker + Arrow + broadcast-deserialize overhead (~30-50 ms/task)
+#: outweighs the parallelism (measured: unconditional 64-way fan-out
+#: ADDED ~1 s to dbscan's 2k-vector corpus, while the 2k×2k grid
+#: scores in ~0.2 s on one core anyway).
+_MIN_CELLS_PER_TASK = 16_000_000
+
+
+def _fan_out_corpus(df: DataFrame, key_col: str, n_q: int) -> DataFrame:
+    """Escape the small-file single-task trap for the Arrow scorers —
+    WORK-PROPORTIONALLY. mapInPandas inherits input partitioning, and
+    harness-scale embeddings parquet arrives as ONE partition, so the
+    entire O(n·n_q) scoring loop would run on one core regardless of
+    session width (the round-8 single-task class). But tiny corpora
+    must NOT be sharded into dozens of overhead-dominated tasks, so
+    the partition count is sized from the known grid volume: n·n_q
+    cells at ≥ _MIN_CELLS_PER_TASK per task, capped at 2× session
+    parallelism (the ×2 keeps the count ≠
+    spark.sql.shuffle.partitions so CollapseRepartition can't drop
+    it). n == n_q for these self-scoring paths. Value-neutral: chunk
+    membership changes but the per-chunk forward-margin proofs are
+    membership-independent and the Spark-side round/rank filters
+    stay authoritative (bitwise pins unchanged)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * 2
+    parts = min(target, max(1, (n_q * n_q) // _MIN_CELLS_PER_TASK))
+    if 1 < parts and df.rdd.getNumPartitions() < parts:
+        return df.repartition(parts, key_col)
+    return df
+
+
 def _assert_nonzero_norms(nrm: np.ndarray, ids: np.ndarray) -> None:
     """Zero-norm vectors make cosine NaN, and NaN ranking DIVERGES
     between the NumPy prefilter (comparisons drop NaN) and Spark's
@@ -209,9 +240,9 @@ def self_knn_topk_arrow(
                     }
                 )
 
-    cand = emb.select(id_col, vec_col).mapInPandas(
-        score_batches, f"query_id long, {id_col} long, __raw double"
-    )
+    cand = _fan_out_corpus(
+        emb.select(id_col, vec_col), id_col, n_q
+    ).mapInPandas(score_batches, f"query_id long, {id_col} long, __raw double")
     scored = cand.select(
         "query_id", id_col, F.round(F.col("__raw"), 6).alias("cos")
     )
@@ -303,9 +334,9 @@ def allpairs_threshold_arrow(
                     }
                 )
 
-    cand = emb.select(id_col, vec_col).mapInPandas(
-        score_batches, "id_a long, id_b long, __raw double"
-    )
+    cand = _fan_out_corpus(
+        emb.select(id_col, vec_col), id_col, n_q
+    ).mapInPandas(score_batches, "id_a long, id_b long, __raw double")
     return (
         cand.withColumn("cos", F.round(F.col("__raw"), 6))
         .filter(F.col("cos") >= threshold)
