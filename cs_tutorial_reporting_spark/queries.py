@@ -1257,14 +1257,21 @@ _CHECK_WINDOW = 50
 #: to clear).
 #: Round 9 addendum: the ADVICE-r8 hardening of the Arrow scorers
 #: (broadcast query matrix, 64 MB row-block chunking, zero-norm
-#: guard, empty-input early return) touches embedding_near_dup_pairs'
+#: guard, empty-input early return) plus the work-proportional
+#: corpus fan-out (similarity.py::_fan_out_corpus — plan-inert at
+#: harness corpus sizes, parts=1) touch embedding_near_dup_pairs'
 #: exact leg again — mechanics-only, bitwise-pinned by
 #: test_allpairs_threshold_arrow_bitwise_equals_crossjoin_path plus
-#: the new chunking value-neutrality pin; same clause-(a) ruling,
-#: same ≤ r12 re-attestation deadline. knn_label_agreement and
-#: dbscan_embedding_clusters share the changed code but have never
-#: been attested, so their first driver rows (r11) attest the new
-#: code on schedule.
+#: the chunking value-neutrality and fan-out property pins; same
+#: clause-(a) ruling, same ≤ r12 re-attestation deadline.
+#: knn_label_agreement and dbscan_embedding_clusters share the
+#: changed code but have never been attested, so their first driver
+#: rows (r11) attest the new code on schedule. The round's OTHER
+#: perf changes touch only never-attested queries
+#: (lsh_recall_audit/minhash presigned path — inline path plan
+#: unchanged; semdedup_prune_report Arrow pair leg;
+#: multimodal_scene_changes / multimodal_container_sniff fan-out),
+#: so no further clause-(a) entries accrue.
 REWINDOWED: set[str] = set()
 
 

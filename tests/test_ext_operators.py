@@ -2789,6 +2789,50 @@ def test_allpairs_threshold_arrow_bitwise_equals_crossjoin_path(spark):
     assert not arrow  # the 0.95 case really is the empty edge case
 
 
+def test_fan_out_guards_parallelism_properties(spark):
+    """Pins the round-9 single-partition-trap fixes as PROPERTIES, not
+    just values: (1) fan_out_compute widens a 1-partition frame to 2×
+    session parallelism and is identity on an already-wide frame;
+    (2) the Arrow scorers' work-proportional guard stays single-
+    partition for small grids (the measured tiny-task-overhead
+    regression) and fans for large ones; (3) the MJPEG scene pass —
+    the 8.5 s→1.4 s fix — actually inherits the fan-out (its
+    mapInPandas input is wider than the raw scan)."""
+    from cs_tutorial_reporting_spark.multimodal.columns import fan_out_compute
+    from cs_tutorial_reporting_spark.operators import similarity as sim
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    ).coalesce(1)
+    assert fan_out_compute(narrow, "doc_id").rdd.getNumPartitions() == 2 * par
+    wide = narrow.repartition(2 * par + 3, "doc_id")
+    assert fan_out_compute(wide, "doc_id").rdd.getNumPartitions() == 2 * par + 3
+    # scorer guard: small grid → untouched; large grid → proportional
+    emb1 = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    assert sim._fan_out_corpus(emb1, "vec_id", 2_000).rdd.getNumPartitions() == 1
+    expected = min(
+        2 * par, max(1, (50_000 * 50_000) // sim._MIN_CELLS_PER_TASK)
+    )
+    assert (
+        sim._fan_out_corpus(emb1, "vec_id", 50_000).rdd.getNumPartitions()
+        == expected > 1
+    )
+    # scene pass: the mapInPandas input must be wider than one task
+    from cs_tutorial_reporting_spark.multimodal.mjpeg import (
+        synth_and_scene_detect,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    out = synth_and_scene_detect(d.coalesce(1), threshold=200)
+    assert out.rdd.getNumPartitions() == 2 * par
+
+
 def test_semdedup_pairs_arrow_bitwise_equals_jvm(spark):
     """The r9 per-label Arrow pair source behind semdedup_report must
     be BIT-IDENTICAL to the JVM flat-fold self-join it replaced —
