@@ -5,6 +5,9 @@
 #
 #   bash tools/ship_gate.sh            # oracle gate at sf0.01 + pytest + bench drift
 #   FULL=1 bash tools/ship_gate.sh     # also re-run the oracle gate at sf0.001 + sf0.1
+#   PLAIN=1 bash tools/ship_gate.sh    # also replay the window under a PLAIN
+#                                      # SparkSession (driver twin) — run this in
+#                                      # any round that rotated the window
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -16,6 +19,11 @@ python tools/check_oracle.py /root/testdata/sf0.01
 if [[ "${FULL:-0}" == "1" ]]; then
   python tools/check_oracle.py /root/testdata/sf0.001
   python tools/check_oracle.py /root/testdata/sf0.1
+fi
+
+if [[ "${PLAIN:-0}" == "1" ]]; then
+  echo "== ship gate 1b/4: driver-twin window (plain SparkSession) =="
+  python tools/plain_session_check.py /root/testdata/sf0.01
 fi
 
 echo "== ship gate 2/4: pytest =="
