@@ -1036,11 +1036,17 @@ def semdedup_report(
     """
     from pyspark.sql import Window
 
+    # One materialization of the projected corpus: downstream consumers
+    # (centroid explode, centroid-cosine join, pair scorer, final
+    # per-label counts) otherwise EACH re-derive the input — 8 scans of
+    # the (possibly synthesized/unioned) corpus per run at any scale
+    # (round-9 plan audit). Same eager-localCheckpoint rationale as
+    # minhash_lsh_pairs' shingle frame.
     v = emb.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).alias("__lbl"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).localCheckpoint(eager=True)
     vals = v.select(
         "__id",
         "__lbl",
