@@ -989,12 +989,14 @@ from . import queries_training  # noqa: E402,F401
 #: The REGISTRY IS FROZEN otherwise (VERDICT r6 next-round #1): no
 #: new tail entries until the never-attested count is below one
 #: window. Round 8 promoted the 27-block hll_portable_distinct …
-#: multimodal_tiff_decode (never-count 94→67). Round 9 (this round)
-#: promotes the next 27 in tail order — table_ndv_profile …
-#: corpus_cleaning_funnel (never-count 67→40). Round 10 owes the
-#: following 27 (dedup_substring_spans … q2_min_cost_supplier);
-#: round 11 the final 13 nevers + the oldest re-demoted rows. After
-#: that every row is ≤ 2 rounds old.
+#: multimodal_tiff_decode (never-count 94→67). Round 9 promoted the
+#: next 27 in tail order — table_ndv_profile …
+#: corpus_cleaning_funnel (never-count 67→40). Round 10 (this round)
+#: promotes the following 27 — dedup_substring_spans …
+#: theilsen_slope_hourly (never-count 40→13); round 11 owes the
+#: final 13 nevers (trimmed_mean_order_value …
+#: matview_agg_delta_refresh) + the oldest re-demoted rows (r3).
+#: After that every row is ≤ 2 rounds old.
 #: `tools/freshness_report.py` prints the live worklist;
 #: `tools/freshness_report.py --gate` (wired into ship_gate.sh) FAILS
 #: the round if a non-bench window slot is spent on a query that
@@ -1084,33 +1086,6 @@ _DEMOTED_TAIL: list[str] = [
     # 27-block (table_ndv_profile … corpus_cleaning_funnel) PROMOTED to
     # the window per the mechanical r8–r11 schedule (SURVEY §12); the
     # rest queue for r10+ below
-    "dedup_substring_spans",    # ExactSubstr k-gram spans ⊂ minhash/winnow dedup family
-    "doc_topgram_repetition",   # Gopher top/dup n-gram shares ⊂ repetition/text-stats family
-    "semdedup_prune_report",    # cluster-scoped semantic dedup ⊂ near-dup/CC/inertia families
-    "lsh_recall_audit",         # banding S-curve vs exact GT ⊂ minhash/prefix-filter families
-    "ewma_user_value",          # integer-exact trailing EWMA ⊂ twap/gapfill ts family
-    "streaming_neardup_ingest", # micro-batch-invariant ingest dedup ⊂ streaming/minhash families
-    "fd_violation_audit",       # key-inference profiling ⊂ constraint/fk/profile family
-    "matview_join_delta_refresh",  # delta-rule join IVM ⊂ matview/incremental family
-    "cusum_changepoint_hours",  # integer CUSUM level-shift ⊂ anomaly/seasonal ts family
-    "lsh_precision_funnel",     # per-band verify-budget funnel ⊂ minhash/recall-audit family
-    "join_fanout_hotspots",     # per-key join-cost pre-flight ⊂ skew/diagnostics family
-    "epoch_repetition_plan",    # data-constrained mixture planner ⊂ mixture/quota family
-    "quantile_sketch_error_audit",  # sketch-vs-exact honesty ⊂ percentile/histogram family
-    "streaming_pyds_crawl_feed",  # Python streaming DataSource ⊂ S-family/streaming surface
-    "late_arrival_backfill_report",  # watermark-horizon sizing ⊂ watermark/merge families
-    "quality_curriculum_phases",  # histogram-bound curriculum ⊂ equidepth/quality families
-    "q2_min_cost_supplier",     # adapted Q2 (derived partsupp) ⊂ correlated-min/q15 family
-    "lpa_communities_copurchase",  # frequency-label communities ⊂ pagerank/CC graph family
-    "item_similarity_topk",     # item-CF squared-cosine top-k ⊂ cooccurrence/lift family
-    "multimodal_image_dhash_dedup",  # image near-dup leg ⊂ simhash-census/multimodal family
-    "multimodal_scene_changes", # compressed-domain shot detect ⊂ mjpeg/codec family
-    "multimodal_container_sniff",  # magic-dispatch front door ⊂ codec-family composition
-    "multimodal_wav_vad_segments",  # energy-VAD islands ⊂ wav-dsp/scene-detect family
-    "distribution_drift_tv",    # log-free TV drift monitor ⊂ profile-drift/gini family
-    "hybrid_rrf_fusion",        # RRF hybrid retrieval ⊂ bm25/similarity composition
-    "acf_hourly_lags",          # exact lag-1/24 autocorrelation ⊂ trend/seasonal family
-    "theilsen_slope_hourly",    # robust median-of-slopes ⊂ trend/seasonal family
     "trimmed_mean_order_value", # histogram-overlap robust mean ⊂ percentile family
     "mann_kendall_trend",       # sign-pair trend test ⊂ trend/seasonal family
     "ks_value_drift",           # ECDF-gap two-sample test ⊂ profile-drift family
@@ -1223,6 +1198,44 @@ _DEMOTED_TAIL: list[str] = [
     "weighted_sample_topk",     # [r8 ✓] A-ES weighted sample ⊂ deterministic_sample family
     "label_centroid_inertia",   # [r8 ✓] grouped Arrow agg ⊂ embedding_dim_covariance_topk (promoted)
     "multimodal_tiff_decode",   # [r8 ✓] PackBits decode ⊂ multimodal codec family
+    # ---- round-10 rotation (standing policy): the twenty-seven [r9 ✓]
+    # non-bench window shapes with code UNCHANGED since their r9 row
+    # step down so the r10 27-block (dedup_substring_spans …
+    # theilsen_slope_hourly, SURVEY §12 schedule) can attest. Freshest
+    # rows in the registry — they queue at the very end of the
+    # retirement schedule (r13+). Four of these stay on the bench
+    # board without the registry flag (bench.py's explicit entrants:
+    # dedup_incremental_new_batch, bitmap_retention_days,
+    # triangle_count_copurchase, kcore_copurchase) — demotion only
+    # moves them out of the CORRECTNESS window; bench_compare still
+    # sees them every round.
+    "cluster_best_representative",  # [r9 ✓] per-cluster argmin ⊂ semdedup/CC family
+    "simhash_hamming_census",   # [r9 ✓] 16-bit Hamming census ⊂ simhash/minhash family
+    "layout_locality_audit",    # [r9 ✓] file-span locality ⊂ zorder/layout family
+    "dedup_incremental_new_batch",  # [r9 ✓] O(batch) index probe ⊂ band-index family (bench row)
+    "corpus_cleaning_funnel",   # [r9 ✓] staged gate funnel ⊂ quality-score/filter family
+    "table_ndv_profile",        # [r9 ✓] per-column NDV profile ⊂ fd/constraint family
+    "interval_union_coverage",  # [r9 ✓] swept-line union ⊂ islands/scd2 family
+    "cms_join_size_estimate",   # [r9 ✓] CMS inner-product ⊂ cms_heavy_hitters family
+    "kmv_distinct_estimate",    # [r9 ✓] k-min-values NDV ⊂ hll/kmv sketch family
+    "hopping_window_traffic",   # [r9 ✓] overlapping windows ⊂ seasonal/hourly family
+    "period_over_period_revenue",  # [r9 ✓] lag-window ratios ⊂ trend/seasonal family
+    "hits_event_graph",         # [r9 ✓] hub/authority iteration ⊂ pagerank graph family
+    "hourly_trend_slope_exact", # [r9 ✓] exact LSQ slope ⊂ theilsen/trend family
+    "cumulative_new_users",     # [r9 ✓] first-seen cumsum ⊂ pareto/retention family
+    "multitouch_attribution_linear",  # [r9 ✓] span-share credit ⊂ scd2/attribution family
+    "quota_waterfall_mix",      # [r9 ✓] greedy quota fill ⊂ mixture/epoch-plan family
+    "arrow_native_tokenstats",  # [r9 ✓] mapInArrow pass ⊂ udtf/Arrow surface family
+    "bitmap_retention_days",    # [r9 ✓] roaring-style bitmap ops ⊂ retention family (bench row)
+    "kmv_jaccard_sources",      # [r9 ✓] KMV set-overlap ⊂ kmv/hll sketch family
+    "keyset_pagination_orders", # [r9 ✓] keyset twin of L1 ⊂ pagination family
+    "triangle_count_copurchase",  # [r9 ✓] oriented wedge join ⊂ graph family (bench row)
+    "hll_intersection_overlap", # [r9 ✓] inclusion-exclusion HLL ⊂ hll sketch family
+    "bfs_levels_copurchase",    # [r9 ✓] frontier BFS ⊂ graph iteration family
+    "kcore_copurchase",         # [r9 ✓] peeling iteration ⊂ graph family (bench row)
+    "rendezvous_shard_rebalance",  # [r9 ✓] HRW movement audit ⊂ split-assign family
+    "hard_negative_mining",     # [r9 ✓] near-miss pair mining ⊂ similarity/training family
+    "embedding_dim_covariance_topk",  # [r9 ✓] grouped Arrow covariance ⊂ centroid/inertia family
 ]
 
 _CHECK_WINDOW = 50
