@@ -124,9 +124,15 @@ def minhash_sign(
     target = spark.sparkContext.defaultParallelism * 2
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, "__id")
+    # Eager checkpoint BEFORE the signature aggregate (ADVICE r9):
+    # both the min-agg and the join below consume sh_df, so without it
+    # the lambda-bearing shingle HOF evaluates twice inside one job —
+    # the documented round-4 hazard (context-dependent HOF evaluation
+    # in long sessions) could let the signature and the verify shingle
+    # set disagree WITHIN one signed frame. Mirrors the inline path.
     sh_df = src.select(
         "__id", shingles(F.col("__txt"), shingle_n).alias("__sh")
-    )
+    ).localCheckpoint(eager=True)
     salted_mins = [
         F.min(hash60(F.concat(F.lit(f"{j}|"), F.col("__s")))).alias(f"__mh{j}")
         for j in range(num_hashes)
@@ -136,10 +142,19 @@ def minhash_sign(
         .groupBy("__id")
         .agg(*salted_mins)
     )
-    # one eager checkpoint of the JOINED frame: the per-banding
-    # consumers read materialized blocks only (same eager rationale as
-    # the inline path's sh_df checkpoint — see minhash_lsh_pairs)
-    return sh_df.join(mh, "__id").localCheckpoint(eager=True)
+    # a second eager checkpoint of the JOINED frame: the per-banding
+    # consumers read materialized blocks only — without it every
+    # banding would re-run the signature shuffle, the exact cost
+    # sign-once exists to pay once. sh_df's blocks are reclaimed by
+    # the ContextCleaner once this function returns.
+    signed = sh_df.join(mh, "__id").localCheckpoint(eager=True)
+    # Stamp the sign parameters on the frame (schema metadata — free
+    # to read, survives checkpoint): minhash_lsh_pairs(presigned=)
+    # validates them so a shingle_n/num_hashes mismatch fails loudly
+    # instead of silently producing wrong pairs (ADVICE r9).
+    return signed.withMetadata(
+        "__sh", {"shingle_n": shingle_n, "num_hashes": num_hashes}
+    )
 
 
 def minhash_lsh_pairs(
@@ -169,6 +184,7 @@ def minhash_lsh_pairs(
     unchanged from pre-round-9 (it backs attested benched queries).
     """
     if presigned is not None:
+        _validate_presigned(presigned, num_hashes, shingle_n)
         return _lsh_pairs_from_signed(
             presigned, num_hashes, band_size, jaccard_threshold, max_bucket
         )
@@ -284,6 +300,47 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _validate_presigned(
+    presigned: DataFrame, num_hashes: int, shingle_n: int
+) -> None:
+    """Fail loudly when a ``presigned`` frame was built with different
+    sign parameters than the banding call assumes (ADVICE r9): a
+    shingle_n mismatch — or a signed frame from another corpus/column
+    shape — previously produced WRONG PAIRS silently; only a
+    num_hashes mismatch that referenced a missing __mh column failed.
+    Checks the minhash_sign metadata stamp (schema-only, no job) and
+    the exact __mh column span."""
+    cols = set(presigned.columns)
+    missing = {"__id", "__sh"} - cols
+    if missing:
+        raise ValueError(
+            f"presigned frame is missing {sorted(missing)} — pass the"
+            " output of minhash_sign(), not an arbitrary DataFrame"
+        )
+    if f"__mh{num_hashes - 1}" not in cols or f"__mh{num_hashes}" in cols:
+        have = sorted(
+            int(c[4:]) for c in cols if c.startswith("__mh") and c[4:].isdigit()
+        )
+        raise ValueError(
+            f"presigned frame carries __mh columns {have} but the call"
+            f" expects num_hashes={num_hashes} (__mh0..__mh{num_hashes - 1})"
+            " — re-sign with matching num_hashes"
+        )
+    meta = presigned.schema["__sh"].metadata or {}
+    for key, expect in (("shingle_n", shingle_n), ("num_hashes", num_hashes)):
+        if key not in meta:
+            raise ValueError(
+                "presigned frame has no minhash_sign parameter stamp on"
+                " __sh — re-sign with minhash_sign() (frames signed"
+                " before round 10 must be rebuilt)"
+            )
+        if int(meta[key]) != expect:
+            raise ValueError(
+                f"presigned frame was signed with {key}={int(meta[key])}"
+                f" but the banding call expects {key}={expect}"
+            )
 
 
 def _lsh_pairs_from_signed(
@@ -951,6 +1008,14 @@ def _semdedup_pairs_arrow(v: DataFrame, dim: int, threshold: float) -> DataFrame
     parallelism of the equi-join it replaces; the SemDeDup bargain
     (k chosen so clusters fit the budget) bounds per-task work the
     same way it bounded per-key join fan-out.
+
+    NULL labels (ADVICE r9, medium): the JVM twin's equi-join drops
+    NULL-label rows (equi-join keys never match on null), while
+    applyInPandas would lump them into ONE group and score pairs among
+    them — silently diverging on any corpus with unlabeled vectors.
+    The explicit isNotNull filter below pins the Arrow path to the
+    join semantics; the bitwise-equality pytest carries null-label
+    rows to hold it.
     """
     from .similarity import _row_block
 
@@ -991,8 +1056,11 @@ def _semdedup_pairs_arrow(v: DataFrame, dim: int, threshold: float) -> DataFrame
             )
         return pd.concat(parts, ignore_index=True)
 
-    cand = v.select("__lbl", "__id", "__v").groupBy("__lbl").applyInPandas(
-        score_group, out_schema
+    cand = (
+        v.filter(F.col("__lbl").isNotNull())
+        .select("__lbl", "__id", "__v")
+        .groupBy("__lbl")
+        .applyInPandas(score_group, out_schema)
     )
     return (
         cand.filter(F.round(F.col("__raw"), 6) >= threshold)

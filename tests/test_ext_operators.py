@@ -90,6 +90,54 @@ def test_minhash_presigned_bitwise_equals_inline(spark):
         assert inline == pre and inline, (band_size, len(inline), len(pre))
 
 
+def test_minhash_presigned_param_mismatch_raises(spark):
+    """minhash_lsh_pairs(presigned=) must REFUSE a signed frame built
+    with different sign parameters (ADVICE r9): a shingle_n mismatch
+    previously produced wrong pairs silently, and a smaller num_hashes
+    silently banded a prefix of a wider signature."""
+    import pytest as _pytest
+
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_sign,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    signed = minhash_sign(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+    # shingle_n mismatch: previously the silent wrong-pairs case
+    with _pytest.raises(ValueError, match="shingle_n=3"):
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=8, shingle_n=5, presigned=signed
+        )
+    # num_hashes smaller than signed: previously banded a prefix silently
+    with _pytest.raises(ValueError, match="num_hashes"):
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=4, presigned=signed
+        )
+    # num_hashes larger than signed: missing __mh columns, loud already
+    with _pytest.raises(ValueError, match="num_hashes"):
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, presigned=signed
+        )
+    # an arbitrary frame is not a signed frame
+    with _pytest.raises(ValueError, match="minhash_sign"):
+        minhash_lsh_pairs(docs, "text", "doc_id", presigned=docs)
+    # an un-stamped but column-shaped frame (pre-r10 signed frame)
+    with _pytest.raises(ValueError, match="stamp"):
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=8,
+            presigned=signed.select(
+                "__id", F.col("__sh").alias("__sh", metadata={}),
+                *[f"__mh{j}" for j in range(8)],
+            ),
+        )
+    # matching params still pass validation (smoke, no full collect)
+    out = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, shingle_n=3, presigned=signed
+    )
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+
+
 def test_minhash_identical_docs_always_pair(spark, docs):
     from cs_tutorial_reporting_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2860,7 +2908,11 @@ def test_semdedup_pairs_arrow_bitwise_equals_jvm(spark):
         )
         v = corpus.select(
             F.col("vec_id").alias("__id"),
-            F.col("label").alias("__lbl"),
+            # NULL labels every 7th row (ADVICE r9 medium): the JVM
+            # equi-join drops them; the Arrow path must too — without
+            # its isNotNull filter, applyInPandas lumps all null-label
+            # rows into ONE group and scores extra pairs among them.
+            F.when(F.col("vec_id") % 7 != 0, F.col("label")).alias("__lbl"),
             F.col("embedding").alias("__v"),
         )
         jvm = {
@@ -2907,11 +2959,16 @@ def test_arrow_scorers_hardened_edges(spark):
     out_pairs = sim.allpairs_threshold_arrow(empty, threshold=0.5, dim=64)
     assert out_pairs.columns == ["id_a", "id_b", "cos"]
     assert out_pairs.count() == 0
-    # (2) zero-norm vector → loud ValueError naming the ids
-    zero = e.limit(3).withColumn(
+    # (2) zero-norm vector → loud ValueError naming the ids.
+    # ONE deterministic sample (ADVICE r9): two independent unordered
+    # limit() scans gave no guarantee the poisoned id was among the
+    # kept rows, so the expected ValueError could flake away.
+    zero_rows = e.orderBy("vec_id").limit(3)
+    poisoned_id = zero_rows.orderBy("vec_id").collect()[0].vec_id
+    zero = zero_rows.withColumn(
         "embedding",
         F.when(
-            F.col("vec_id") == e.limit(1).collect()[0].vec_id,
+            F.col("vec_id") == poisoned_id,
             F.array_repeat(F.lit(0.0).cast("float"), 64),
         ).otherwise(F.col("embedding")),
     )

@@ -35,6 +35,19 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as mod
     from check_oracle import TABLES, _canon_frame
 
+    # getOrCreate() silently REUSES any already-active session with its
+    # existing config — invoked from a process holding a get_spark()
+    # session, the "plain driver-twin" replay would quietly test the
+    # engine config instead (ADVICE r9). Process isolation is a hard
+    # requirement; fail loudly rather than report a vacuous pass.
+    if SparkSession.getActiveSession() is not None:
+        print(
+            "ERROR: an active SparkSession already exists in this"
+            " process — run plain_session_check.py in its own process"
+            " so the plain driver-twin config actually applies"
+        )
+        return 2
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
