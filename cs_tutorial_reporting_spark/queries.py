@@ -1285,6 +1285,20 @@ _CHECK_WINDOW = 50
 #: unchanged; semdedup_prune_report Arrow pair leg;
 #: multimodal_scene_changes / multimodal_container_sniff fan-out),
 #: so no further clause-(a) entries accrue.
+#: Round 10 addendum: the ADVICE-r9 closures touch two queries —
+#: lsh_recall_audit (minhash_sign now checkpoints the shingle frame
+#: before the signature aggregate and stamps sign parameters;
+#: presigned banding validates the stamp) and semdedup_prune_report
+#: (_semdedup_pairs_arrow filters NULL labels to match the JVM
+#: twin's equi-join semantics — no-op on the registered corpus,
+#: whose labels are non-null). BOTH are in THIS round's promoted
+#: window block with no prior driver row, so their first rows attest
+#: the new code on schedule; REWINDOWED stays empty. The four
+#: standing clause-(a) entries (timeseries_gapfill_hourly,
+#: timeseries_anomaly_hours, approx_count_distinct,
+#: embedding_near_dup_pairs) re-attest at their scheduled window
+#: return (≤ r12); no window slack existed this round (27 slots, 27
+#: promoted nevers).
 REWINDOWED: set[str] = set()
 
 
