@@ -28,12 +28,20 @@ powers of two.
 
 Scale design (100 TB): the corpus-sized work is ONE word-frequency
 aggregation. Everything downstream — the substring grid, the top-V
-window, and every DP round — runs on the DISTINCT-WORD frame, which
-is vocabulary-bounded, not corpus-bounded. The DP is ``max_word_len``
-rounds of (frontier join broadcast-vocab, then a word-keyed max) —
-the pointer-doubling-CC dataflow with a localCheckpoint per round to
-keep lineage flat. The vocabulary (≤ top_v + alphabet rows) is
-broadcast; no corpus shuffle happens after the first aggregation.
+window, and the segmentation itself — runs on the DISTINCT-WORD
+frame, which is vocabulary-bounded, not corpus-bounded. Since round
+10 the query path segments in ONE Arrow stage
+(:func:`viterbi_paths_arrow`): each word's DP is independent and
+all-integer, so the pass parallelizes at the shuffle width with zero
+sequential rounds. The distributed-DP dataflow (``max_word_len``
+rounds of frontier join broadcast-vocab then word-keyed max, the
+pointer-doubling-CC shape with a localCheckpoint per round) is kept
+as the pinned reference twin (``viterbi_dp_table`` +
+``*_jvm`` readers) — its per-round job floor was measured
+data-independent (~0.25 s/round, SCALE.md), which made the EM round
+pay ~48 sequential barriers at any corpus size. The vocabulary
+(≤ top_v + alphabet rows) is broadcast either way; no corpus shuffle
+happens after the first aggregation.
 
 Reference scope note: the reference pipeline (public repo
 astronomer/cs-tutorial-reporting) has no tokenizer; this operator is
@@ -169,6 +177,112 @@ def viterbi_dp_table(
     return states, vb, maxlen
 
 
+def viterbi_paths_arrow(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    word_col: str = "word",
+) -> DataFrame:
+    """Round-10 Arrow twin of the (viterbi_dp_table → segment-keys /
+    backtrack) dataflow: per-word exact integer Viterbi AND the
+    longest-piece backtrack in ONE mapInPandas pass. Returns
+    (word, key, pieces array<string>) — key is the final DP key,
+    pieces the optimal path in word order; words with no final state
+    (unreachable under vocab) are dropped, exactly like the DP table's
+    missing final row.
+
+    Why (r10 sweep): the JVM dataflow is maxlen sequential rounds
+    (broadcast join + max-agg + localCheckpoint) per DP sweep, and its
+    cost was measured DATA-INDEPENDENT (~0.25 s/round local job floor;
+    SCALE.md) — unigram_em_refine pays ~3 DP sweeps + a backtrack
+    ≈ 48 sequential barriers at ANY data size. Every word's DP is
+    independent and all arithmetic is plain int64 (the engine's
+    log-free integer costs — no IEEE-order concerns at all, unlike
+    the cosine twins), so one Arrow stage over the distinct-word
+    frame computes the identical table with ZERO sequential rounds.
+    At 100 TB the distinct-word frame is vocabulary-bounded and
+    arrives pre-shuffled (the distinct()), so parallelism is the
+    shuffle width, and the 16-barrier latency is gone.
+
+    Equivalence to the JVM twins is STRUCTURAL, not just numeric:
+    key[j] = max over p ∈ [j-max_piece_len, j) of
+    key[p] - KEY_BASE·cost(word[p+1..j]) - 1 over reachable p with
+    in-vocab pieces (the DP rounds' join+max), and the backtrack
+    takes the SMALLEST predecessor position satisfying the key
+    equation (the JVM row_number orderBy ppos) — pytest pins both
+    outputs bitwise against the JVM path on the harness corpus plus
+    crafted tie-break words.
+
+    The vocab collect below is a bounded scalar by construction:
+    seed_piece_scores returns ≤ top_v + |alphabet| rows (tens), the
+    same bounded-collect class as the probe bucket lists."""
+    spark = words.sparkSession
+    w = (
+        words.select(F.col(word_col).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .distinct()
+    )
+    cost_rows = vocab.select("piece", "cost").collect()  # bounded scalar
+    bc = spark.sparkContext.broadcast(
+        {r["piece"]: int(r["cost"]) for r in cost_rows}
+    )
+    kb, mp = KEY_BASE, max_piece_len
+
+    def segment(batches):
+        import pandas as pd
+
+        costs = bc.value
+        for pdf in batches:
+            out_w, out_k, out_p = [], [], []
+            for word in pdf["word"]:
+                n = len(word)
+                key: list[int | None] = [None] * (n + 1)
+                key[0] = 0
+                for j in range(1, n + 1):
+                    best = None
+                    for p in range(max(0, j - mp), j):
+                        kp = key[p]
+                        if kp is None:
+                            continue
+                        c = costs.get(word[p:j])
+                        if c is None:
+                            continue
+                        k = kp - kb * c - 1
+                        if best is None or k > best:
+                            best = k
+                    key[j] = best
+                if key[n] is None:
+                    continue  # no final state — word drops out
+                pieces = []
+                j = n
+                while j > 0:
+                    # smallest predecessor position == longest piece
+                    # (the JVM row_number().orderBy(ppos) tie-break)
+                    for p in range(max(0, j - mp), j):
+                        kp = key[p]
+                        if kp is None:
+                            continue
+                        c = costs.get(word[p:j])
+                        if c is None:
+                            continue
+                        if key[j] == kp - kb * c - 1:
+                            pieces.append(word[p:j])
+                            j = p
+                            break
+                    else:  # pragma: no cover — DP guarantees a pred
+                        raise AssertionError(f"no predecessor: {word}@{j}")
+                pieces.reverse()
+                out_w.append(word)
+                out_k.append(key[n])
+                out_p.append(pieces)
+            yield pd.DataFrame(
+                {"word": out_w, "key": out_k, "pieces": out_p}
+            )
+
+    return w.mapInPandas(segment, "word string, key long, pieces array<string>")
+
+
 def viterbi_segment_keys(
     words: DataFrame,
     vocab: DataFrame,
@@ -183,7 +297,26 @@ def viterbi_segment_keys(
     them; none exist in the harness corpus). Unsegmentable words (a
     character outside the vocab) simply never reach a final state and
     drop out — seed_piece_scores keeps all single chars precisely so
-    this cannot happen when vocab and words share a corpus."""
+    this cannot happen when vocab and words share a corpus.
+
+    Since round 10 the query path is the single Arrow pass
+    (:func:`viterbi_paths_arrow`); :func:`viterbi_segment_keys_jvm`
+    keeps the distributed-DP dataflow as the pinned reference twin."""
+    return viterbi_paths_arrow(
+        words, vocab, max_piece_len, max_word_len, word_col
+    ).select("word", "key")
+
+
+def viterbi_segment_keys_jvm(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    word_col: str = "word",
+) -> DataFrame:
+    """Pre-round-10 distributed-DP segment keys — the pinned reference
+    twin of the Arrow path (see viterbi_paths_arrow's equivalence
+    note); not on the query path."""
     dp, _, _ = viterbi_dp_table(
         words, vocab, max_piece_len, max_word_len, word_col
     )
@@ -191,6 +324,33 @@ def viterbi_segment_keys(
 
 
 def viterbi_backtrack_usage(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Piece USAGE census from the single-pass Arrow path (round 10):
+    explode each word's optimal pieces and weight by word frequency.
+    Same output contract as :func:`viterbi_backtrack_usage_jvm` (the
+    pinned DP-table walk): usage conservation and the longest-piece
+    tie-break hold identically (pytest-pinned bitwise)."""
+    paths = viterbi_paths_arrow(
+        words, vocab, max_piece_len, max_word_len, word_col
+    )
+    wf = words.select(
+        F.col(word_col).alias("word"), F.col(freq_col).alias("freq")
+    )
+    return (
+        paths.select("word", F.explode("pieces").alias("piece"))
+        .join(wf, "word")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("usage"))
+    )
+
+
+def viterbi_backtrack_usage_jvm(
     words: DataFrame,
     vocab: DataFrame,
     max_piece_len: int = 4,

@@ -1317,23 +1317,36 @@ def unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what a compression report quotes). The quantized analogue of
     Kudo (2018)'s EM loop, every quantity an exact integer.
 
-    100 TB: two DP sweeps + one backtrack over the distinct-word
-    frame (broadcast vocabs); the corpus is touched once for word
-    counts — the EM round costs the same at any corpus size."""
+    100 TB: since round 10 the whole round is TWO single-stage Arrow
+    passes over the distinct-word frame (viterbi_paths_arrow — each
+    word's DP is independent, all-integer): pass 1 under the seed
+    costs yields the E-step usage census AND the seed-cost keys from
+    ONE materialization; pass 2 re-segments under the EM costs. The
+    corpus is touched once for word counts — the EM round costs the
+    same at any corpus size, and the former ~48 sequential DP/backtrack
+    barriers (3 sweeps + walk at ~0.25 s/round local job floor,
+    SCALE.md) are gone."""
     from .operators.bpe import word_frequencies
     from .operators.unigram_lm import (
         KEY_BASE,
         seed_piece_scores,
-        viterbi_backtrack_usage,
-        viterbi_segment_keys,
+        viterbi_paths_arrow,
     )
 
     docs = t(spark, sf_dir, "documents")
     words = word_frequencies(docs, "text").localCheckpoint()
     vocab = seed_piece_scores(words, max_piece_len=4, top_v=24)
-    usage = viterbi_backtrack_usage(
+    # one Arrow pass under seed costs: E-step census + k0 keys
+    paths0 = viterbi_paths_arrow(
         words, vocab, max_piece_len=4, max_word_len=12
-    ).localCheckpoint()  # E-step artifact feeds the M-step re-cost
+    ).localCheckpoint()  # two consumers (usage, k0) — materialize once
+    usage = (
+        paths0.select("word", F.explode("pieces").alias("piece"))
+        .join(words.select("word", "freq"), "word")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("usage"))
+        .localCheckpoint()  # E-step artifact feeds the M-step re-cost
+    )
     utot = usage.agg(F.sum("usage").alias("__u"))
     vocab2 = usage.crossJoin(F.broadcast(utot)).select(
         "piece",
@@ -1341,14 +1354,12 @@ def unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(length(bin(__u)) - length(bin(usage)) AS BIGINT)"
         ).alias("cost"),
     )
-    k0 = viterbi_segment_keys(
-        words, vocab, max_piece_len=4, max_word_len=12
-    ).select(
+    k0 = paths0.select(
         "word",
         F.expr(f"(-key) div {KEY_BASE}").alias("bits0"),
         F.expr(f"(-key) % {KEY_BASE}").alias("np0"),
     )
-    k1 = viterbi_segment_keys(
+    k1 = viterbi_paths_arrow(
         words, vocab2, max_piece_len=4, max_word_len=12
     ).select(
         "word",

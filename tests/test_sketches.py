@@ -1042,6 +1042,83 @@ def test_unigram_em_recost_hand_computed(spark):
     ) == (2, 20, 2, 0)
 
 
+def test_unigram_arrow_bitwise_equals_jvm_dp(spark):
+    """The r10 single-pass Arrow segmentation (viterbi_paths_arrow)
+    must be BIT-IDENTICAL to the pinned distributed-DP twins — final
+    keys AND the piece-usage census (which witnesses the backtrack's
+    longest-piece tie-break) — on the harness corpus and on crafted
+    words: equal-key tie paths, an unsegmentable word (char outside
+    vocab drops out in both), and the max_word_len boundary."""
+    from cs_tutorial_reporting_spark.operators.bpe import word_frequencies
+    from cs_tutorial_reporting_spark.operators.unigram_lm import (
+        seed_piece_scores,
+        viterbi_backtrack_usage,
+        viterbi_backtrack_usage_jvm,
+        viterbi_segment_keys,
+        viterbi_segment_keys_jvm,
+    )
+
+    # (a) harness corpus, harness parameters
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = word_frequencies(docs, "text").localCheckpoint()
+    vocab = seed_piece_scores(words, max_piece_len=4, top_v=24)
+    jvm_k = {
+        (r.word, r.key)
+        for r in viterbi_segment_keys_jvm(words, vocab, 4, 12).collect()
+    }
+    arr_k = {
+        (r.word, r.key)
+        for r in viterbi_segment_keys(words, vocab, 4, 12).collect()
+    }
+    assert jvm_k == arr_k and jvm_k
+    jvm_u = {
+        (r.piece, r.usage)
+        for r in viterbi_backtrack_usage_jvm(words, vocab, 4, 12).collect()
+    }
+    arr_u = {
+        (r.piece, r.usage)
+        for r in viterbi_backtrack_usage(words, vocab, 4, 12).collect()
+    }
+    assert jvm_u == arr_u and jvm_u
+
+    # (b) crafted: "aba" ties a+ba vs ab+a at equal key (cost 1+2 both,
+    # 2 pieces both) — the tie-break must pick the same path in both
+    # engines; "axb" is unsegmentable (no 'x' piece) and must DROP in
+    # both; "abababababab" sits exactly AT max_word_len=12 (kept) and
+    # "abababababababa" (15) beyond it (excluded).
+    crafted = spark.createDataFrame(
+        [("aba", 5), ("axb", 3), ("abababababab", 2),
+         ("abababababababa", 1), ("ba", 7)],
+        "word string, freq bigint",
+    )
+    cvocab = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("ab", 2), ("ba", 2), ("abab", 3)],
+        "piece string, cost bigint",
+    )
+    jk = {
+        (r.word, r.key)
+        for r in viterbi_segment_keys_jvm(crafted, cvocab, 4, 12).collect()
+    }
+    ak = {
+        (r.word, r.key)
+        for r in viterbi_segment_keys(crafted, cvocab, 4, 12).collect()
+    }
+    assert jk == ak
+    segmented = {w for w, _ in ak}
+    assert "axb" not in segmented            # unsegmentable drops
+    assert "abababababab" in segmented       # at the boundary: kept
+    assert "abababababababa" not in segmented  # beyond: excluded
+    ju = {
+        (r.piece, r.usage)
+        for r in viterbi_backtrack_usage_jvm(crafted, cvocab, 4, 12).collect()
+    }
+    au = {
+        (r.piece, r.usage)
+        for r in viterbi_backtrack_usage(crafted, cvocab, 4, 12).collect()
+    }
+    assert ju == au and ju
+
+
 def test_agg_mv_keys_vanish_at_zero_and_appear_on_insert(spark):
     """maintain_agg_mv: retracting every row of a key drops it from
     the view (exactly as a recompute would); a key seen only in the
