@@ -65,6 +65,12 @@ def main() -> None:
             # their r11 window entry
             "knn_label_agreement",
             "dbscan_embedding_clusters",
+            # round-10: the unigram EM round — the composite consumer
+            # of the new single-pass Arrow segmentation (two
+            # viterbi_paths_arrow passes + usage census + re-cost);
+            # benched so a regression in the Arrow DP path is visible
+            # to bench_compare, front-running its r11 window entry
+            "unigram_em_refine",
         )
         if n in QUERIES
     ]

@@ -1089,9 +1089,10 @@ def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus occurrences — the tokenizer-fertility report that decides
     vocab size in a real pipeline.
 
-    100 TB: one corpus-sized word count; vocabulary seeding and all
-    DP rounds run on the distinct-word frame with a broadcast vocab
-    (oracle unrolls the same DP as MATERIALIZED CTEs)."""
+    100 TB: one corpus-sized word count; vocabulary seeding and the
+    single-stage Arrow segmentation (viterbi_paths_arrow, r10) run on
+    the distinct-word frame with a broadcast vocab — zero sequential
+    DP rounds (oracle unrolls the same DP as MATERIALIZED CTEs)."""
     from .operators.bpe import word_frequencies
     from .operators.unigram_lm import (
         KEY_BASE,
@@ -1133,9 +1134,10 @@ def unigram_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned in pytest.
 
     100 TB: same scale shape as unigram_viterbi_stats — one corpus
-    word count, then DP + backtrack rounds on the distinct-word frame
-    with a broadcast vocab; the backtrack adds maxlen bounded
-    self-joins of the (word, pos) frame."""
+    word count, then ONE Arrow pass (r10) computing DP + backtrack
+    per word on the distinct-word frame with a broadcast vocab; the
+    former maxlen bounded self-join rounds live on as the pinned
+    viterbi_backtrack_usage_jvm twin."""
     from .operators.bpe import word_frequencies
     from .operators.unigram_lm import (
         seed_piece_scores,
