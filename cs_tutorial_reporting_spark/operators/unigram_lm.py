@@ -183,6 +183,7 @@ def viterbi_paths_arrow(
     max_piece_len: int = 4,
     max_word_len: int = 16,
     word_col: str = "word",
+    compute_pieces: bool = True,
 ) -> DataFrame:
     """Round-10 Arrow twin of the (viterbi_dp_table → segment-keys /
     backtrack) dataflow: per-word exact integer Viterbi AND the
@@ -216,7 +217,13 @@ def viterbi_paths_arrow(
 
     The vocab collect below is a bounded scalar by construction:
     seed_piece_scores returns ≤ top_v + |alphabet| rows (tens), the
-    same bounded-collect class as the probe bucket lists."""
+    same bounded-collect class as the probe bucket lists.
+
+    ``compute_pieces=False`` skips the backtrack loop and the Arrow
+    transfer of the pieces arrays for keys-only consumers
+    (viterbi_segment_keys, em_refine's re-segmentation pass) — the
+    backtrack roughly doubles per-word Python work and mapInPandas is
+    opaque to Spark, so a downstream .select cannot prune it."""
     spark = words.sparkSession
     w = (
         words.select(F.col(word_col).alias("word"))
@@ -224,10 +231,28 @@ def viterbi_paths_arrow(
         .distinct()
     )
     cost_rows = vocab.select("piece", "cost").collect()  # bounded scalar
-    bc = spark.sparkContext.broadcast(
-        {r["piece"]: int(r["cost"]) for r in cost_rows}
-    )
+    # Duplicate pieces are REJECTED loudly: dict-last-wins would
+    # silently diverge from the JVM twin's join+max (which keeps the
+    # cheaper duplicate in the DP), and the JVM twin's own BACKTRACK
+    # is ill-defined under duplicates (a spurious (p, dup-cost)
+    # candidate can satisfy the key equation off the optimal path).
+    # Both real vocab producers (seed_piece_scores, em_refine's
+    # usage re-cost) are unique-by-piece by construction.
+    costs_map: dict[str, int] = {}
+    dups = []
+    for r in cost_rows:
+        if r["piece"] in costs_map:
+            dups.append(r["piece"])
+        costs_map[r["piece"]] = int(r["cost"])
+    if dups:
+        raise ValueError(
+            f"vocab has duplicate piece rows {sorted(set(dups))!r} — "
+            "segmentation under duplicate costs is ill-defined; "
+            "dedupe (e.g. min(cost) per piece) before segmenting"
+        )
+    bc = spark.sparkContext.broadcast(costs_map)
     kb, mp = KEY_BASE, max_piece_len
+    want_pieces = compute_pieces
 
     def segment(batches):
         import pandas as pd
@@ -254,6 +279,10 @@ def viterbi_paths_arrow(
                     key[j] = best
                 if key[n] is None:
                     continue  # no final state — word drops out
+                out_w.append(word)
+                out_k.append(key[n])
+                if not want_pieces:
+                    continue
                 pieces = []
                 j = n
                 while j > 0:
@@ -273,14 +302,39 @@ def viterbi_paths_arrow(
                     else:  # pragma: no cover — DP guarantees a pred
                         raise AssertionError(f"no predecessor: {word}@{j}")
                 pieces.reverse()
-                out_w.append(word)
-                out_k.append(key[n])
                 out_p.append(pieces)
-            yield pd.DataFrame(
-                {"word": out_w, "key": out_k, "pieces": out_p}
-            )
+            data = {"word": out_w, "key": out_k}
+            if want_pieces:
+                data["pieces"] = out_p
+            yield pd.DataFrame(data)
 
-    return w.mapInPandas(segment, "word string, key long, pieces array<string>")
+    schema = (
+        "word string, key long, pieces array<string>"
+        if compute_pieces
+        else "word string, key long"
+    )
+    return w.mapInPandas(segment, schema)
+
+
+def usage_from_paths(
+    paths: DataFrame,
+    words: DataFrame,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Piece-usage census from a :func:`viterbi_paths_arrow` frame:
+    explode the optimal pieces and weight by word frequency. Shared by
+    :func:`viterbi_backtrack_usage` and unigram_em_refine's E-step so
+    the two can never drift."""
+    wf = words.select(
+        F.col(word_col).alias("word"), F.col(freq_col).alias("freq")
+    )
+    return (
+        paths.select("word", F.explode("pieces").alias("piece"))
+        .join(wf, "word")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("usage"))
+    )
 
 
 def viterbi_segment_keys(
@@ -300,11 +354,14 @@ def viterbi_segment_keys(
     this cannot happen when vocab and words share a corpus.
 
     Since round 10 the query path is the single Arrow pass
-    (:func:`viterbi_paths_arrow`); :func:`viterbi_segment_keys_jvm`
-    keeps the distributed-DP dataflow as the pinned reference twin."""
+    (:func:`viterbi_paths_arrow`, keys-only mode — the backtrack and
+    its Arrow transfer are skipped for this consumer);
+    :func:`viterbi_segment_keys_jvm` keeps the distributed-DP dataflow
+    as the pinned reference twin."""
     return viterbi_paths_arrow(
-        words, vocab, max_piece_len, max_word_len, word_col
-    ).select("word", "key")
+        words, vocab, max_piece_len, max_word_len, word_col,
+        compute_pieces=False,
+    )
 
 
 def viterbi_segment_keys_jvm(
@@ -332,22 +389,16 @@ def viterbi_backtrack_usage(
     freq_col: str = "freq",
 ) -> DataFrame:
     """Piece USAGE census from the single-pass Arrow path (round 10):
-    explode each word's optimal pieces and weight by word frequency.
-    Same output contract as :func:`viterbi_backtrack_usage_jvm` (the
-    pinned DP-table walk): usage conservation and the longest-piece
-    tie-break hold identically (pytest-pinned bitwise)."""
+    explode each word's optimal pieces and weight by word frequency
+    (:func:`usage_from_paths` — shared with unigram_em_refine's
+    E-step). Same output contract as
+    :func:`viterbi_backtrack_usage_jvm` (the pinned DP-table walk):
+    usage conservation and the longest-piece tie-break hold
+    identically (pytest-pinned bitwise)."""
     paths = viterbi_paths_arrow(
         words, vocab, max_piece_len, max_word_len, word_col
     )
-    wf = words.select(
-        F.col(word_col).alias("word"), F.col(freq_col).alias("freq")
-    )
-    return (
-        paths.select("word", F.explode("pieces").alias("piece"))
-        .join(wf, "word")
-        .groupBy("piece")
-        .agg(F.sum("freq").cast("bigint").alias("usage"))
-    )
+    return usage_from_paths(paths, words, word_col, freq_col)
 
 
 def viterbi_backtrack_usage_jvm(

@@ -1332,6 +1332,7 @@ def unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.unigram_lm import (
         KEY_BASE,
         seed_piece_scores,
+        usage_from_paths,
         viterbi_paths_arrow,
     )
 
@@ -1342,13 +1343,8 @@ def unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths0 = viterbi_paths_arrow(
         words, vocab, max_piece_len=4, max_word_len=12
     ).localCheckpoint()  # two consumers (usage, k0) — materialize once
-    usage = (
-        paths0.select("word", F.explode("pieces").alias("piece"))
-        .join(words.select("word", "freq"), "word")
-        .groupBy("piece")
-        .agg(F.sum("freq").cast("bigint").alias("usage"))
-        .localCheckpoint()  # E-step artifact feeds the M-step re-cost
-    )
+    usage = usage_from_paths(paths0, words).localCheckpoint()
+    # (checkpointed: the E-step artifact feeds the M-step re-cost)
     utot = usage.agg(F.sum("usage").alias("__u"))
     vocab2 = usage.crossJoin(F.broadcast(utot)).select(
         "piece",
@@ -1362,7 +1358,8 @@ def unigram_em_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(-key) % {KEY_BASE}").alias("np0"),
     )
     k1 = viterbi_paths_arrow(
-        words, vocab2, max_piece_len=4, max_word_len=12
+        words, vocab2, max_piece_len=4, max_word_len=12,
+        compute_pieces=False,  # re-segmentation pass: keys only
     ).select(
         "word",
         F.expr(f"(-key) div {KEY_BASE}").alias("bits1"),

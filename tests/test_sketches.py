@@ -1118,6 +1118,20 @@ def test_unigram_arrow_bitwise_equals_jvm_dp(spark):
     }
     assert ju == au and ju
 
+    # (c) duplicate vocab rows are REJECTED loudly by the Arrow path:
+    # dict-last-wins would silently diverge from the JVM join+max, and
+    # the JVM twin's own backtrack is ill-defined under duplicates (a
+    # spurious dup-cost candidate can satisfy the key equation off the
+    # optimal path) — so the contract is unique-by-piece, enforced.
+    import pytest as _pytest
+
+    dvocab = spark.createDataFrame(
+        [("a", 9), ("a", 1), ("b", 1), ("ab", 2), ("ba", 2)],
+        "piece string, cost bigint",
+    )
+    with _pytest.raises(ValueError, match="duplicate piece"):
+        viterbi_segment_keys(crafted, dvocab, 4, 12)
+
 
 def test_agg_mv_keys_vanish_at_zero_and_appear_on_insert(spark):
     """maintain_agg_mv: retracting every row of a key drops it from

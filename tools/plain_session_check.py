@@ -40,9 +40,20 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     # session, the "plain driver-twin" replay would quietly test the
     # engine config instead (ADVICE r9). Process isolation is a hard
     # requirement; fail loudly rather than report a vacuous pass.
-    if SparkSession.getActiveSession() is not None:
+    # Checked PROCESS-WIDE, not just thread-local: getActiveSession()
+    # reads a thread-local, but getOrCreate() falls back to
+    # SparkSession._instantiatedSession (any thread), so a session
+    # built elsewhere — or clearActiveSession()'d — would still be
+    # reused with its non-plain config.
+    from pyspark import SparkContext
+
+    if (
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
+        or SparkContext._active_spark_context is not None
+    ):
         print(
-            "ERROR: an active SparkSession already exists in this"
+            "ERROR: a SparkSession/SparkContext already exists in this"
             " process — run plain_session_check.py in its own process"
             " so the plain driver-twin config actually applies"
         )
