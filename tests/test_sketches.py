@@ -1133,6 +1133,61 @@ def test_unigram_arrow_bitwise_equals_jvm_dp(spark):
         viterbi_segment_keys(crafted, dvocab, 4, 12)
 
 
+def test_unigram_key_matches_bruteforce_enumeration(spark):
+    """Third, independent oracle for the Viterbi key: brute-force
+    enumeration of ALL segmentations of short words must agree with
+    the engine on max key = -(KEY_BASE·cost + n_pieces), and the
+    emitted pieces must re-derive exactly that key. Catches a defect
+    shared by BOTH the Arrow path and the JVM twin (which the bitwise
+    pin alone cannot)."""
+    from cs_tutorial_reporting_spark.operators.unigram_lm import (
+        KEY_BASE,
+        viterbi_paths_arrow,
+    )
+
+    vocab_rows = [("a", 1), ("b", 2), ("c", 3), ("ab", 2), ("bc", 1),
+                  ("abc", 5), ("ca", 1), ("aa", 3)]
+    costs = dict(vocab_rows)
+
+    def brute_best(word):
+        best = None
+
+        def rec(i, cost, n):
+            nonlocal best
+            if i == len(word):
+                k = -(KEY_BASE * cost + n)
+                if best is None or k > best:
+                    best = k
+                return
+            for j in range(i + 1, min(i + 4, len(word)) + 1):
+                c = costs.get(word[i:j])
+                if c is not None:
+                    rec(j, cost + c, n + 1)
+
+        rec(0, 0, 0)
+        return best
+
+    words = ["a", "abc", "abca", "bcab", "aabbcc", "cabcab", "abcabc",
+             "aaaa", "abab", "bcbc", "cab", "xq", "abcx"]
+    wdf = spark.createDataFrame([(w, 1) for w in words], "word string, freq bigint")
+    vdf = spark.createDataFrame(vocab_rows, "piece string, cost bigint")
+    got = {
+        r.word: (r.key, list(r.pieces))
+        for r in viterbi_paths_arrow(wdf, vdf, 4, 12).collect()
+    }
+    for w in words:
+        want = brute_best(w)
+        if want is None:
+            assert w not in got, w  # unsegmentable must drop
+            continue
+        key, pieces = got[w]
+        assert key == want, (w, key, want)
+        # the emitted path must re-derive exactly that key
+        assert "".join(pieces) == w
+        rekey = -(KEY_BASE * sum(costs[p] for p in pieces) + len(pieces))
+        assert rekey == key, (w, pieces, rekey, key)
+
+
 def test_agg_mv_keys_vanish_at_zero_and_appear_on_insert(spark):
     """maintain_agg_mv: retracting every row of a key drops it from
     the view (exactly as a recompute would); a key seen only in the
