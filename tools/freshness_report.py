@@ -196,5 +196,64 @@ def main() -> int:
     return 0
 
 
+def plan() -> int:
+    """Print the NEXT rotation mechanically (``--plan``): which
+    non-bench window slots hold a current-round row (demote), and
+    which tail entries fill them (promote) — never-attested first in
+    TAIL order, then oldest rows, tail-order within an age class.
+    Clause-(a) re-windows (code changed since last row) are a manual
+    judgment the tool cannot make; the reminder prints last."""
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    latest_green: dict[str, int] = {}
+    for path in files:
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        for name, row in json.load(open(path)).items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            if ok:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    cur = max(
+        (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
+    )
+    if cur == 0:
+        print("rotation plan: no CORRECTNESS_r*.json yet — nothing to rotate")
+        return 0
+    names, window, bench, _ = registry_order()
+    demote = [
+        n
+        for n in names
+        if n in window and n not in bench and latest_green.get(n, 0) >= cur
+    ]
+    tail = [n for n in names if n not in window]
+    candidates = sorted(
+        range(len(tail)), key=lambda i: (latest_green.get(tail[i], 0), i)
+    )
+    promote = [tail[i] for i in candidates[: len(demote)]]
+    print(f"rotation plan after r{cur} (window {len(window)}, "
+          f"{len(demote)} rotating slots):")
+    print(f"\ndemote to tail end ({len(demote)}, hold r{cur} rows):")
+    for n in demote:
+        print(f"  {n}")
+    print(f"\npromote into window ({len(promote)}, oldest-first in tail order):")
+    for n in promote:
+        rnd = latest_green.get(n, 0)
+        print(f"  {'never' if rnd == 0 else f'r{rnd}':>6}  {n}")
+    print(
+        "\nREMINDER: clause-(a) first — any query whose operator code"
+        " changed since its latest row re-windows ahead of this list"
+        " (queries.REWINDOWED); apply edits to queries.py::_DEMOTED_TAIL,"
+        " then run --gate."
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(gate() if "--gate" in sys.argv[1:] else main())
+    if "--gate" in sys.argv[1:]:
+        sys.exit(gate())
+    if "--plan" in sys.argv[1:]:
+        sys.exit(plan())
+    sys.exit(main())
