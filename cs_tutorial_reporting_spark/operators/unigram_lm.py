@@ -219,6 +219,20 @@ def viterbi_paths_arrow(
     seed_piece_scores returns ≤ top_v + |alphabet| rows (tens), the
     same bounded-collect class as the probe bucket lists.
 
+    NOTE construction is EAGER (ADVICE r10): the vocab collect and
+    the duplicate-piece check run a Spark job at DataFrame-BUILD time,
+    unlike the fully-lazy pre-r10 JVM twins — callers composing plans
+    speculatively pay that job even if the result frame is never
+    executed. The broadcast created per call is reclaimed by driver GC
+    + ContextCleaner rather than an explicit destroy() (the frame
+    outlives this function and may be executed repeatedly, so there is
+    no safe destroy point); at the documented bounded-vocab contract
+    (tens of entries) the per-call footprint is a few KB — the same
+    ContextCleaner reliance as dedup.py's localCheckpoint blocks. If
+    vocab bounds ever grow, callers that iterate (em_refine makes two
+    broadcasts per invocation) should checkpoint the result and
+    destroy the broadcast explicitly.
+
     ``compute_pieces=False`` skips the backtrack loop and the Arrow
     transfer of the pieces arrays for keys-only consumers
     (viterbi_segment_keys, em_refine's re-segmentation pass) — the

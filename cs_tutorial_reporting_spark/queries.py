@@ -1005,24 +1005,11 @@ from . import queries_training  # noqa: E402,F401
 _DEMOTED_TAIL: list[str] = [
     # round-4 rotation: winnow_containment_pairs promoted (the one
     # registered query with no driver row after r3); [r3 ✓] shapes
-    # demoted to free its slot and the round-4 newcomers' slots
-    "scalar_math_functions",    # [r3 ✓] pure scalar exprs ⊂ conditional/date shapes
-    "conditional_case_coalesce",  # [r3 ✓] CASE/coalesce ⊂ q19 predicates (in window)
-    "date_parts_spectrum",      # [r3 ✓] X1-X3 ⊂ scalar_date_functions family [r1+r2 ✓]
-    "having_filter_groups",     # [r3 ✓] HAVING ⊂ grouping_sets_sql + q18 (in window)
-    "set_ops",                  # [r3 ✓] UNION/INTERSECT/EXCEPT ⊂ union_by_name [r2 ✓]
-    "window_running_total",     # [r3 ✓] cumsum window ⊂ sequence_packing_stats (in window)
-    "window_lag_gap",           # [r3 ✓] lag window ⊂ asof/sessionization (bench)
-    "grouping_sets_sql",        # [r3 ✓] GROUPING SETS ⊂ rollup/cube family [r1+r2 ✓]
-    # round-4 TPC-H widening: six new shapes (q4/q9/q12/q13/q16/q17)
-    # take the slots of six [r3 ✓] TPC-H rows — family reps q14/q18 and
-    # the newcomers stay in window
-    "q7_nation_pair_revenue",   # [r3 ✓] nation-pair joins ⊂ q9 (5-way graph, in window)
-    "q8_market_share",          # [r3 ✓] conditional ratio ⊂ q14 (in window)
-    "q10_returned_item_revenue",  # [r3 ✓] top-k revenue ⊂ q3 (bench)
-    "q19_disjunctive_predicates",  # [r3 ✓] disjunctive pushdown ⊂ q16 filters (in window)
-    "q21_sole_supplier_orders", # [r3 ✓] EXISTS/NOT-EXISTS ⊂ q4 (in window)
-    "q22_dormant_balances",     # [r3 ✓] anti+scalar subquery ⊂ q13/q17 (in window)
+    # demoted to free its slot and the round-4 newcomers' slots.
+    # Round 11 PROMOTED the fourteen oldest r3 rows back into the
+    # window per the §12 schedule (scalar_math_functions …
+    # q22_dormant_balances); the four r3 rows below ride r12 with the
+    # r4 block.
     "q18_large_volume_orders",  # [r3 ✓] HAVING-over-facts ⊂ q4/q16 newcomers
     "q14_promo_revenue_ratio",  # [r3 ✓] conditional ratio ⊂ q8 family [r3 ✓]
     "correlated_min_subquery",  # [r3 ✓] de-correlated scalar ⊂ q17 newcomer
@@ -1086,19 +1073,9 @@ _DEMOTED_TAIL: list[str] = [
     # 27-block (table_ndv_profile … corpus_cleaning_funnel) PROMOTED to
     # the window per the mechanical r8–r11 schedule (SURVEY §12); the
     # rest queue for r10+ below
-    "trimmed_mean_order_value", # histogram-overlap robust mean ⊂ percentile family
-    "mann_kendall_trend",       # sign-pair trend test ⊂ trend/seasonal family
-    "ks_value_drift",           # ECDF-gap two-sample test ⊂ profile-drift family
-    "unigram_viterbi_stats",    # SentencePiece-style Viterbi ⊂ bpe/tokenizer family
-    "unigram_piece_usage",      # DP-backtrack usage census ⊂ bpe/tokenizer family
-    "event_trigram_paths",      # 3-step path mining ⊂ transition-matrix family
-    "unigram_bits_per_token",   # model-based quality signal ⊂ tokenizer family
-    "quantile_normalize_doclen", # rank→pooled-quantile mapping ⊂ percentile family
-    "unigram_em_refine",        # one EM round, usage-recosted ⊂ tokenizer family
-    "knn_label_agreement",      # label-noise kNN audit ⊂ similarity family
-    "dbscan_embedding_clusters", # density clustering ⊂ near-dup/CC family
-    "lexical_diversity_by_source", # TTR/hapax stylometrics ⊂ text-stats family
-    "matview_agg_delta_refresh", # signed-delta agg IVM ⊂ matview/IVM family
+    # (round 11 PROMOTED the final thirteen never-attested entries —
+    # trimmed_mean_order_value … matview_agg_delta_refresh — into the
+    # window per the §12 schedule; never-attested tail is now ZERO)
     # ---- round-7 rotation (standing policy): the twenty-seven [r6 ✓]
     # non-bench window shapes with code UNCHANGED since their r6 row
     # step down so the owed 26-block (ten r2-stale + fifteen round-6
@@ -1236,6 +1213,42 @@ _DEMOTED_TAIL: list[str] = [
     "rendezvous_shard_rebalance",  # [r9 ✓] HRW movement audit ⊂ split-assign family
     "hard_negative_mining",     # [r9 ✓] near-miss pair mining ⊂ similarity/training family
     "embedding_dim_covariance_topk",  # [r9 ✓] grouped Arrow covariance ⊂ centroid/inertia family
+    # ---- round-11 rotation (standing policy): the twenty-seven [r10 ✓]
+    # non-bench window shapes with code UNCHANGED since their r10 row
+    # step down so the FINAL 13 never-attested entries
+    # (trimmed_mean_order_value … matview_agg_delta_refresh) and the 14
+    # oldest r3-stale rows (scalar_math_functions … q22_dormant_balances)
+    # can attest — after this round the attestation debt is ZERO and
+    # every row is ≤ 2 rounds old at rotation time. Freshest rows in
+    # the registry — they queue at the very end of the retirement
+    # schedule (r14+).
+    "dedup_substring_spans",    # [r10 ✓] k-gram span windows ⊂ minhash/exact-substr family (bench row)
+    "doc_topgram_repetition",   # [r10 ✓] top-gram share ⊂ doc_text_stats (bench)
+    "semdedup_prune_report",    # [r10 ✓] cluster-scoped cosine prune ⊂ semdedup family (bench row)
+    "streaming_neardup_ingest", # [r10 ✓] stream LSH probe ⊂ streaming/dedup family (bench row)
+    "streaming_pyds_crawl_feed",  # [r10 ✓] python datasource stream ⊂ streaming family (bench row)
+    "multimodal_image_dhash_dedup",  # [r10 ✓] dHash grouping ⊂ multimodal codec family
+    "multimodal_scene_changes", # [r10 ✓] MJPEG scene deltas ⊂ multimodal codec family
+    "multimodal_container_sniff",  # [r10 ✓] magic-byte sniff ⊂ multimodal codec family
+    "multimodal_wav_vad_segments",  # [r10 ✓] PCM VAD spans ⊂ multimodal codec family
+    "lsh_recall_audit",         # [r10 ✓] banding recall audit ⊂ minhash/presigned family
+    "ewma_user_value",          # [r10 ✓] recursive EWMA ⊂ twap/ts family (bench row)
+    "fd_violation_audit",       # [r10 ✓] FD counterexamples ⊂ constraint/ndv family
+    "matview_join_delta_refresh",  # [r10 ✓] join-delta IVM ⊂ matview/IVM family
+    "cusum_changepoint_hours",  # [r10 ✓] CUSUM drift spans ⊂ trend/changepoint family
+    "lsh_precision_funnel",     # [r10 ✓] banding precision audit ⊂ lsh_recall family
+    "join_fanout_hotspots",     # [r10 ✓] join-cardinality audit ⊂ fk/containment family
+    "quantile_sketch_error_audit",  # [r10 ✓] sketch-vs-exact error ⊂ percentile/sketch family
+    "late_arrival_backfill_report",  # [r10 ✓] watermark lateness audit ⊂ incremental family
+    "lpa_communities_copurchase",  # [r10 ✓] label propagation ⊂ graph iteration family
+    "item_similarity_topk",     # [r10 ✓] cosine item-item ⊂ similarity family (bench row)
+    "distribution_drift_tv",    # [r10 ✓] total-variation drift ⊂ drift/profile family
+    "hybrid_rrf_fusion",        # [r10 ✓] reciprocal-rank fusion ⊂ bm25/similarity family
+    "acf_hourly_lags",          # [r10 ✓] autocorrelation lags ⊂ trend/seasonal family
+    "theilsen_slope_hourly",    # [r10 ✓] pairwise-median slope ⊂ trend family
+    "q2_min_cost_supplier",     # [r10 ✓] correlated-min join ⊂ TPC-H family (bench row)
+    "epoch_repetition_plan",    # [r10 ✓] epoch dup planning ⊂ mixture/packing family
+    "quality_curriculum_phases",  # [r10 ✓] phase bucketing ⊂ curriculum/quota family
 ]
 
 _CHECK_WINDOW = 50

@@ -44,6 +44,33 @@ def registry_order() -> tuple[list[str], set[str], set[str], set[str]]:
     return names, set(names[:_CHECK_WINDOW]), bench, set(REWINDOWED)
 
 
+def _latest_green() -> tuple[dict[str, int], int]:
+    """Scan every ``CORRECTNESS_r*.json`` once and return
+    ``(latest_green, cur)``: each query's most recent green-row round
+    (rows+schema+hash all pass, no err) and the latest driver round
+    recorded (0 when no files exist). Shared by gate()/main()/plan()
+    so the ok-row predicate cannot drift between them (ADVICE r10)."""
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    latest: dict[str, int] = {}
+    for path in files:
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    cur = max(
+        (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
+    )
+    return latest, cur
+
+
 #: hard-gate budgets (tools/ship_gate.sh runs ``--gate``; VERDICT r6
 #: next-round #1). The never-attested TAIL ceiling follows the debt
 #: retirement schedule. NOTE the VERDICT quoted "never-count ≤ 83"
@@ -75,22 +102,7 @@ def gate() -> int:
        MAX_ROW_AGE rounds — the steady-state staleness bound once the
        never-debt is retired.
     """
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    latest_green: dict[str, int] = {}
-    for path in files:
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
-        for name, row in json.load(open(path)).items():
-            ok = (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") in (True, None)
-                and not row.get("err")
-            )
-            if ok:
-                latest_green[name] = max(latest_green.get(name, 0), rnd)
-    cur = max(
-        (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
-    )
+    latest_green, cur = _latest_green()
     names, window, bench, rewindowed = registry_order()
     if cur == 0:
         # no driver round recorded yet (fresh clone / archived rounds):
@@ -151,22 +163,7 @@ def gate() -> int:
 
 
 def main() -> int:
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    latest_green: dict[str, int] = {}
-    for path in files:
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
-        for name, row in json.load(open(path)).items():
-            ok = (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") in (True, None)
-                and not row.get("err")
-            )
-            if ok:
-                latest_green[name] = max(latest_green.get(name, 0), rnd)
-    cur = max(
-        (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
-    )
+    latest_green, cur = _latest_green()
     names, window, _, _ = registry_order()
     hist = Counter(latest_green.get(n, 0) for n in names)
     print(f"registered queries: {len(names)}   latest driver round: r{cur}")
@@ -203,30 +200,21 @@ def plan() -> int:
     TAIL order, then oldest rows, tail-order within an age class.
     Clause-(a) re-windows (code changed since last row) are a manual
     judgment the tool cannot make; the reminder prints last."""
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    latest_green: dict[str, int] = {}
-    for path in files:
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
-        for name, row in json.load(open(path)).items():
-            ok = (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") in (True, None)
-                and not row.get("err")
-            )
-            if ok:
-                latest_green[name] = max(latest_green.get(name, 0), rnd)
-    cur = max(
-        (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
-    )
+    latest_green, cur = _latest_green()
     if cur == 0:
         print("rotation plan: no CORRECTNESS_r*.json yet — nothing to rotate")
         return 0
-    names, window, bench, _ = registry_order()
+    names, window, bench, rewindowed = registry_order()
+    # rewindowed slots are exempt, matching gate()'s wasted-slot
+    # predicate — a clause-(a) query holding a current-round row is
+    # deliberately in the window, not demotion material (ADVICE r10)
     demote = [
         n
         for n in names
-        if n in window and n not in bench and latest_green.get(n, 0) >= cur
+        if n in window
+        and n not in bench
+        and n not in rewindowed
+        and latest_green.get(n, 0) >= cur
     ]
     tail = [n for n in names if n not in window]
     candidates = sorted(
