@@ -262,7 +262,13 @@ def synth_and_decode_gif(
     run the real decompressor over it — one Arrow batch pass. Decoded
     features are pure functions of the payload (grayscale table makes
     sum_rgb = 3 × byte sum; head_px = first byte), so a SQL oracle
-    checks a genuinely compressed decode without implementing LZW."""
+    checks a genuinely compressed decode without implementing LZW.
+
+    LZW decode is expensive enough to earn the single-partition
+    fan-out (columns.py::fan_out_compute — no-op on already-wide
+    inputs): measured 3.04 → 1.06 s at sf0.1, unlike the cheap
+    png/tiff/wav decodes whose payload shuffle costs more than the
+    decode (r9/r11 measurements)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -283,6 +289,8 @@ def synth_and_decode_gif(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op, GIF_FEATURE_SCHEMA
-    )
+    from .columns import fan_out_compute
+
+    return fan_out_compute(
+        df.select(F.col(id_col), F.col(payload_col)), id_col
+    ).mapInPandas(op, GIF_FEATURE_SCHEMA)

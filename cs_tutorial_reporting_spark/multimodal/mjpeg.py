@@ -189,7 +189,12 @@ def synth_and_decode_mjpeg(
     real container walk + per-sampled-frame JPEG decode — one Arrow
     batch pass. Sampled-DC sums are exact payload functions (module
     docstring), so the SQL oracle value-checks compressed VIDEO decode
-    + frame sampling without implementing either codec."""
+    + frame sampling without implementing either codec.
+
+    Fanned out of the single-partition small-file trap like the scene
+    pass below (columns.py::fan_out_compute — no-op on already-wide
+    inputs): the per-frame DCT+Huffman decode is compute-bound pure
+    Python, the same class measured 8.5 → 1.4 s for scene detection."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,9 +222,11 @@ def synth_and_decode_mjpeg(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op, MJPEG_FEATURE_SCHEMA
-    )
+    from .columns import fan_out_compute
+
+    return fan_out_compute(
+        df.select(F.col(id_col), F.col(payload_col)), id_col
+    ).mapInPandas(op, MJPEG_FEATURE_SCHEMA)
 
 
 def decode_mjpeg_scenes(content: bytes, threshold: int = 200) -> dict:

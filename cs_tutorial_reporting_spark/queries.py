@@ -1312,6 +1312,18 @@ _CHECK_WINDOW = 50
 #: embedding_near_dup_pairs) re-attest at their scheduled window
 #: return (≤ r12); no window slack existed this round (27 slots, 27
 #: promoted nevers).
+#: Round 11 addendum: the pre-measured fan-out fix SHIPPED for the
+#: expensive-codec trio (multimodal_jpeg_decode,
+#: multimodal_mjpeg_frames, multimodal_gif_decode — 7.1→1.6 /
+#: 6.4→1.3 / 3.0→1.1 s at sf0.1; rows bit-identical across
+#: geometries, oracles tri-SF green, partition-width pytest pin).
+#: They join the clause-(a) queue and re-window at r12 alongside the
+#: four standing entries — r12's 27 slots are exactly booked: 4 r3
+#: remainder (q18_large_volume_orders, q14_promo_revenue_ratio,
+#: correlated_min_subquery, doc_repetition_ratio) + 16 r4 rows + 7
+#: clause-(a). REWINDOWED itself stays empty: none of the seven holds
+#: a current-round row, so the r11 gate needs no exemption; r12's
+#: rotation promotes them ahead of oldest-first per clause (a).
 REWINDOWED: set[str] = set()
 
 

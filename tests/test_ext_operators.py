@@ -2879,6 +2879,21 @@ def test_fan_out_guards_parallelism_properties(spark):
     )
     out = synth_and_scene_detect(d.coalesce(1), threshold=200)
     assert out.rdd.getNumPartitions() == 2 * par
+    # r11: the expensive-codec trio (jpeg/mjpeg/gif) now shares the
+    # fan-out (7.1→1.6 / 6.4→1.3 / 3.0→1.1 s at sf0.1, rows
+    # bit-identical across geometries); the cheap decodes
+    # (png/tiff/wav) deliberately stay single-pass — their payload
+    # shuffle costs more than the decode (re-measured r11:
+    # wav 0.26→0.73 s fanned).
+    from cs_tutorial_reporting_spark.multimodal.gif import synth_and_decode_gif
+    from cs_tutorial_reporting_spark.multimodal.jpeg import synth_and_decode_jpeg
+    from cs_tutorial_reporting_spark.multimodal.mjpeg import synth_and_decode_mjpeg
+    from cs_tutorial_reporting_spark.multimodal.png import synth_and_decode_png
+
+    for fanned in (synth_and_decode_jpeg, synth_and_decode_mjpeg,
+                   synth_and_decode_gif):
+        assert fanned(d.coalesce(1)).rdd.getNumPartitions() == 2 * par
+    assert synth_and_decode_png(d.coalesce(1)).rdd.getNumPartitions() == 1
 
 
 def test_semdedup_pairs_arrow_bitwise_equals_jvm(spark):
