@@ -23,6 +23,24 @@ At 100 TB the per-version cost is the changed files only if writes go
 through ``compact``-style rewrites of touched partitions; this module
 keeps whole-snapshot semantics because the harness tables are small —
 the PointER mechanics (the part engines get wrong) are identical.
+
+Round 11 adds the one storage-lifecycle shape this layer lacked:
+**deletion vectors** (Delta DV / Iceberg positional deletes). A
+``delete_where`` produces a DELETE version — a directory holding only
+a tiny parquet of ``(file_path, row_index)`` positions plus a
+``_base`` pointer naming the version it applies over — so deleting
+0.1% of a 100 TB table writes megabytes instead of rewriting the
+snapshot. Readers resolve the version CHAIN (delete → … → base),
+scan the base's parquet once with the ``_metadata.file_path`` /
+``_metadata.row_index`` virtual columns (Spark 3.5+ parquet reader;
+probed stable across reads on this build), and drop deleted positions
+with ONE broadcast anti-join — filters and column pruning still reach
+the base scan because the join key is metadata, not data.
+``apply_deletes`` is the compaction step (materialize the live view
+as a fresh base) once the DV ratio makes the anti-join worth
+retiring; ``vacuum`` keeps every version reachable through a retained
+version's ``_base`` chain so a delete version can never orphan its
+own base.
 """
 
 from __future__ import annotations
@@ -30,10 +48,16 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CURRENT = "_current"
 _VDIR = re.compile(r"^v(\d{5})$")
+#: delete-version layout: v{N}/_base (text: version it applies over)
+#: + v{N}/_dv/ (parquet: file_path string, row_index bigint). No data
+#: files — the base version's parquet is shared, never copied.
+_BASE = "_base"
+_DV = "_dv"
 
 
 def _versions(path: str) -> list[int]:
@@ -72,17 +96,169 @@ def write_version(df: DataFrame, path: str) -> int:
     return n
 
 
+def _vdir(path: str, v: int) -> str:
+    return os.path.join(path, f"v{v:05d}")
+
+
+def _base_of(path: str, v: int) -> int | None:
+    """``v``'s ``_base`` pointer (a delete version), or None when ``v``
+    is a base snapshot."""
+    p = os.path.join(_vdir(path, v), _BASE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _resolve_chain(path: str, v: int) -> tuple[int, list[str]]:
+    """Walk a delete-version chain down to its base snapshot. Returns
+    ``(base_version, dv_dirs)`` — every ``_dv`` directory on the walk
+    (each holding (file_path, row_index) positions) in newest→oldest
+    order; empty for a plain base version."""
+    dvs: list[str] = []
+    seen: set[int] = set()
+    while True:
+        if v in seen:
+            raise ValueError(f"cyclic _base chain at version {v} in {path}")
+        seen.add(v)
+        b = _base_of(path, v)
+        if b is None:
+            return v, dvs
+        dvs.append(os.path.join(_vdir(path, v), _DV))
+        v = b
+
+
+def _with_positions(base: DataFrame) -> DataFrame:
+    """Attach the parquet reader's virtual position columns — the
+    positional-delete join key. ``_metadata`` is only resolvable on
+    the scan relation itself, which is why every DV consumer derives
+    from the freshly-read base frame."""
+    return base.withColumns(
+        {
+            "__dv_fp": F.col("_metadata.file_path"),
+            "__dv_ri": F.col("_metadata.row_index"),
+        }
+    )
+
+
+def _minus_deleted(
+    spark: SparkSession, with_pos: DataFrame, dv_dirs: list[str]
+) -> DataFrame:
+    """Drop deleted positions: ONE broadcast anti-join against the
+    union of the chain's DVs. The DV side is tiny by contract (deleted
+    positions only — megabytes while the base is terabytes); run
+    :func:`apply_deletes` before a chain's DVs outgrow broadcast
+    range. Base-side filters/pruning are untouched: the join key is
+    reader metadata, not data columns."""
+    dv = spark.read.parquet(*dv_dirs).select(
+        F.col("file_path").alias("__del_fp"),
+        F.col("row_index").alias("__del_ri"),
+    )
+    return with_pos.join(
+        F.broadcast(dv),
+        (F.col("__dv_fp") == F.col("__del_fp"))
+        & (F.col("__dv_ri") == F.col("__del_ri")),
+        "left_anti",
+    )
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Read the current snapshot, or time-travel to ``version``."""
+    """Read the current snapshot, or time-travel to ``version``. A
+    delete version resolves its chain: one scan of the base snapshot,
+    one broadcast anti-join against the chain's deletion vectors."""
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"versioned table {path} is empty")
-    vdir = os.path.join(path, f"v{v:05d}")
+    vdir = _vdir(path, v)
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {v} does not exist at {path}")
-    return spark.read.parquet(vdir)
+    base_v, dv_dirs = _resolve_chain(path, v)
+    base = spark.read.parquet(_vdir(path, base_v))
+    if not dv_dirs:
+        return base
+    return _minus_deleted(spark, _with_positions(base), dv_dirs).drop(
+        "__dv_fp", "__dv_ri"
+    )
+
+
+def delete_where(
+    spark: SparkSession, path: str, condition: Column | str
+) -> tuple[int, int]:
+    """Positional delete (Delta DV / Iceberg positional-delete shape):
+    record the ``(file_path, row_index)`` of every LIVE row matching
+    ``condition`` as a new DELETE version over the current one —
+    no data file is copied or rewritten, so the write cost is
+    proportional to the rows DELETED, not the table. Returns
+    ``(version, n_deleted)``; a predicate matching nothing is a no-op
+    returning ``(current_version, 0)`` (no empty version is minted).
+
+    Crash-safe like :func:`write_version`: the ``_dv`` parquet and
+    ``_base`` pointer land inside the new version directory BEFORE the
+    ``_current`` pointer flips, so a crash mid-delete leaves an orphan
+    directory no reader ever resolves."""
+    import shutil
+
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {path} is empty")
+    base_v, dv_dirs = _resolve_chain(path, cur)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    live = _with_positions(spark.read.parquet(_vdir(path, base_v)))
+    if dv_dirs:
+        live = _minus_deleted(spark, live, dv_dirs)
+    hits = live.filter(cond).select(
+        F.col("__dv_fp").alias("file_path"),
+        F.col("__dv_ri").alias("row_index"),
+    )
+    n = _versions(path)[-1] + 1
+    vdir = _vdir(path, n)
+    hits.write.mode("error").parquet(os.path.join(vdir, _DV))
+    n_deleted = spark.read.parquet(os.path.join(vdir, _DV)).count()
+    if n_deleted == 0:
+        shutil.rmtree(vdir)  # never pointed to; safe to reclaim now
+        return cur, 0
+    with open(os.path.join(vdir, _BASE), "w") as f:
+        f.write(str(cur))
+    tmp = os.path.join(path, f".{_CURRENT}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, os.path.join(path, _CURRENT))
+    return n, n_deleted
+
+
+def apply_deletes(spark: SparkSession, path: str) -> int:
+    """Compaction: materialize the current live view as a fresh BASE
+    snapshot, retiring the chain's anti-join for every later reader
+    (Delta's PURGE / Iceberg's rewrite-data-files shape). The one
+    deliberate rewrite in the DV lifecycle — run it when the chain's
+    DV count or size makes per-read anti-joins more expensive than a
+    single rewrite. A no-op error-out is inherited from
+    ``write_version``'s mode("error") if the target dir exists."""
+    return write_version(read_version(spark, path), path)
+
+
+def dv_chain_stats(path: str, version: int | None = None) -> dict:
+    """Lifecycle introspection: the resolved chain of ``version`` (or
+    current) — base version, delete-version count, and per-DV file
+    bytes. Pure filesystem walk, no Spark."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"versioned table {path} is empty")
+    base_v, dv_dirs = _resolve_chain(path, v)
+    dv_bytes = 0
+    for d in dv_dirs:
+        for root, _dirs, files in os.walk(d):
+            dv_bytes += sum(
+                os.path.getsize(os.path.join(root, fn)) for fn in files
+            )
+    return {
+        "version": v,
+        "base_version": base_v,
+        "n_delete_versions": len(dv_dirs),
+        "dv_bytes": dv_bytes,
+    }
 
 
 def rollback(path: str, version: int) -> None:
@@ -97,14 +273,24 @@ def rollback(path: str, version: int) -> None:
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Drop snapshot dirs older than the last ``keep_last``, never the
-    pointer's target. Returns removed versions."""
+    pointer's target — and never any version a RETAINED version's
+    ``_base`` chain reaches: a delete version shares its base's data
+    files, so dropping the base would corrupt every reader of the
+    delete version (the DV-lifecycle analogue of Delta's
+    vacuum-respects-active-snapshots rule). Returns removed versions."""
     import shutil
 
     cur = current_version(path)
     vs = _versions(path)
-    removable = [v for v in vs[:-keep_last] if v != cur] if keep_last else [
-        v for v in vs if v != cur
-    ]
+    keep: set[int] = set(vs[-keep_last:]) if keep_last else set()
+    if cur is not None:
+        keep.add(cur)
+    for v in list(keep):
+        b = _base_of(path, v)
+        while b is not None and b not in keep:
+            keep.add(b)
+            b = _base_of(path, b)
+    removable = [v for v in vs if v not in keep]
     for v in removable:
-        shutil.rmtree(os.path.join(path, f"v{v:05d}"))
+        shutil.rmtree(_vdir(path, v))
     return removable

@@ -803,6 +803,112 @@ def test_versioned_snapshots_time_travel_rollback_orphans(spark, tmp_path):
     assert read_version(spark, path).count() == 3
 
 
+def test_deletion_vectors_positional_delete_lifecycle(spark, tmp_path):
+    """Pins the r11 deletion-vector layer (sources/versioned.py):
+    delete_where writes POSITIONS, not data (a delete version holds no
+    parquet data files — the base is shared); reads resolve the chain
+    with one broadcast anti-join; chained deletes compose; time travel
+    still sees pre-delete versions; a no-match delete mints no
+    version; rollback undoes a delete as a pointer flip;
+    apply_deletes compacts to a fresh base; vacuum never drops a base
+    reachable from a retained delete version."""
+    import os
+
+    from cs_tutorial_reporting_spark.sources.versioned import (
+        apply_deletes,
+        current_version,
+        delete_where,
+        dv_chain_stats,
+        read_version,
+        rollback,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id AS k", "id % 10 AS grp")
+    assert write_version(df.repartition(4, "k"), path) == 1
+
+    # positional delete: 10 rows gone, base files untouched
+    v2, n = delete_where(spark, path, "grp = 3")
+    assert (v2, n) == (2, 10)
+    assert read_version(spark, path).count() == 90
+    assert read_version(spark, path).filter("grp = 3").count() == 0
+    # time travel to the pre-delete base still sees all rows
+    assert read_version(spark, path, version=1).count() == 100
+    # the delete version directory holds NO data files, only _dv+_base
+    v2dir = os.path.join(path, "v00002")
+    assert sorted(
+        e for e in os.listdir(v2dir) if not e.startswith(".")
+    ) == ["_base", "_dv"]
+
+    # chained delete composes on the LIVE view
+    v3, n3 = delete_where(spark, path, "k < 25")
+    assert n3 == 22  # 25 minus the three grp=3 rows already deleted
+    live = read_version(spark, path)
+    assert live.count() == 68
+    assert live.filter("k < 25 OR grp = 3").count() == 0
+    st = dv_chain_stats(path)
+    assert st["base_version"] == 1 and st["n_delete_versions"] == 2
+    assert 0 < st["dv_bytes"] < 50_000  # megabyte-free delete of a table
+
+    # no-match delete: no version minted, table unchanged
+    v_same, n0 = delete_where(spark, path, "k > 1000000")
+    assert (v_same, n0) == (v3, 0) and current_version(path) == v3
+
+    # rollback past a delete is a pointer flip
+    rollback(path, 2)
+    assert read_version(spark, path).count() == 90
+    rollback(path, v3)
+
+    # values (not just counts) survive the chain: k=50..99 minus grp 3
+    got = sorted(r.k for r in read_version(spark, path).collect())
+    want = [k for k in range(100) if k >= 25 and k % 10 != 3]
+    assert got == want
+
+    # compaction: fresh base, chain retired, same values
+    v4 = apply_deletes(spark, path)
+    assert dv_chain_stats(path)["n_delete_versions"] == 0
+    assert sorted(r.k for r in read_version(spark, path).collect()) == want
+
+    # vacuum chain-safety: roll back to the delete version (chain
+    # v3 -> v2 -> base v1) and vacuum keep_last=0 — the whole chain
+    # MUST survive because the retained pointer target reaches it; the
+    # unreferenced compacted base v4 is the droppable one
+    rollback(path, v3)
+    removed = vacuum(path, keep_last=0)
+    assert removed == [v4]
+    assert read_version(spark, path).count() == 68
+
+
+def test_deletion_vector_read_keeps_base_scan_pushdown(spark, tmp_path):
+    """Scale contract of the DV read path: user predicates still reach
+    the BASE parquet scan (PushedFilters) and the anti-join build side
+    is a broadcast — the DV merge must not turn a pruned scan into a
+    full one."""
+    from cs_tutorial_reporting_spark.sources.versioned import (
+        delete_where,
+        read_version,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(1000).selectExpr("id AS k", "id % 10 AS grp")
+    write_version(df.repartition(4, "k"), path)
+    delete_where(spark, path, "grp = 7")
+    plan = (
+        read_version(spark, path)
+        .filter("k > 900")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,900)]" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    out = read_version(spark, path).filter("k > 900").count()
+    assert out == 99 - 10  # k in 901..999 minus 907,917,...,997
+
+
 def test_sorted_layout_compresses_smaller_on_disk(spark, tmp_path):
     """Storage-cost lever: writing the SAME rows sorted by a
     low-cardinality key must produce a smaller parquet footprint than
