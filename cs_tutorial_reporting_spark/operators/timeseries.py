@@ -131,19 +131,31 @@ def anomaly_hours_exact(
     magnitudes exactly), so the flags are bit-identical across engines
     — no sqrt, no float mean, no tolerance.
 
-    Shape: one stats aggregate per key + one key join back; a constant
-    series has zero variance and zero flags (strict >). Returns
-    (key, n_points, n_anomalies).
+    Shape (r11): ONE pass — per-key n/S/Q as unbounded window
+    aggregates over the key partitioning, then flag + final agg. The
+    previous groupBy-stats + join-back dataflow consumed ``series``
+    TWICE with no materialization (the r8 double-evaluation hazard
+    class): for the registered query the series is the whole gapfill
+    pipeline (grid explode + two window sorts), so the join shape
+    re-ran all of it — measured 2.85 → 1.77 s at sf0.1, values
+    bit-identical (integer sums are order-free). The orderBy-less
+    window adds NO exchange when the series is already clustered on
+    the key (gapfill's windows are), and at 100 TB evaluating the
+    dominant upstream once instead of twice is the real saving.
+    A constant series has zero variance and zero flags (strict >).
+    Returns (key, n_points, n_anomalies).
     """
     d19 = "decimal(19,0)"
     d38 = "decimal(38,0)"
     v = F.col(val_col)
-    stats = series.groupBy(key_col).agg(
-        F.count("*").alias("__n"),
-        F.sum(v).alias("__s"),
-        F.sum(v * v).alias("__q"),  # v ≤ ~5e6 fixed-point → v² fits int64
+    w = Window.partitionBy(key_col)
+    s = series.select(
+        key_col,
+        v,
+        F.count("*").over(w).alias("__n"),
+        F.sum(v).over(w).alias("__s"),
+        F.sum(v * v).over(w).alias("__q"),  # v ≤ ~5e6 fp → v² fits int64
     )
-    j = series.join(stats, key_col)
     lhs = (
         F.col("__n").cast(d19) * v.cast(d19) - F.col("__s").cast(d19)
     ).cast(d19)
@@ -152,7 +164,7 @@ def anomaly_hours_exact(
         - F.col("__s").cast(d19) * F.col("__s").cast(d19)
     ).cast(d38)
     flag = (lhs * lhs).cast(d38) > rhs.cast(d38)
-    return j.groupBy(key_col).agg(
+    return s.groupBy(key_col).agg(
         F.count("*").alias("n_points"),
         F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
     )

@@ -2157,6 +2157,56 @@ def test_anomaly_hours_exact_integer_algebra(spark):
     ) == 1
 
 
+def test_anomaly_hours_window_form_equals_join_form(spark):
+    """The r11 single-pass window rewrite of anomaly_hours_exact must
+    be BIT-IDENTICAL to the groupBy-stats + join-back dataflow it
+    replaced (integer sums are order-free, so equality is exact, not
+    approximate) — pinned on the registered query's own composition
+    (gapfill at sf0.001) so the upstream double-evaluation shape it
+    removed stays covered."""
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.timeseries import (
+        anomaly_hours_exact,
+        hourly_gapfill_interpolate,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dense = hourly_gapfill_interpolate(events, "user_id", "ts", "value")
+
+    def join_form(series, key_col, val_col, z):
+        d19, d38 = "decimal(19,0)", "decimal(38,0)"
+        v = F.col(val_col)
+        stats = series.groupBy(key_col).agg(
+            F.count("*").alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__q"),
+        )
+        j = series.join(stats, key_col)
+        lhs = (
+            F.col("__n").cast(d19) * v.cast(d19) - F.col("__s").cast(d19)
+        ).cast(d19)
+        rhs = F.lit(z * z).cast(d19) * (
+            F.col("__n").cast(d19) * F.col("__q").cast(d19)
+            - F.col("__s").cast(d19) * F.col("__s").cast(d19)
+        ).cast(d38)
+        flag = (lhs * lhs).cast(d38) > rhs.cast(d38)
+        return j.groupBy(key_col).agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.when(flag, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+
+    got = sorted(
+        map(tuple, anomaly_hours_exact(dense, "user_id", "value_fp").collect())
+    )
+    want = sorted(
+        map(tuple, join_form(dense, "user_id", "value_fp", 3).collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_transform_with_state_lifecycle(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 typed-state API): cross-batch
     max-gap state over two TIME-SPLIT files must equal the batch
