@@ -3,13 +3,14 @@ interpolation — turning an irregular event stream into the dense,
 evenly-spaced series every downstream forecaster/anomaly-detector
 assumes.
 
-Shape: one groupBy to the (key, hour) grain, a per-key hour GRID via
-``sequence`` + ``explode`` (bounded by the key's observed time span —
-never a cross join against a global calendar), a left join of
-observations onto the grid, and two window passes (carry the previous
-/ next observed point) to interpolate interior gaps. Grid endpoints are
-observed by construction (min/max per key), so every missing hour has
-both neighbors.
+Shape (r11 gap-explode): one groupBy to the (key, hour) grain, one
+``lead`` window per key, and a per-GAP ``sequence`` + ``explode``
+(each observed hour emits the hours up to the next observation,
+carrying both interpolation endpoints on the row — bounded by the
+key's observed span, never a cross join against a global calendar).
+No self-join, no second scan, no unbounded carry windows; grid
+endpoints are observed by construction (the first/last observations
+emit themselves), so every missing hour has both neighbors.
 
 Cross-engine exactness: hourly values snap to FIXED-POINT (×10⁴
 bigint) before interpolation; the interpolated value is
@@ -43,6 +44,29 @@ def hourly_gapfill_interpolate(
 
     Returns (key, hour, value_fp, is_observed) — ``value_fp`` is the
     ×10⁴ fixed-point bigint value.
+
+    Shape (r11): GAP-EXPLODE — each observed hour emits the hours
+    [this, next-observed) via ``lead`` + ``sequence``, so every
+    generated hour carries its interpolation endpoints (this value,
+    next value) ON THE ROW. One events scan, one keyed shuffle, one
+    window sort — replacing the r6–r10 dataflow (per-key span frame →
+    full-grid explode → LEFT JOIN back onto the hourly frame → two
+    unbounded carry windows), which consumed the hourly aggregate
+    TWICE and therefore scanned events twice (plan-audited at r11;
+    the r8 double-evaluation hazard class at the scan level). Measured
+    2.24 → 0.83 s at sf0.1 under an aggregate consumer; rows
+    bit-identical on the 1.05M-row sf0.1 dense grid
+    (test_gapfill_lead_form_equals_join_form pins the old dataflow as
+    the reference twin). At 100 TB the saving is one full scan +
+    shuffle-join of the dominant input, and the surviving window is a
+    bounded lead(1), not two unbounded carries.
+
+    The keyed repartition before the window keeps the r8 fan-out fix:
+    the hourly aggregate is small at harness scale, AQE coalesces its
+    shuffle to one partition, and the window + explode would otherwise
+    pipeline single-task at any cluster width (partition count ×2
+    parallelism ≠ the shuffle default so CollapseRepartition cannot
+    remove it).
     """
     k = F.col(key_col)
     hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
@@ -54,65 +78,49 @@ def hourly_gapfill_interpolate(
             .alias("__v")
         )
     )
-    spans = hourly.groupBy("__k").agg(
-        F.min("hour").alias("__h0"), F.max("hour").alias("__h1")
+    hourly = hourly.repartition(
+        hourly.sparkSession.sparkContext.defaultParallelism * 2, "__k"
     )
-    # PHYSICAL ONLY, value-identical (r8): the spans frame is tiny
-    # (one row per key), so AQE coalesces its agg shuffle to ONE
-    # partition — and because the window passes below cluster on the
-    # SAME key, they reuse that pre-explode layout: the explode, the
-    # observation join, both window sorts, and the interpolation
-    # expression all pipeline inside a single task (measured 12 s of
-    # a 14 s query at sf0.1; one task regardless of cluster size —
-    # the scale-killer class). The keyed repartition must use a
-    # partition count DIFFERENT from the shuffle default or
-    # CollapseRepartition removes it as redundant against the agg's
-    # hashpartitioning (the first fix attempt, measured no-op); the
-    # ×2 count (the embedding_near_dup_pairs convention) survives,
-    # fans the explode out, and the windows inherit the parallel
-    # keyed layout with no further exchange.
-    spans = spans.repartition(
-        spans.sparkSession.sparkContext.defaultParallelism * 2, "__k"
-    )
-    grid = spans.select(
+    w = Window.partitionBy("__k").orderBy("hour")
+    g = hourly.select(
         "__k",
+        F.col("hour").alias("__ph_ts"),
+        "__v",
+        F.lead("hour").over(w).alias("__nh_ts"),
+        F.lead("__v").over(w).alias("__nv"),
+    )
+    gen = g.select(
+        "__k",
+        "__ph_ts",
+        "__v",
+        "__nh_ts",
+        "__nv",
         F.explode(
-            F.expr("sequence(__h0, __h1, interval 1 hour)")
+            F.when(
+                F.col("__nh_ts").isNull(), F.array(F.col("__ph_ts"))
+            ).otherwise(
+                F.expr(
+                    "sequence(__ph_ts, __nh_ts - interval 1 hour,"
+                    " interval 1 hour)"
+                )
+            )
         ).alias("hour"),
     )
-    g = grid.join(hourly, ["__k", "hour"], "left")
     hi = (F.unix_timestamp("hour") / 3600).cast("bigint")
-    g = g.withColumn("__hi", hi)
-    obs_hi = F.when(F.col("__v").isNotNull(), F.col("__hi"))
-    w_prev = (
-        Window.partitionBy("__k")
-        .orderBy("__hi")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("__k")
-        .orderBy("__hi")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    carried = g.select(
-        "__k",
-        "hour",
-        "__hi",
-        "__v",
-        F.last("__v", ignorenulls=True).over(w_prev).alias("__pv"),
-        F.last(obs_hi, ignorenulls=True).over(w_prev).alias("__ph"),
-        F.first("__v", ignorenulls=True).over(w_next).alias("__nv"),
-        F.first(obs_hi, ignorenulls=True).over(w_next).alias("__nh"),
-    )
-    frac = (F.col("__hi") - F.col("__ph")) / (F.col("__nh") - F.col("__ph"))
+    ph = (F.unix_timestamp("__ph_ts") / 3600).cast("bigint")
+    nh = (F.unix_timestamp("__nh_ts") / 3600).cast("bigint")
+    # same deterministic IEEE interpolation expression as the join-form
+    # twin (module docstring): a single ratio-of-bigints frac
+    frac = (hi - ph) / (nh - ph)
     interp = F.floor(
-        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac + F.lit(0.5)
+        F.col("__v") + (F.col("__nv") - F.col("__v")) * frac + F.lit(0.5)
     ).cast("bigint")
-    return carried.select(
+    obs = F.col("hour") == F.col("__ph_ts")
+    return gen.select(
         F.col("__k").alias(key_col),
         "hour",
-        F.coalesce(F.col("__v"), interp).alias("value_fp"),
-        F.col("__v").isNotNull().alias("is_observed"),
+        F.when(obs, F.col("__v")).otherwise(interp).alias("value_fp"),
+        obs.alias("is_observed"),
     )
 
 

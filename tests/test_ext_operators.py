@@ -2157,6 +2157,99 @@ def test_anomaly_hours_exact_integer_algebra(spark):
     ) == 1
 
 
+def test_gapfill_lead_form_equals_join_form(spark):
+    """The r11 gap-explode gapfill (lead + per-gap sequence, one scan,
+    no self-join) must be BIT-IDENTICAL to the r6–r10 dataflow it
+    replaced: per-key span frame → full-grid explode → left join of
+    observations → two unbounded carry windows. The twin below IS that
+    retired dataflow, kept verbatim as the reference semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.timeseries import (
+        hourly_gapfill_interpolate,
+    )
+
+    def join_form(events, key_col, ts_col, val_col):
+        k = F.col(key_col)
+        hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+        hourly = events.groupBy(k.alias("__k"), hour).agg(
+            F.floor(F.avg(val_col) * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("__v")
+        )
+        spans = hourly.groupBy("__k").agg(
+            F.min("hour").alias("__h0"), F.max("hour").alias("__h1")
+        )
+        grid = spans.select(
+            "__k",
+            F.explode(
+                F.expr("sequence(__h0, __h1, interval 1 hour)")
+            ).alias("hour"),
+        )
+        g = grid.join(hourly, ["__k", "hour"], "left")
+        hi = (F.unix_timestamp("hour") / 3600).cast("bigint")
+        g = g.withColumn("__hi", hi)
+        obs_hi = F.when(F.col("__v").isNotNull(), F.col("__hi"))
+        w_prev = (
+            Window.partitionBy("__k")
+            .orderBy("__hi")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_next = (
+            Window.partitionBy("__k")
+            .orderBy("__hi")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = g.select(
+            "__k",
+            "hour",
+            "__hi",
+            "__v",
+            F.last("__v", ignorenulls=True).over(w_prev).alias("__pv"),
+            F.last(obs_hi, ignorenulls=True).over(w_prev).alias("__ph"),
+            F.first("__v", ignorenulls=True).over(w_next).alias("__nv"),
+            F.first(obs_hi, ignorenulls=True).over(w_next).alias("__nh"),
+        )
+        frac = (F.col("__hi") - F.col("__ph")) / (
+            F.col("__nh") - F.col("__ph")
+        )
+        interp = F.floor(
+            F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+            + F.lit(0.5)
+        ).cast("bigint")
+        return carried.select(
+            F.col("__k").alias(key_col),
+            "hour",
+            F.coalesce(F.col("__v"), interp).alias("value_fp"),
+            F.col("__v").isNotNull().alias("is_observed"),
+        )
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = sorted(
+        map(
+            tuple,
+            hourly_gapfill_interpolate(
+                events, "user_id", "ts", "value"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, join_form(events, "user_id", "ts", "value").collect())
+    )
+    assert got == want and len(got) > 0
+    # the dense grid really is dense: per-key hour count == span hours
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for key, hour, _v, _o in got:
+        per_key[key].append(hour)
+    for key, hours in per_key.items():
+        hours.sort()
+        span = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
+        assert len(hours) == span, (key, len(hours), span)
+
+
 def test_anomaly_hours_window_form_equals_join_form(spark):
     """The r11 single-pass window rewrite of anomaly_hours_exact must
     be BIT-IDENTICAL to the groupBy-stats + join-back dataflow it

@@ -469,12 +469,14 @@ def test_bpe_tokenize_is_a_zero_shuffle_map(spark):
 
 
 def test_gapfill_windows_share_one_sort(spark):
-    """Hourly gap-fill (round 6): the prev-carry and next-carry window
-    passes use the same (key, hour) partitioning+ordering, so Catalyst
-    must fuse all four window functions into ONE Window operator over
-    ONE sort — a second Sort or Window node means the shared-sort claim
-    regressed. The final per-user report must also map-side combine
-    (partial aggregate below the exchange)."""
+    """Hourly gap-fill (r11 gap-explode shape): both lead() functions
+    ride ONE Window operator over ONE (key, hour) sort, and nothing
+    else in the plan sorts or windows — a second Sort/Window node
+    means the single-pass claim regressed (the retired r6–r10 join
+    form also held 1 Window/1 Sort, but via two carry passes fused
+    over a join; bitwise twin pinned in test_ext_operators). The
+    final per-user report must also map-side combine (partial
+    aggregate below the exchange)."""
     import re
 
     from cs_tutorial_reporting_spark.queries import QUERIES
