@@ -2157,6 +2157,45 @@ def test_anomaly_hours_exact_integer_algebra(spark):
     ) == 1
 
 
+def test_exact_dedup_minby_equals_semijoin_form(spark):
+    """The r11 one-pass min_by exact_dedup must match the retired
+    groupBy-min + left-semi dataflow row-for-row (kept as the
+    reference twin below) on the registered query's own doubled
+    corpus — including column names/order, since .select('__row.*')
+    must reconstruct the caller's frame exactly."""
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.functions.text import normalize_text
+    from cs_tutorial_reporting_spark.operators.dedup import exact_dedup
+
+    def semijoin_form(df, text_col, id_col):
+        h = F.md5(normalize_text(F.col(text_col))).alias("__h")
+        keep = (
+            df.select(h, F.col(id_col))
+            .groupBy("__h")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        return df.join(keep, on=id_col, how="left_semi")
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    )
+    got = exact_dedup(doubled, "text", "doc_id")
+    want = semijoin_form(doubled, "text", "doc_id")
+    assert got.columns == doubled.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the one-pass claim: partial (map-side) min_by in the plan, and
+    # no join operator anywhere
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in p and "Join" not in p
+
+
 def test_gapfill_lead_form_equals_join_form(spark):
     """The r11 gap-explode gapfill (lead + per-gap sequence, one scan,
     no self-join) must be BIT-IDENTICAL to the r6–r10 dataflow it
