@@ -1324,6 +1324,18 @@ _CHECK_WINDOW = 50
 #: clause-(a). REWINDOWED itself stays empty: none of the seven holds
 #: a current-round row, so the r11 gate needs no exemption; r12's
 #: rotation promotes them ahead of oldest-first per clause (a).
+#: Late-r11 addendum: the same-file re-scan census also rewrote
+#: item_similarity_topk (explode symmetrization; r10 row, demoted
+#: this round). r12 cannot absorb an eighth clause-(a) entry without
+#: displacing an age-forced row, so it re-windows at r13 — taking
+#: r13's one remaining free slot (23 r5 rows + 3 DV newcomers + this
+#: = 27, see SURVEY §16). Interim risk is bounded: it is a bench.py
+#: entrant (timed every round), its oracle is tri-SF green on the new
+#: code, and the union-form twin is pytest-pinned. dedup_exact_docs
+#: and the two timeseries queries changed this round too but need NO
+#: queue entry: dedup_exact_docs is bench=True (permanently in the
+#: window — this round's driver row attests it) and the timeseries
+#: pair was already in the standing clause-(a) seven.
 REWINDOWED: set[str] = set()
 
 

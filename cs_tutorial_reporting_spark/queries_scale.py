@@ -4305,6 +4305,17 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (pruned by support before scoring); occurrence counts
     broadcast; ranking is a per-item top-k window — the
     classic offline item-CF batch shape.
+
+    r11: symmetrization is an EXPLODE of (p,q)/(q,p) structs from the
+    aggregated pair frame, not a union of two selects over it — the
+    union's two legs each re-evaluated the whole quadratic
+    basket-fanout join+agg (the r11 same-file re-scan census caught
+    it: 6 lineitem scans → 4). Measured 2.03 → 1.44 s at sf0.1,
+    result identical (the explode doubles the SMALL post-support
+    frame); at scale it halves the dominant join. Clause-(a): this
+    query re-windows at r13 (r12 is fully booked with age-forced
+    rows; see queries.REWINDOWED note), and as a bench row its timing
+    is regression-visible every round in the interim.
     """
     from pyspark.sql import Window
 
@@ -4325,10 +4336,14 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
     )
     sym = cooc.select(
-        F.col("pa").alias("p"), F.col("pb").alias("q"), "c"
-    ).unionByName(
-        cooc.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "c")
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("p"), F.col("pb").alias("q")),
+                F.struct(F.col("pb").alias("p"), F.col("pa").alias("q")),
+            )
+        ).alias("__pq"),
+        "c",
+    ).select("__pq.p", "__pq.q", "c")
     score = F.expr("CAST(c * c * 1000000 div (np * nq) AS BIGINT)")
     w = Window.partitionBy("p").orderBy(
         F.col("cos2_ppm").desc(), F.col("q").asc()

@@ -2196,6 +2196,66 @@ def test_exact_dedup_minby_equals_semijoin_form(spark):
     assert "partial_min_by" in p and "Join" not in p
 
 
+def test_item_similarity_explode_sym_equals_union_form(spark):
+    """The r11 explode symmetrization in item_similarity_topk must
+    match the retired union-of-two-selects form row-for-row (the union
+    re-evaluated the quadratic basket join per leg; the explode
+    doubles the small aggregated pair frame instead). Full-query
+    comparison at sf0.01 — the twin below re-states the whole query
+    with the retired symmetrization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    def union_form(spark, sf_dir):
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        occ = li.groupBy(F.col("l_partkey").alias("p")).agg(
+            F.count("*").alias("n")
+        )
+        cooc = (
+            li.toDF("okey", "pa")
+            .join(li.toDF("okey", "pb"), "okey")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+        )
+        sym = cooc.select(
+            F.col("pa").alias("p"), F.col("pb").alias("q"), "c"
+        ).unionByName(
+            cooc.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "c")
+        )
+        score = F.expr("CAST(c * c * 1000000 div (np * nq) AS BIGINT)")
+        w = Window.partitionBy("p").orderBy(
+            F.col("cos2_ppm").desc(), F.col("q").asc()
+        )
+        return (
+            sym.join(F.broadcast(occ.toDF("p", "np")), "p")
+            .join(F.broadcast(occ.toDF("q", "nq")), "q")
+            .withColumn("cos2_ppm", score)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(
+                F.col("p").alias("part"),
+                F.col("q").alias("similar_part"),
+                "cos2_ppm",
+                F.col("rn").cast("bigint").alias("rank"),
+            )
+        )
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        map(tuple, QUERIES["item_similarity_topk"].fn(spark, sf).collect())
+    )
+    want = sorted(map(tuple, union_form(spark, sf).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_gapfill_lead_form_equals_join_form(spark):
     """The r11 gap-explode gapfill (lead + per-gap sequence, one scan,
     no self-join) must be BIT-IDENTICAL to the r6–r10 dataflow it
