@@ -200,3 +200,108 @@ def test_varint_width_is_monotone_and_correct(gaps):
     assert sorted(width(g) for g in sorted(gaps)) == [
         width(g) for g in sorted(gaps)
     ]
+
+
+# ---------------------------------------------------------------------------
+# r11: deletion-vector lifecycle vs a pure-Python model (sources/versioned.py)
+# ---------------------------------------------------------------------------
+
+_dv_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"), st.integers(min_value=0, max_value=9)),
+        st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=7)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.integers(min_value=0, max_value=2)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_dv_ops)
+def test_deletion_vector_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the r11 DV layer: a random sequence of
+    positional deletes (by grp bucket), rollbacks (to any live
+    version), compactions, and chain-aware vacuums must keep EVERY
+    surviving version's read equal to a pure-Python model of the
+    version history — and vacuum must remove exactly the versions the
+    model's reachability rule (retained ∪ pointer ∪ their _base
+    chains) says are droppable."""
+    from cs_tutorial_reporting_spark.sources.versioned import (
+        _versions,
+        apply_deletes,
+        current_version,
+        delete_where,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path_factory.mktemp("dvmodel") / "tbl")
+    rows = [(k, k % 10) for k in range(60)]
+    df = spark.createDataFrame(rows, "k bigint, grp int")
+    v1 = write_version(df.repartition(3, "k"), path)
+
+    # model: per-version live id set + base pointer (None = base snapshot)
+    live = {v1: {k for k, _ in rows}}
+    base_of: dict[int, int | None] = {v1: None}
+    cur = v1
+
+    def model_read(v):
+        return live[v]
+
+    for op, arg in ops:
+        if op == "delete":
+            matching = {k for k in model_read(cur) if k % 10 == arg}
+            v, n = delete_where(spark, path, f"grp = {arg}")
+            assert n == len(matching)
+            if not matching:
+                assert v == cur  # no-op mints no version
+            else:
+                live[v] = model_read(cur) - matching
+                base_of[v] = cur
+                cur = v
+        elif op == "rollback":
+            from cs_tutorial_reporting_spark.sources.versioned import rollback
+
+            targets = sorted(live)
+            tgt = targets[arg % len(targets)]
+            rollback(path, tgt)
+            cur = tgt
+        elif op == "compact":
+            v = apply_deletes(spark, path)
+            live[v] = set(model_read(cur))
+            base_of[v] = None
+            cur = v
+        else:  # vacuum
+            keep_last = arg
+            vs = sorted(live)
+            keep = set(vs[-keep_last:]) if keep_last else set()
+            keep.add(cur)
+            for v in list(keep):
+                b = base_of.get(v)
+                while b is not None and b not in keep:
+                    keep.add(b)
+                    b = base_of.get(b)
+            expect_removed = sorted(v for v in vs if v not in keep)
+            got_removed = sorted(vacuum(path, keep_last=keep_last))
+            assert got_removed == expect_removed
+            for v in got_removed:
+                del live[v]
+                del base_of[v]
+
+        # invariants after EVERY op
+        assert current_version(path) == cur
+        assert sorted(_versions(path)) == sorted(live)
+        got = {r.k for r in read_version(spark, path).collect()}
+        assert got == model_read(cur)
+
+    # every surviving version still time-travels to its model snapshot
+    for v in sorted(live):
+        got = {r.k for r in read_version(spark, path, version=v).collect()}
+        assert got == model_read(v), v
