@@ -71,6 +71,13 @@ def main() -> None:
             # benched so a regression in the Arrow DP path is visible
             # to bench_compare, front-running its r11 window entry
             "unigram_em_refine",
+            # round-11: the explode-symmetrized item-CF rewrite —
+            # benched so its timing is visible every round while its
+            # clause-(a) correctness re-attestation waits for the r13
+            # window slot (same front-running protocol as knn/dbscan/
+            # unigram above; unflagged by bench_compare until a
+            # baseline row exists)
+            "item_similarity_topk",
         )
         if n in QUERIES
     ]

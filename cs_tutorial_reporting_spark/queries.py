@@ -1225,14 +1225,14 @@ _DEMOTED_TAIL: list[str] = [
     "dedup_substring_spans",    # [r10 ✓] k-gram span windows ⊂ minhash/exact-substr family (bench row)
     "doc_topgram_repetition",   # [r10 ✓] top-gram share ⊂ doc_text_stats (bench)
     "semdedup_prune_report",    # [r10 ✓] cluster-scoped cosine prune ⊂ semdedup family (bench row)
-    "streaming_neardup_ingest", # [r10 ✓] stream LSH probe ⊂ streaming/dedup family (bench row)
-    "streaming_pyds_crawl_feed",  # [r10 ✓] python datasource stream ⊂ streaming family (bench row)
+    "streaming_neardup_ingest", # [r10 ✓] stream LSH probe ⊂ streaming/dedup family
+    "streaming_pyds_crawl_feed",  # [r10 ✓] python datasource stream ⊂ streaming family
     "multimodal_image_dhash_dedup",  # [r10 ✓] dHash grouping ⊂ multimodal codec family
     "multimodal_scene_changes", # [r10 ✓] MJPEG scene deltas ⊂ multimodal codec family
     "multimodal_container_sniff",  # [r10 ✓] magic-byte sniff ⊂ multimodal codec family
     "multimodal_wav_vad_segments",  # [r10 ✓] PCM VAD spans ⊂ multimodal codec family
     "lsh_recall_audit",         # [r10 ✓] banding recall audit ⊂ minhash/presigned family
-    "ewma_user_value",          # [r10 ✓] recursive EWMA ⊂ twap/ts family (bench row)
+    "ewma_user_value",          # [r10 ✓] recursive EWMA ⊂ twap/ts family
     "fd_violation_audit",       # [r10 ✓] FD counterexamples ⊂ constraint/ndv family
     "matview_join_delta_refresh",  # [r10 ✓] join-delta IVM ⊂ matview/IVM family
     "cusum_changepoint_hours",  # [r10 ✓] CUSUM drift spans ⊂ trend/changepoint family
@@ -1241,12 +1241,12 @@ _DEMOTED_TAIL: list[str] = [
     "quantile_sketch_error_audit",  # [r10 ✓] sketch-vs-exact error ⊂ percentile/sketch family
     "late_arrival_backfill_report",  # [r10 ✓] watermark lateness audit ⊂ incremental family
     "lpa_communities_copurchase",  # [r10 ✓] label propagation ⊂ graph iteration family
-    "item_similarity_topk",     # [r10 ✓] cosine item-item ⊂ similarity family (bench row)
+    "item_similarity_topk",     # [r10 ✓] cosine item-item ⊂ similarity family (bench entrant since r11)
     "distribution_drift_tv",    # [r10 ✓] total-variation drift ⊂ drift/profile family
     "hybrid_rrf_fusion",        # [r10 ✓] reciprocal-rank fusion ⊂ bm25/similarity family
     "acf_hourly_lags",          # [r10 ✓] autocorrelation lags ⊂ trend/seasonal family
     "theilsen_slope_hourly",    # [r10 ✓] pairwise-median slope ⊂ trend family
-    "q2_min_cost_supplier",     # [r10 ✓] correlated-min join ⊂ TPC-H family (bench row)
+    "q2_min_cost_supplier",     # [r10 ✓] correlated-min join ⊂ TPC-H family
     "epoch_repetition_plan",    # [r10 ✓] epoch dup planning ⊂ mixture/packing family
     "quality_curriculum_phases",  # [r10 ✓] phase bucketing ⊂ curriculum/quota family
 ]
@@ -1329,9 +1329,13 @@ _CHECK_WINDOW = 50
 #: this round). r12 cannot absorb an eighth clause-(a) entry without
 #: displacing an age-forced row, so it re-windows at r13 — taking
 #: r13's one remaining free slot (23 r5 rows + 3 DV newcomers + this
-#: = 27, see SURVEY §16). Interim risk is bounded: it is a bench.py
-#: entrant (timed every round), its oracle is tri-SF green on the new
-#: code, and the union-form twin is pytest-pinned. dedup_exact_docs
+#: = 27, see SURVEY §16). Interim risk is bounded: it was ADDED to
+#: bench.py's unflagged entrants this round (front-running its r13
+#: re-entry, the knn/dbscan/unigram precedent — it was NOT previously
+#: benched; the review pass caught the stale "(bench row)" tail
+#: annotations claiming otherwise), its oracle is tri-SF green on the
+#: new code, and the union-form twin pytest runs every round's gate.
+#: dedup_exact_docs
 #: and the two timeseries queries changed this round too but need NO
 #: queue entry: dedup_exact_docs is bench=True (permanently in the
 #: window — this round's driver row attests it) and the timeseries

@@ -4314,8 +4314,10 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result identical (the explode doubles the SMALL post-support
     frame); at scale it halves the dominant join. Clause-(a): this
     query re-windows at r13 (r12 is fully booked with age-forced
-    rows; see queries.REWINDOWED note), and as a bench row its timing
-    is regression-visible every round in the interim.
+    rows; see queries.REWINDOWED note); it joined bench.py's
+    unflagged entrants in the same change so its timing is
+    regression-visible every interim round, and the union-form twin
+    pytest re-checks values in every gate.
     """
     from pyspark.sql import Window
 

@@ -132,7 +132,20 @@ def _with_positions(base: DataFrame) -> DataFrame:
     """Attach the parquet reader's virtual position columns — the
     positional-delete join key. ``_metadata`` is only resolvable on
     the scan relation itself, which is why every DV consumer derives
-    from the freshly-read base frame."""
+    from the freshly-read base frame. Tables carrying user columns
+    named like the internals are REJECTED loudly — ``withColumns``
+    would silently overwrite them and the chain-resolving read would
+    drop the user's data while a plain base read kept it (review
+    r11)."""
+    clash = {"__dv_fp", "__dv_ri", "__del_fp", "__del_ri"} & set(
+        base.columns
+    )
+    if clash:
+        raise ValueError(
+            f"versioned table carries reserved column(s) {sorted(clash)} — "
+            "rename them before using deletion vectors (the DV read path "
+            "would silently drop them)"
+        )
     return base.withColumns(
         {
             "__dv_fp": F.col("_metadata.file_path"),

@@ -51,9 +51,15 @@ def _latest_green() -> tuple[dict[str, int], int]:
     recorded (0 when no files exist). Shared by gate()/main()/plan()
     so the ok-row predicate cannot drift between them (ADVICE r10)."""
     files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+    def _round(path: str) -> int:
+        # parse the BASENAME only — a checkout directory containing
+        # "_r<digits>" must not hijack the round number (review r11)
+        return int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+
     latest: dict[str, int] = {}
     for path in files:
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        rnd = _round(path)
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
@@ -65,9 +71,7 @@ def _latest_green() -> tuple[dict[str, int], int]:
             )
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
-    cur = max(
-        (int(re.search(r"_r(\d+)", p).group(1)) for p in files), default=0
-    )
+    cur = max((_round(p) for p in files), default=0)
     return latest, cur
 
 

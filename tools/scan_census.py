@@ -110,7 +110,9 @@ ADJUDICATED: dict[str, str] = {
 
 
 def main() -> int:
-    repo = __file__.rsplit("/", 2)[0]
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
@@ -141,11 +143,18 @@ def main() -> int:
     hits.sort(key=lambda r: -r[1])
     fresh = 0
     for name, total, dup in hits:
-        tag = "adjudicated" if name in ADJUDICATED else "REVIEW"
+        # an explain-time ERROR is never covered by a multi-scan
+        # adjudication — the reason text would be irrelevant and the
+        # breakage is exactly what the census must surface
+        tag = (
+            "adjudicated"
+            if name in ADJUDICATED and total >= 0
+            else "REVIEW"
+        )
         if tag == "REVIEW":
             fresh += 1
         print(f"{tag:>11}  {name}: scans={total} dup={dup}")
-        if name in ADJUDICATED:
+        if tag == "adjudicated":
             print(f"             └─ {ADJUDICATED[name]}")
     print(f"\n{len(hits)} multi-scan queries, {fresh} need review")
     return 0
