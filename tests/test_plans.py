@@ -487,6 +487,28 @@ def test_gapfill_windows_share_one_sort(spark):
     assert "partial_sum" in p, p
 
 
+def test_item_similarity_symmetrizes_by_explode_not_union(spark):
+    """The r11 item-CF shape: the symmetric pair view comes from ONE
+    explode (Generate) over the aggregated pair frame — a Union here
+    means the quadratic basket join is being re-evaluated per leg (the
+    exact regression the r11 census fix removed). Equi-joins only; the
+    occurrence sides stay broadcast."""
+    from cs_tutorial_reporting_spark.queries import QUERIES
+    from .conftest import SF_SMOKE
+
+    p = (
+        QUERIES["item_similarity_topk"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" not in p, p
+    assert p.count("Generate") == 1, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # both occ sides broadcast
+
+
 def test_scale_primitive_joins_stay_hash_based(spark):
     """The round-6-continuation join shapes must never degrade to a
     cartesian/nested-loop plan: the prefix-filter candidate join and
