@@ -230,6 +230,33 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
         best_z = min(best_z, time.perf_counter() - t0)
         shutil.rmtree(path, ignore_errors=True)
     out["build_zordered_write"] = round(best_z, 3)
+
+    # Deletion-vector lifecycle (r12 entrant, fronting the r13 DV
+    # registration per SURVEY §16): snapshot write + positional delete
+    # + chain-resolving read. The delete must cost rows-DELETED (DV
+    # positions only), never a table rewrite — the row is the ingest
+    # side of the versioned-table story.
+    from cs_tutorial_reporting_spark.sources.versioned import (
+        delete_where,
+        read_version,
+        write_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    best_dv = float("inf")
+    for _ in range(2):
+        path = tempfile.mkdtemp(prefix="bench_dv_")
+        t0 = time.perf_counter()
+        write_version(orders.repartition(4, "o_orderkey"), path)
+        delete_where(
+            spark, path, "o_orderstatus = 'F' AND o_custkey % 7 = 0"
+        )
+        read_version(spark, path).count()
+        best_dv = min(best_dv, time.perf_counter() - t0)
+        shutil.rmtree(path, ignore_errors=True)
+    out["build_dv_delete"] = round(best_dv, 3)
     return out
 
 

@@ -67,6 +67,19 @@ def hourly_gapfill_interpolate(
     pipeline single-task at any cluster width (partition count ×2
     parallelism ≠ the shuffle default so CollapseRepartition cannot
     remove it).
+
+    NULL-valued hours (every event value in the hour is NULL, so the
+    fixed-point mean is NULL) are NOT observations: they are filtered
+    after the hourly aggregate and treated as gaps — interpolated
+    across, ``is_observed = false`` — matching the retired join-form's
+    interior semantics (its ignorenulls carry windows skipped them;
+    ADVICE r11). Output contract: ``value_fp`` is never NULL. The one
+    deliberate divergence from the retired form: a null-valued hour at
+    a key's span EDGE no longer extends the grid (the retired form
+    emitted those edge hours with NULL values and no endpoints to
+    interpolate from; this form's grid spans the first..last USABLE
+    observation). Pinned in
+    test_gapfill_null_hours_are_gaps_not_observations.
     """
     k = F.col(key_col)
     hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
@@ -77,6 +90,10 @@ def hourly_gapfill_interpolate(
             .cast("bigint")
             .alias("__v")
         )
+        # null-valued hours are gaps, not observations (docstring
+        # contract; ADVICE r11) — filtered BEFORE the repartition so
+        # they never ride the keyed shuffle
+        .filter(F.col("__v").isNotNull())
     )
     hourly = hourly.repartition(
         hourly.sparkSession.sparkContext.defaultParallelism * 2, "__k"

@@ -1008,34 +1008,15 @@ _DEMOTED_TAIL: list[str] = [
     # demoted to free its slot and the round-4 newcomers' slots.
     # Round 11 PROMOTED the fourteen oldest r3 rows back into the
     # window per the §12 schedule (scalar_math_functions …
-    # q22_dormant_balances); the four r3 rows below ride r12 with the
-    # r4 block.
-    "q18_large_volume_orders",  # [r3 ✓] HAVING-over-facts ⊂ q4/q16 newcomers
-    "q14_promo_revenue_ratio",  # [r3 ✓] conditional ratio ⊂ q8 family [r3 ✓]
-    "correlated_min_subquery",  # [r3 ✓] de-correlated scalar ⊂ q17 newcomer
-    "doc_repetition_ratio",     # [r3 ✓] array exprs ⊂ doc_text_stats (bench)
-    # round-5 rotation (standing policy above): sixteen [r4 ✓] non-bench
-    # shapes with code UNCHANGED since their r4 row step down so the
-    # fifteen oldest r1/r2 rows (plus the benched round-5 newcomer
-    # similarity_topk_ivfpq_residual) can attest — led by
-    # dedup_fuzzy_keepmin, whose minhash dependency was rewritten in r4
-    # after its last driver row
-    "join_full_outer",          # [r4 ✓] outer-preserve ⊂ join_left_outer (promoted)
-    "doc_fingerprint",          # [r4 ✓] hash60 grams ⊂ doc_winnow family, doc_text_stats (bench)
-    "flag_contaminated_docs",   # [r4 ✓] broadcast gram probe ⊂ minhash (bench)
-    "streaming_session_rollup", # [r4 ✓] session_window ⊂ sessionization_stats (bench)
-    "pii_scrub_stats",          # [r4 ✓] regexp scrub ⊂ doc_text_stats (bench)
-    "streaming_dedup_distinct", # [r4 ✓] dropDuplicates stream ⊂ streaming_hourly (bench)
-    "multimodal_bmp_decode",    # [r4 ✓] mapInPandas decode ⊂ multimodal_wav_decode (promoted)
-    "multimodal_avi_frames",    # [r4 ✓] RIFF walk ⊂ multimodal_wav_decode (promoted)
-    "vocab_top_terms",          # [r4 ✓] ordered agg ⊂ tfidf_top_terms (bench)
-    "stratified_sample",        # [r4 ✓] hash-mod sampling ⊂ deterministic_sample family
-    "zorder_curve_keys",        # [r4 ✓] Morton math ⊂ pytest file-skip proof (test_scale_layout)
-    "partition_skew_report",    # [r4 ✓] portable-hash ratios ⊂ skew_salted_agg (bench)
-    "q4_order_priority_check",  # [r4 ✓] EXISTS ⊂ q21 family; q16 (changed) in window
-    "q12_priority_by_linestatus",  # [r4 ✓] conditional agg ⊂ q1 (bench)
-    "q13_customer_order_distribution",  # [r4 ✓] outer-join histogram ⊂ join family
-    "q15_top_supplier",         # [r4 ✓] view-max equality ⊂ q11/q20 (in window)
+    # q22_dormant_balances); round 12 PROMOTED the four remaining r3
+    # rows (q18_large_volume_orders, q14_promo_revenue_ratio,
+    # correlated_min_subquery, doc_repetition_ratio — age-forced by
+    # the gate) together with ALL sixteen r4 rows and the seven
+    # standing clause-(a) re-attestations (timeseries_gapfill_hourly,
+    # timeseries_anomaly_hours, approx_count_distinct,
+    # embedding_near_dup_pairs, multimodal_jpeg_decode,
+    # multimodal_mjpeg_frames, multimodal_gif_decode) — the exactly
+    # booked 27-block from SURVEY §16's binding r12 decision.
     # round-6 rotation (standing policy above): twenty-five [r5 ✓]
     # non-bench shapes with code UNCHANGED since their r5 row step down
     # so (a) the eight round-5 newcomers, (b) the two round-6 newcomers
@@ -1053,7 +1034,6 @@ _DEMOTED_TAIL: list[str] = [
     "scalar_string_functions",  # [r5 ✓] X6 ⊂ doc_text_stats (bench)
     "doc_lang_id",              # [r5 ✓] map-expr heuristic ⊂ doc_text_stats (bench)
     "simhash_collision_groups", # [r5 ✓] pure-expression hash ⊂ minhash (bench)
-    "embedding_near_dup_pairs", # [r5 ✓] exact baseline ⊂ embedding_near_dup_lsh (bench)
     "similarity_topk_ivf_pruned",  # [r5 ✓] partition pruning ⊂ ivfpq_pruned (promoted)
     "similarity_topk_ivfpq",    # [r5 ✓] composed IVF+PQ ⊂ ivfpq_residual (bench)
     "multimodal_feature_extract",  # [r5 ✓] mapInPandas fake ⊂ jpeg/gif/png decodes
@@ -1100,8 +1080,6 @@ _DEMOTED_TAIL: list[str] = [
     "dedup_fuzzy_keepmin",      # [r6 ✓] keep-min policy ⊂ minhash (bench)
     "multimodal_wav_decode",    # [r6 ✓] RIFF+PCM decode ⊂ multimodal codec family
     "multimodal_png_decode",    # [r6 ✓] DEFLATE decode ⊂ multimodal codec family
-    "multimodal_gif_decode",    # [r6 ✓] LZW decode ⊂ multimodal codec family
-    "multimodal_jpeg_decode",   # [r6 ✓] DCT+Huffman ⊂ multimodal codec family
     "corpus_quality_filter",    # [r6 ✓] rule gates ⊂ corpus_quality_score (promoted)
     "mixture_temperature_sample",  # [r6 ✓] temperature mix ⊂ deterministic_sample family
     "deterministic_sample",     # [r6 ✓] hash-threshold sample ⊂ mixture family
@@ -1115,9 +1093,7 @@ _DEMOTED_TAIL: list[str] = [
     # step down so the r8 27-block (SURVEY §12 schedule) can attest.
     # Freshest rows in the registry — they queue at the very end of
     # the retirement schedule (r11+).
-    "approx_count_distinct",    # [r7 ✓] HLL agg surface ⊂ hll_portable_distinct family
     "ngram_jaccard_consecutive",  # [r7 ✓] gram-overlap ⊂ minhash (bench) family
-    "multimodal_mjpeg_frames",  # [r7 ✓] frame split+decode ⊂ multimodal codec family
     "multimodal_wav_dsp",       # [r7 ✓] PCM DSP ⊂ multimodal codec family
     "record_linkage_blocked",   # [r7 ✓] blocked fuzzy match ⊂ prefix-filter family
     "cohort_retention_weekly",  # [r7 ✓] cohort pivot ⊂ cumulative_new_users family
@@ -1128,8 +1104,6 @@ _DEMOTED_TAIL: list[str] = [
     "funnel_conversion_stages", # [r7 ✓] ordered-step funnel ⊂ sessionize family
     "inverted_index_search",    # [r7 ✓] posting-list AND ⊂ bm25/search family
     "phrase_search_positional", # [r7 ✓] adjacency verify ⊂ inverted_index family
-    "timeseries_gapfill_hourly",  # [r7 ✓] sequence() scaffold ⊂ seasonal/twap family
-    "timeseries_anomaly_hours", # [r7 ✓] robust z-score ⊂ cusum/seasonal family
     "grouped_trend_slope",      # [r7 ✓] grouped-agg pandas UDF ⊂ hourly_trend_slope_exact
     "corpus_quality_score",     # [r7 ✓] learned scorer ⊂ corpus_cleaning_funnel
     "subquery_exists_anti",     # [r7 ✓] EXISTS/NOT-EXISTS ⊂ join_semi family
@@ -1249,6 +1223,39 @@ _DEMOTED_TAIL: list[str] = [
     "q2_min_cost_supplier",     # [r10 ✓] correlated-min join ⊂ TPC-H family
     "epoch_repetition_plan",    # [r10 ✓] epoch dup planning ⊂ mixture/packing family
     "quality_curriculum_phases",  # [r10 ✓] phase bucketing ⊂ curriculum/quota family
+    # ---- round-12 rotation (standing policy): the twenty-seven [r11 ✓]
+    # non-bench window shapes with code UNCHANGED since their r11 row
+    # step down so the exactly booked r12 27-block (4 age-forced r3
+    # rows + all 16 r4 rows + the 7 clause-(a) re-attestations, SURVEY
+    # §16 binding decision) can attest. Freshest rows in the registry —
+    # they queue at the very end of the retirement schedule (r15+).
+    "grouping_sets_sql",        # [r11 ✓] GROUPING SETS ⊂ rollup/cube family
+    "window_running_total",     # [r11 ✓] running frame ⊂ window_topk_per_group (bench)
+    "window_lag_gap",           # [r11 ✓] lag deltas ⊂ window rank/frame family
+    "set_ops",                  # [r11 ✓] UNION/INTERSECT/EXCEPT ⊂ distinct_pairs family
+    "scalar_math_functions",    # [r11 ✓] X-math surface ⊂ scalar function family
+    "conditional_case_coalesce",  # [r11 ✓] CASE/COALESCE ⊂ project/conditional family
+    "knn_label_agreement",      # [r11 ✓] Arrow kNN audit ⊂ similarity family (epoch-watch row)
+    "dbscan_embedding_clusters",  # [r11 ✓] density clusters ⊂ semdedup/CC family (epoch-watch row)
+    "trimmed_mean_order_value", # [r11 ✓] percentile trim ⊂ quantile/robust family
+    "mann_kendall_trend",       # [r11 ✓] rank-pair trend ⊂ theilsen/trend family
+    "ks_value_drift",           # [r11 ✓] KS statistic ⊂ distribution_drift_tv family
+    "event_trigram_paths",      # [r11 ✓] path trigrams ⊂ transition-matrix family
+    "quantile_normalize_doclen",  # [r11 ✓] rank-normalize ⊂ quantile family
+    "lexical_diversity_by_source",  # [r11 ✓] type-token ratios ⊂ doc_text_stats (bench)
+    "matview_agg_delta_refresh",  # [r11 ✓] agg-delta IVM ⊂ matview/IVM family
+    "date_parts_spectrum",      # [r11 ✓] X1-X3 surface ⊂ scalar_date_functions family
+    "having_filter_groups",     # [r11 ✓] HAVING ⊂ q18/group-filter family
+    "q7_nation_pair_revenue",   # [r11 ✓] pair-filter join ⊂ q5 (bench) family
+    "q8_market_share",          # [r11 ✓] share-of-total ⊂ q14/q7 family
+    "q10_returned_item_revenue",  # [r11 ✓] top-k revenue join ⊂ q3 (bench) family
+    "q19_disjunctive_predicates",  # [r11 ✓] OR-pushdown ⊂ q6/q1 family
+    "q21_sole_supplier_orders", # [r11 ✓] EXISTS/NOT-EXISTS chain ⊂ q4 family
+    "q22_dormant_balances",     # [r11 ✓] anti-join + scalar avg ⊂ q16/q17 family
+    "unigram_viterbi_stats",    # [r11 ✓] Arrow DP segmentation ⊂ unigram-LM family
+    "unigram_piece_usage",      # [r11 ✓] piece census ⊂ unigram-LM family
+    "unigram_bits_per_token",   # [r11 ✓] bits/token rollup ⊂ unigram-LM family
+    "unigram_em_refine",        # [r11 ✓] EM re-estimate ⊂ unigram-LM family
 ]
 
 _CHECK_WINDOW = 50
@@ -1340,6 +1347,19 @@ _CHECK_WINDOW = 50
 #: queue entry: dedup_exact_docs is bench=True (permanently in the
 #: window — this round's driver row attests it) and the timeseries
 #: pair was already in the standing clause-(a) seven.
+#: Round 12 addendum: the rotation CONSUMED the clause-(a) queue — all
+#: seven standing entries (timeseries_gapfill_hourly,
+#: timeseries_anomaly_hours, approx_count_distinct,
+#: embedding_near_dup_pairs, multimodal_jpeg_decode,
+#: multimodal_mjpeg_frames, multimodal_gif_decode) are IN the r12
+#: window per SURVEY §16's booked block, so their driver rows this
+#: round attest the rewritten code paths. The ONLY outstanding
+#: clause-(a) entry is item_similarity_topk (r13, taking r13's one
+#: free slot alongside the 3-query DV block — queries_dv.py is the
+#: rehearsed, unregistered block). The r12 gapfill change (null-valued
+#: hours filtered as gaps, ADVICE r11) lands BEFORE
+#: timeseries_gapfill_hourly's scheduled window row, so its fresh r12
+#: attestation covers the final shape; REWINDOWED stays empty.
 REWINDOWED: set[str] = set()
 
 

@@ -1,0 +1,182 @@
+"""Deletion-vector query block — REHEARSED, awaiting the r13 scoped
+registration (SURVEY §16, binding registry decision).
+
+The three queries exercise the positional deletion-vector lifecycle on
+``sources/versioned.py`` end-to-end against real testdata: each call
+versions a deterministic projection of ``orders`` into a FRESH
+``tempfile.mkdtemp()`` (repeat-run safe — the driver may invoke a query
+more than once), positionally deletes predicate slices, and aggregates
+the live view. The oracles are plain ANSI SQL over the same base
+``orders`` table with the predicates negated — equality holds only if
+the DV write/read/compaction machinery preserves exact row content.
+
+Frozen design (rehearsed at sf0.01 in r11, productized r12):
+
+- ``P1 = o_orderstatus = 'F' AND o_custkey % 7 = 0``
+- ``P2 = o_orderkey % 3 = 1`` (applied to the LIVE view after P1)
+- base frame: ``orders(o_orderkey, o_custkey, o_orderstatus)``
+  repartitioned to 4 files on ``o_orderkey`` so deletes span files.
+
+r13 registration is copy-paste: wrap each function with
+``@register(name, oracle=DV_ORACLES[name])`` (see ``queries.py``),
+import this module from the package ``__init__`` alongside the other
+query modules, window the three names immediately (tail nevers are
+prohibited), and add the ``build_dv_delete`` bench row — per SURVEY
+§16 the r13 window block is exactly 23 r5 rows + these 3 +
+``item_similarity_topk``.
+
+Scale story (100 TB): ``delete_where`` writes positions only — cost
+proportional to rows DELETED; ``read_version`` is one base scan + one
+broadcast anti-join on reader metadata (pushdown pinned in
+``test_deletion_vector_read_keeps_base_scan_pushdown``); compaction is
+the single deliberate rewrite. Nothing here collects unbounded data:
+the per-version counts in the time-travel query are bounded scalars
+(3 versions by construction).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.versioned import (
+    apply_deletes,
+    delete_where,
+    dv_chain_stats,
+    read_version,
+    write_version,
+)
+
+P1 = "o_orderstatus = 'F' AND o_custkey % 7 = 0"
+P2 = "o_orderkey % 3 = 1"
+
+
+def _fresh_versioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Version the deterministic orders projection into a fresh table
+    dir and return its path (v1 written, pointer set)."""
+    path = tempfile.mkdtemp(prefix="dv_orders_")
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .repartition(4, "o_orderkey")
+    )
+    write_version(base, path)
+    return path
+
+
+def dv_delete_read_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional delete + live-view read: delete the P1 slice of a
+    fresh v1 snapshot, then aggregate the live view per status. The
+    oracle computes the same aggregate over ``orders WHERE NOT P1`` —
+    equal only if the DV anti-join removed exactly the P1 positions and
+    nothing else."""
+    path = _fresh_versioned_orders(spark, sf_dir)
+    _, n_deleted = delete_where(spark, path, P1)
+    return (
+        read_version(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum("o_orderkey").alias("sum_keys"),
+        )
+        .withColumn("n_deleted", F.lit(n_deleted).cast("bigint"))
+    )
+
+
+def dv_chain_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained deletes + time travel: v1 (base) → v2 (delete P1) → v3
+    (delete P2 on the live view). One row per version with its live
+    count and resolved chain depth — time travel must keep serving
+    every prior version byte-exactly while the pointer advances."""
+    path = _fresh_versioned_orders(spark, sf_dir)
+    v2, _ = delete_where(spark, path, P1)
+    v3, _ = delete_where(spark, path, P2)
+    rows = []
+    for v in (1, v2, v3):
+        rows.append(
+            (
+                v,
+                read_version(spark, path, version=v).count(),
+                dv_chain_stats(path, v)["n_delete_versions"],
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version bigint, n_live bigint, n_delete_versions bigint"
+    )
+
+
+def dv_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_deletes must preserve the live view exactly while retiring
+    the chain: aggregate the live view before and after compaction and
+    return the post-compaction aggregate plus equality booleans. The
+    oracle emits the same aggregate over ``orders WHERE NOT P1`` with
+    ``true``/``0`` literals — they can only match if the rewrite
+    preserved values and the chain is gone."""
+    path = _fresh_versioned_orders(spark, sf_dir)
+    delete_where(spark, path, P1)
+
+    def _agg() -> tuple[int, int]:
+        r = (
+            read_version(spark, path)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").alias("s"),
+            )
+            .collect()[0]
+        )
+        return int(r["n"]), int(r["s"])
+
+    pre = _agg()
+    apply_deletes(spark, path)
+    post = _agg()
+    n_dv = dv_chain_stats(path)["n_delete_versions"]
+    return spark.createDataFrame(
+        [(post[0], post[1], pre == post, n_dv)],
+        "n_live bigint, sum_keys bigint, "
+        "compaction_preserves_values boolean, n_delete_versions bigint",
+    )
+
+
+#: DuckDB oracles — aliases match the Spark side exactly (the driver
+#: sorts columns by NAME before hashing). sum(BIGINT) is cast back to
+#: BIGINT (DuckDB widens to HUGEINT → pandas float64 otherwise).
+DV_ORACLES: dict[str, str] = {
+    "dv_delete_read_consistency": f"""
+        SELECT o_orderstatus,
+               count(*) AS n_live,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+               (SELECT count(*) FROM orders WHERE {P1}) AS n_deleted
+        FROM orders
+        WHERE NOT ({P1})
+        GROUP BY o_orderstatus
+    """,
+    "dv_chain_time_travel": f"""
+        SELECT CAST(1 AS BIGINT) AS version,
+               count(*) AS n_live,
+               CAST(0 AS BIGINT) AS n_delete_versions
+        FROM orders
+        UNION ALL
+        SELECT 2, count(*), 1 FROM orders WHERE NOT ({P1})
+        UNION ALL
+        SELECT 3, count(*), 2
+        FROM orders WHERE NOT ({P1}) AND NOT ({P2})
+    """,
+    "dv_compaction_equivalence": f"""
+        SELECT count(*) AS n_live,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+               true AS compaction_preserves_values,
+               CAST(0 AS BIGINT) AS n_delete_versions
+        FROM orders
+        WHERE NOT ({P1})
+    """,
+}
+
+#: name → query fn, in registration order — r13 wraps these with
+#: ``@register`` and windows them immediately.
+DV_BLOCK = {
+    "dv_delete_read_consistency": dv_delete_read_consistency,
+    "dv_chain_time_travel": dv_chain_time_travel,
+    "dv_compaction_equivalence": dv_compaction_equivalence,
+}

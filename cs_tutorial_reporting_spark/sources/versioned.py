@@ -110,11 +110,26 @@ def _base_of(path: str, v: int) -> int | None:
         return int(f.read().strip())
 
 
+def _is_orphan_delete(path: str, v: int) -> bool:
+    """A crash in :func:`delete_where` between the ``_dv`` parquet
+    write and the ``_base`` pointer write leaves a version directory
+    holding ``_dv`` but no ``_base`` — it would otherwise masquerade
+    as a base snapshot (``_base_of`` returns None) whose "data" is an
+    underscore-hidden dir no reader can scan (ADVICE r11). Never
+    reachable via ``_current`` (the pointer flips last)."""
+    vdir = _vdir(path, v)
+    return os.path.isdir(os.path.join(vdir, _DV)) and not os.path.exists(
+        os.path.join(vdir, _BASE)
+    )
+
+
 def _resolve_chain(path: str, v: int) -> tuple[int, list[str]]:
     """Walk a delete-version chain down to its base snapshot. Returns
     ``(base_version, dv_dirs)`` — every ``_dv`` directory on the walk
     (each holding (file_path, row_index) positions) in newest→oldest
-    order; empty for a plain base version."""
+    order; empty for a plain base version. An orphan delete version
+    (crashed ``delete_where``; see :func:`_is_orphan_delete`) raises a
+    clear error instead of resolving as an unscannable base."""
     dvs: list[str] = []
     seen: set[int] = set()
     while True:
@@ -123,6 +138,12 @@ def _resolve_chain(path: str, v: int) -> tuple[int, list[str]]:
         seen.add(v)
         b = _base_of(path, v)
         if b is None:
+            if _is_orphan_delete(path, v):
+                raise ValueError(
+                    f"version {v} at {path} is an ORPHAN delete version "
+                    "(crashed delete_where: _dv written, _base pointer "
+                    "missing) — it holds no data; vacuum() reclaims it"
+                )
             return v, dvs
         dvs.append(os.path.join(_vdir(path, v), _DV))
         v = b
@@ -137,14 +158,18 @@ def _with_positions(base: DataFrame) -> DataFrame:
     would silently overwrite them and the chain-resolving read would
     drop the user's data while a plain base read kept it (review
     r11)."""
-    clash = {"__dv_fp", "__dv_ri", "__del_fp", "__del_ri"} & set(
+    clash = {"__dv_fp", "__dv_ri", "__del_fp", "__del_ri", "_metadata"} & set(
         base.columns
     )
     if clash:
+        # "_metadata" is in the clash set because Spark resolves a real
+        # data column AHEAD of the virtual file-metadata column — a
+        # user table carrying one would silently join DV positions
+        # against user data and deletes would not apply (ADVICE r11)
         raise ValueError(
             f"versioned table carries reserved column(s) {sorted(clash)} — "
             "rename them before using deletion vectors (the DV read path "
-            "would silently drop them)"
+            "would silently drop them or mis-resolve the positional join)"
         )
     return base.withColumns(
         {
@@ -278,6 +303,12 @@ def rollback(path: str, version: int) -> None:
     """Flip the pointer to an older snapshot — O(1), no data moves."""
     if not os.path.isdir(os.path.join(path, f"v{version:05d}")):
         raise FileNotFoundError(f"version {version} does not exist at {path}")
+    if _is_orphan_delete(path, version):
+        raise ValueError(
+            f"version {version} at {path} is an ORPHAN delete version "
+            "(crashed delete_where) — it holds no data and cannot be the "
+            "current version"
+        )
     tmp = os.path.join(path, f".{_CURRENT}.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -290,11 +321,16 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     ``_base`` chain reaches: a delete version shares its base's data
     files, so dropping the base would corrupt every reader of the
     delete version (the DV-lifecycle analogue of Delta's
-    vacuum-respects-active-snapshots rule). Returns removed versions."""
+    vacuum-respects-active-snapshots rule). Orphan delete versions
+    (crashed ``delete_where``; :func:`_is_orphan_delete`) never count
+    toward the ``keep_last`` newest slots — an orphan holding a slot
+    would evict a real older snapshot in its place (ADVICE r11) — and
+    are always reclaimed. Returns removed versions."""
     import shutil
 
     cur = current_version(path)
-    vs = _versions(path)
+    vs = [v for v in _versions(path) if not _is_orphan_delete(path, v)]
+    orphans = [v for v in _versions(path) if v not in set(vs)]
     keep: set[int] = set(vs[-keep_last:]) if keep_last else set()
     if cur is not None:
         keep.add(cur)
@@ -303,7 +339,8 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         while b is not None and b not in keep:
             keep.add(b)
             b = _base_of(path, b)
-    removable = [v for v in vs if v not in keep]
+    removable = [v for v in vs if v not in keep] + orphans
+    removable.sort()
     for v in removable:
         shutil.rmtree(_vdir(path, v))
     return removable

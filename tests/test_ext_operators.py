@@ -2349,6 +2349,62 @@ def test_gapfill_lead_form_equals_join_form(spark):
         assert len(hours) == span, (key, len(hours), span)
 
 
+def test_gapfill_null_hours_are_gaps_not_observations(spark):
+    """Hours whose every event value is NULL are GAPS (ADVICE r11):
+    interpolated across with is_observed=false — the retired
+    join-form's interior ignorenulls-carry semantics — and the output
+    contract guarantees value_fp is never NULL. The one documented
+    divergence from the retired form: a null-valued hour at the span
+    EDGE no longer extends the grid (the retired form emitted it with
+    a NULL value and nothing to interpolate from)."""
+    from datetime import datetime
+
+    from cs_tutorial_reporting_spark.operators.timeseries import (
+        hourly_gapfill_interpolate,
+    )
+
+    def h(i):
+        return datetime(2024, 1, 1, i)
+
+    rows = [
+        # k1: null EDGE hour 0, obs h1=10.0, interior null hour 3,
+        # obs h5=50.0 — grid must span h1..h5 only
+        ("k1", h(0), None),
+        ("k1", h(1), 10.0),
+        ("k1", h(3), None),
+        ("k1", h(3), None),  # whole hour null, not a partial
+        ("k1", h(5), 50.0),
+        # k2: null hour between two observations plus a MIXED hour
+        # (null + real value) that stays observed via the null-skipping
+        # mean
+        ("k2", h(2), 20.0),
+        ("k2", h(3), None),
+        ("k2", h(4), None),
+        ("k2", h(4), 40.0),
+    ]
+    events = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["hour"]): (r["value_fp"], r["is_observed"])
+        for r in hourly_gapfill_interpolate(
+            events, "user_id", "ts", "value"
+        ).collect()
+    }
+    want = {
+        # k1 grid starts at the first USABLE observation (h1), not the
+        # null edge hour h0
+        ("k1", h(1)): (100000, True),
+        ("k1", h(2)): (200000, False),  # plain gap, interpolated
+        ("k1", h(3)): (300000, False),  # null hour == gap (the fix)
+        ("k1", h(4)): (400000, False),
+        ("k1", h(5)): (500000, True),
+        ("k2", h(2)): (200000, True),
+        ("k2", h(3)): (300000, False),  # null hour == gap
+        ("k2", h(4)): (400000, True),  # mixed hour: avg skips nulls
+    }
+    assert got == want
+    assert all(v is not None for v, _ in got.values())
+
+
 def test_anomaly_hours_window_form_equals_join_form(spark):
     """The r11 single-pass window rewrite of anomaly_hours_exact must
     be BIT-IDENTICAL to the groupBy-stats + join-back dataflow it

@@ -881,6 +881,78 @@ def test_deletion_vectors_positional_delete_lifecycle(spark, tmp_path):
     assert read_version(spark, path).count() == 68
 
 
+def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
+    """ADVICE r11 hardening, two classes:
+
+    1. A crash in delete_where between the _dv write and the _base
+       pointer write leaves a version dir holding only _dv — it must
+       read/rollback as a CLEAR orphan error (not an opaque
+       schema-inference failure), never occupy a vacuum keep_last slot
+       in place of a real snapshot, and be reclaimed by vacuum.
+    2. A user column literally named _metadata shadows the parquet
+       reader's virtual file-metadata column (Spark resolves data
+       columns first), so the DV path must reject it loudly instead of
+       silently joining positions against user data."""
+    import os
+    import shutil
+
+    import pytest
+
+    from cs_tutorial_reporting_spark.sources.versioned import (
+        current_version,
+        delete_where,
+        read_version,
+        rollback,
+        vacuum,
+        write_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id AS k", "id % 10 AS grp")
+    assert write_version(df.repartition(2, "k"), path) == 1  # old real base
+    assert write_version(df.repartition(2, "k"), path) == 2  # current base
+    v3, _ = delete_where(spark, path, "grp = 3")
+    # crash sim: v4 holds _dv (copied from v3) but no _base pointer
+    orphan = os.path.join(path, "v00004")
+    os.makedirs(orphan)
+    shutil.copytree(
+        os.path.join(path, "v00003", "_dv"), os.path.join(orphan, "_dv")
+    )
+
+    # the pointer never moved; normal reads are unaffected
+    assert current_version(path) == v3
+    assert read_version(spark, path).count() == 90
+
+    # explicit read of / rollback to the orphan: clear error, not an
+    # AnalysisException from scanning an underscore-hidden dir
+    with pytest.raises(ValueError, match="ORPHAN delete version"):
+        read_version(spark, path, version=4)
+    with pytest.raises(ValueError, match="ORPHAN delete version"):
+        rollback(path, 4)
+
+    # vacuum: keep_last=2 must keep the two newest REAL versions
+    # (base v2 + delete v3; old behavior let the orphan hold a slot
+    # and evicted v2... which the chain walk happened to rescue, but
+    # v1 — the older independent snapshot — was lost) and reclaim the
+    # orphan itself
+    removed = vacuum(path, keep_last=3)
+    assert removed == [4]
+    assert sorted(
+        int(d[1:]) for d in os.listdir(path) if d.startswith("v")
+    ) == [1, 2, 3]
+    removed = vacuum(path, keep_last=2)
+    assert removed == [1]
+    assert read_version(spark, path).count() == 90
+
+    # reserved-column guard: a user _metadata column is rejected before
+    # any positional join can mis-resolve against it
+    path2 = str(tmp_path / "tbl_meta")
+    bad = spark.range(10).selectExpr("id AS k", "string(id) AS _metadata")
+    write_version(bad, path2)
+    with pytest.raises(ValueError, match="reserved column"):
+        delete_where(spark, path2, "k < 5")
+
+
 def test_deletion_vector_read_keeps_base_scan_pushdown(spark, tmp_path):
     """Scale contract of the DV read path: user predicates still reach
     the BASE parquet scan (PushedFilters) and the anti-join build side

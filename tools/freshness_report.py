@@ -50,12 +50,26 @@ def _latest_green() -> tuple[dict[str, int], int]:
     (rows+schema+hash all pass, no err) and the latest driver round
     recorded (0 when no files exist). Shared by gate()/main()/plan()
     so the ok-row predicate cannot drift between them (ADVICE r10)."""
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-
-    def _round(path: str) -> int:
+    def _round(path: str) -> int | None:
         # parse the BASENAME only — a checkout directory containing
-        # "_r<digits>" must not hijack the round number (review r11)
-        return int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        # "_r<digits>" must not hijack the round number (review r11).
+        # A glob match without the digit pattern (e.g. a stray
+        # CORRECTNESS_r.json) is skipped with a warning instead of
+        # taking down the gate on .group(1) (ADVICE r11).
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        if m is None:
+            print(
+                f"freshness: ignoring non-conforming file {os.path.basename(path)}",
+                file=sys.stderr,
+            )
+            return None
+        return int(m.group(1))
+
+    files = [
+        p
+        for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+        if _round(p) is not None
+    ]
 
     latest: dict[str, int] = {}
     for path in files:

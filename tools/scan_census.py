@@ -110,13 +110,33 @@ ADJUDICATED: dict[str, str] = {
 
 
 def main() -> int:
+    import argparse
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    names = args[1:] if args and "/" in args[0] else args
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--sf-dir", default=None, help="testdata dir (default sf0.01)"
+    )
+    parser.add_argument("rest", nargs="*", help="[sf_dir] [query ...]")
+    cli = parser.parse_args()
+    names = list(cli.rest)
+    sf_dir = cli.sf_dir
+    # positional-dir compatibility: the first positional is the data
+    # dir only if it IS a directory on disk — a bare "sf0.1" that
+    # doesn't resolve must error, not silently become a query filter
+    # (ADVICE r11)
+    if sf_dir is None and names and (
+        os.path.isdir(names[0])
+        or "/" in names[0]
+        or names[0].startswith("sf")
+    ):
+        sf_dir = names.pop(0)
+    if sf_dir is None:
+        sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        parser.error(f"sf_dir is not a directory: {sf_dir}")
 
     from cs_tutorial_reporting_spark.queries import QUERIES
     from cs_tutorial_reporting_spark.session import get_spark
