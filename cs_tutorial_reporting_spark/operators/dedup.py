@@ -1029,7 +1029,7 @@ def _semdedup_pairs_arrow(v: DataFrame, dim: int, threshold: float) -> DataFrame
     join semantics; the bitwise-equality pytest carries null-label
     rows to hold it.
     """
-    from .similarity import _row_block
+    from .similarity import _cos_grid, _row_block
 
     out_schema = "id_a long, id_b long, __raw double"
 
@@ -1049,10 +1049,10 @@ def _semdedup_pairs_arrow(v: DataFrame, dim: int, threshold: float) -> DataFrame
         block = _row_block(n)
         for lo in range(0, n, block):
             hi = min(lo + block, n)
-            num = np.zeros((hi - lo, n))
-            for d in range(dim):  # sequential: mirrors dot_flat(a, b)
-                num += mat[lo:hi, d : d + 1] * mat[None, :, d].reshape(1, -1)
-            cos = num / (nrm[lo:hi, None] * nrm[None, :])
+            # cache-blocked sequential fold (similarity._cos_grid, r12)
+            # — bitwise identical to the retired per-dimension
+            # full-grid accumulation; mirrors dot_flat(a, b)
+            cos = _cos_grid(mat[lo:hi], nrm[lo:hi], mat, nrm, dim)
             keep = (
                 (cos >= threshold - 1e-6) | np.isnan(cos)
             ) & (ids[lo:hi, None] < ids[None, :])
