@@ -235,24 +235,23 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
     # registration per SURVEY §16): snapshot write + positional delete
     # + chain-resolving read. The delete must cost rows-DELETED (DV
     # positions only), never a table rewrite — the row is the ingest
-    # side of the versioned-table story.
+    # side of the versioned-table story. Setup and predicate come from
+    # queries_dv's FROZEN design (one definition; an edit there must
+    # move this baseline too, not silently decouple it — review r12).
+    from cs_tutorial_reporting_spark.queries_dv import (
+        P1,
+        _fresh_versioned_orders,
+    )
     from cs_tutorial_reporting_spark.sources.versioned import (
         delete_where,
         read_version,
-        write_version,
     )
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
-    )
     best_dv = float("inf")
     for _ in range(2):
-        path = tempfile.mkdtemp(prefix="bench_dv_")
         t0 = time.perf_counter()
-        write_version(orders.repartition(4, "o_orderkey"), path)
-        delete_where(
-            spark, path, "o_orderstatus = 'F' AND o_custkey % 7 = 0"
-        )
+        path = _fresh_versioned_orders(spark, sf_dir)
+        delete_where(spark, path, P1)
         read_version(spark, path).count()
         best_dv = min(best_dv, time.perf_counter() - t0)
         shutil.rmtree(path, ignore_errors=True)

@@ -36,6 +36,7 @@ the per-version counts in the time-travel query are bounded scalars
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,16 +74,25 @@ def dv_delete_read_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal only if the DV anti-join removed exactly the P1 positions and
     nothing else."""
     path = _fresh_versioned_orders(spark, sf_dir)
-    _, n_deleted = delete_where(spark, path, P1)
-    return (
-        read_version(spark, path)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("n_live"),
-            F.sum("o_orderkey").alias("sum_keys"),
+    try:
+        _, n_deleted = delete_where(spark, path, P1)
+        agg = (
+            read_version(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_live"),
+                F.sum("o_orderkey").alias("sum_keys"),
+            )
+            .withColumn("n_deleted", F.lit(n_deleted).cast("bigint"))
         )
-        .withColumn("n_deleted", F.lit(n_deleted).cast("bigint"))
-    )
+        # materialize the (tiny, one-row-per-status) report BEFORE
+        # reclaiming the temp table — the returned frame must not hold
+        # a lazy scan over a deleted dir, and leaking one orders copy
+        # per invocation would accumulate unbounded /tmp (review r12)
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def dv_chain_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,17 +101,20 @@ def dv_chain_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and resolved chain depth — time travel must keep serving
     every prior version byte-exactly while the pointer advances."""
     path = _fresh_versioned_orders(spark, sf_dir)
-    v2, _ = delete_where(spark, path, P1)
-    v3, _ = delete_where(spark, path, P2)
-    rows = []
-    for v in (1, v2, v3):
-        rows.append(
-            (
-                v,
-                read_version(spark, path, version=v).count(),
-                dv_chain_stats(path, v)["n_delete_versions"],
+    try:
+        v2, _ = delete_where(spark, path, P1)
+        v3, _ = delete_where(spark, path, P2)
+        rows = []
+        for v in (1, v2, v3):
+            rows.append(
+                (
+                    v,
+                    read_version(spark, path, version=v).count(),
+                    dv_chain_stats(path, v)["n_delete_versions"],
+                )
             )
-        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
         rows, "version bigint, n_live bigint, n_delete_versions bigint"
     )
@@ -115,7 +128,6 @@ def dv_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``true``/``0`` literals — they can only match if the rewrite
     preserved values and the chain is gone."""
     path = _fresh_versioned_orders(spark, sf_dir)
-    delete_where(spark, path, P1)
 
     def _agg() -> tuple[int, int]:
         r = (
@@ -128,10 +140,14 @@ def dv_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return int(r["n"]), int(r["s"])
 
-    pre = _agg()
-    apply_deletes(spark, path)
-    post = _agg()
-    n_dv = dv_chain_stats(path)["n_delete_versions"]
+    try:
+        delete_where(spark, path, P1)
+        pre = _agg()
+        apply_deletes(spark, path)
+        post = _agg()
+        n_dv = dv_chain_stats(path)["n_delete_versions"]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
         [(post[0], post[1], pre == post, n_dv)],
         "n_live bigint, sum_keys bigint, "

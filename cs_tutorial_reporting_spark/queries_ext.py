@@ -2428,12 +2428,19 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: shared gap-fill WITH-body (hourly grid + fixed-point interpolation)
-#: — consumed by the gapfill report AND the exact anomaly scan below
+#: — consumed by the gapfill report AND the exact anomaly scan below.
+#: The HAVING mirrors the operator's r12 null-hour contract
+#: (timeseries.py::hourly_gapfill_interpolate): hours whose every
+#: event value is NULL are GAPS, and a null-valued hour at the span
+#: edge does not extend the grid. Without it the oracle would encode
+#: the RETIRED edge behavior (latent today only because the harness
+#: events table carries zero NULL values; review r12).
 _GAPFILL_CTE = """
     WITH hourly AS (
       SELECT user_id AS k, date_trunc('hour', ts) AS hour,
              CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT) AS v
       FROM events GROUP BY user_id, date_trunc('hour', ts)
+      HAVING avg(value) IS NOT NULL
     ),
     spans AS (SELECT k, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY k),
     grid AS (

@@ -325,12 +325,24 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     (crashed ``delete_where``; :func:`_is_orphan_delete`) never count
     toward the ``keep_last`` newest slots — an orphan holding a slot
     would evict a real older snapshot in its place (ADVICE r11) — and
-    are always reclaimed. Returns removed versions."""
+    are reclaimed, EXCEPT (review r12): the NEWEST version dir, which
+    is indistinguishable from a ``delete_where`` still in flight (its
+    ``_dv`` lands before its ``_base``; reclaiming it would crash the
+    writer mid-commit — it gets collected by a later vacuum once a
+    newer version exists), and a dir ``_current`` points at (a legacy
+    pointer from the pre-r12 rollback that accepted orphans; deleting
+    it would dangle the pointer). Returns removed versions."""
     import shutil
 
     cur = current_version(path)
-    vs = [v for v in _versions(path) if not _is_orphan_delete(path, v)]
-    orphans = [v for v in _versions(path) if v not in set(vs)]
+    all_vs = _versions(path)
+    vs = [v for v in all_vs if not _is_orphan_delete(path, v)]
+    newest = all_vs[-1] if all_vs else None
+    orphans = [
+        v
+        for v in all_vs
+        if v not in set(vs) and v != cur and v != newest
+    ]
     keep: set[int] = set(vs[-keep_last:]) if keep_last else set()
     if cur is not None:
         keep.add(cur)

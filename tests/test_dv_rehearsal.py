@@ -13,7 +13,7 @@ from cs_tutorial_reporting_spark.queries_dv import DV_BLOCK, DV_ORACLES
 
 from tools.check_oracle import TABLES, _canon_frame
 
-SF_DIR = "/root/testdata/sf0.01"
+from .conftest import SF_ORACLE as SF_DIR
 
 
 @pytest.fixture(scope="module")

@@ -305,3 +305,47 @@ def test_deletion_vector_lifecycle_matches_model(spark, tmp_path_factory, ops):
     for v in sorted(live):
         got = {r.k for r in read_version(spark, path, version=v).collect()}
         assert got == model_read(v), v
+
+
+@given(
+    b=st.integers(min_value=1, max_value=600),
+    n_q=st.integers(min_value=1, max_value=600),
+    dim=st.sampled_from([1, 3, 64]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_cos_grid_bitwise_equals_unblocked_fold(b, n_q, dim, seed):
+    """similarity._cos_grid (the r12 cache-blocked scorer grid) must be
+    BITWISE identical to the retired unblocked per-dimension fold for
+    ANY shape — including block-edge shapes (exact multiples of the
+    256 tile, one-row/one-col remainders). Pure NumPy, no Spark."""
+    import numpy as np
+
+    from cs_tutorial_reporting_spark.operators.similarity import _cos_grid
+
+    rng = np.random.default_rng(seed)
+    # float32 round-trip mirrors the scorers' input path; keep norms
+    # non-zero the way real callers guarantee
+    mat = (
+        rng.standard_normal((b, dim)).astype("float32").astype("float64")
+        + 0.1
+    )
+    b_mat = (
+        rng.standard_normal((n_q, dim)).astype("float32").astype("float64")
+        + 0.1
+    )
+
+    def seq_nrm(m):
+        out = np.zeros(m.shape[0])
+        for d in range(dim):
+            out += m[:, d] * m[:, d]
+        return np.sqrt(out)
+
+    row_nrm, b_nrm = seq_nrm(mat), seq_nrm(b_mat)
+    # the retired form: full-grid accumulation, one pass per dimension
+    num = np.zeros((b, n_q))
+    for d in range(dim):
+        num += mat[:, d : d + 1] * b_mat[None, :, d].reshape(1, -1)
+    want = num / (row_nrm[:, None] * b_nrm[None, :])
+    got = _cos_grid(mat, row_nrm, b_mat, b_nrm, dim)
+    assert np.array_equal(got.view(np.uint64), want.view(np.uint64))

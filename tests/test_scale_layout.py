@@ -930,19 +930,42 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="ORPHAN delete version"):
         rollback(path, 4)
 
-    # vacuum: keep_last=2 must keep the two newest REAL versions
-    # (base v2 + delete v3; old behavior let the orphan hold a slot
-    # and evicted v2... which the chain walk happened to rescue, but
-    # v1 — the older independent snapshot — was lost) and reclaim the
-    # orphan itself
+    # vacuum: the NEWEST dir is indistinguishable from a delete_where
+    # still in flight (its _dv lands before its _base), so a newest
+    # orphan is NEVER reclaimed — and it must not occupy a keep_last
+    # slot either (old behavior let it evict a real older snapshot)
     removed = vacuum(path, keep_last=3)
-    assert removed == [4]
+    assert removed == []
     assert sorted(
         int(d[1:]) for d in os.listdir(path) if d.startswith("v")
-    ) == [1, 2, 3]
-    removed = vacuum(path, keep_last=2)
-    assert removed == [1]
-    assert read_version(spark, path).count() == 90
+    ) == [1, 2, 3, 4]
+
+    # once a NEWER real version exists the orphan cannot be in-flight:
+    # reclaimed alongside normal retention (keep_last=3 keeps v2/v3/v5;
+    # v1 ages out; v3's chain still resolves through base v2)
+    write_version(df.repartition(2, "k"), path)  # v5, pointer flips
+    removed = vacuum(path, keep_last=3)
+    assert sorted(removed) == [1, 4]
+    assert read_version(spark, path).count() == 100
+    assert read_version(spark, path, version=3).count() == 90
+
+    # legacy pointer parked on an orphan (pre-fix rollback allowed it):
+    # vacuum must not reclaim the pointer's target even though it is an
+    # orphan — a dangling _current is worse than a leaked dir
+    path3 = str(tmp_path / "tbl_legacy")
+    write_version(df, path3)  # v1
+    v2, _ = delete_where(spark, path3, "grp = 3")
+    orphan2 = os.path.join(path3, "v00003")
+    os.makedirs(orphan2)
+    shutil.copytree(
+        os.path.join(path3, "v00002", "_dv"), os.path.join(orphan2, "_dv")
+    )
+    write_version(df, path3)  # v4 — orphan no longer newest
+    with open(os.path.join(path3, "_current"), "w") as f:
+        f.write("3")  # simulate the legacy pointer state
+    removed = vacuum(path3, keep_last=1)
+    assert 3 not in removed
+    assert os.path.isdir(orphan2)
 
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it

@@ -127,12 +127,21 @@ def main() -> int:
     # dir only if it IS a directory on disk — a bare "sf0.1" that
     # doesn't resolve must error, not silently become a query filter
     # (ADVICE r11)
-    if sf_dir is None and names and (
+    looks_like_dir = names and (
         os.path.isdir(names[0])
         or "/" in names[0]
         or names[0].startswith("sf")
-    ):
+    )
+    if sf_dir is None and looks_like_dir:
         sf_dir = names.pop(0)
+    elif sf_dir is not None and looks_like_dir:
+        # both --sf-dir and a dir-looking positional: ambiguous — the
+        # positional would silently become a query filter matching
+        # nothing and print a green "0 need review" (review r12)
+        parser.error(
+            f"ambiguous data dir: --sf-dir {sf_dir} plus positional "
+            f"{names[0]} — pass one"
+        )
     if sf_dir is None:
         sf_dir = "/root/testdata/sf0.01"
     if not os.path.isdir(sf_dir):
