@@ -1,0 +1,61 @@
+"""Full-registry end-to-end timing census (VERDICT r8 #7 cadence:
+r6 / r10 / r13 — runnable any round for outlier HUNTING).
+
+    python tools/timing_census.py [sf_dir] [reps]
+
+Times EVERY registered query (construct + collect, warm best-of-N,
+DataFrame rebuilt per rep — .count() lets Catalyst prune work and
+re-collecting one DataFrame object reuses shuffles; round-8 lesson)
+and prints a JSON line per query plus a sorted summary. This is a
+review aid, not a gate: excursions vs a family floor need the
+settle-and-rerun protocol (BASELINE.md variance rule) before anyone
+chases them. Expect the whole sweep to LOAD the host — never read a
+bench that shared the host with it."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    reps = int(args[1]) if len(args) > 1 else 2
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: not a directory: {sf_dir}")
+        return 2
+
+    from cs_tutorial_reporting_spark.queries import QUERIES
+    from cs_tutorial_reporting_spark.session import get_spark
+
+    spark = get_spark(app_name="timing_census")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    out: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        best = float("inf")
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR {name}: {str(e)[:100]}", flush=True)
+            out[name] = -1.0
+        print(f"{out[name]:8.3f}  {name}", flush=True)
+    ranked = sorted(out.items(), key=lambda kv: -kv[1])
+    print("\nslowest 25:")
+    for name, sec in ranked[:25]:
+        print(f"  {sec:8.3f}  {name}")
+    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "timings": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
