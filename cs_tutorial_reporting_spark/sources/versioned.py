@@ -123,6 +123,26 @@ def _is_orphan_delete(path: str, v: int) -> bool:
     )
 
 
+def _is_orphan_base(path: str, v: int) -> bool:
+    """The sibling crash class (review r12): :func:`write_version`
+    dying mid-parquet leaves a version dir with no ``_SUCCESS`` commit
+    marker (and neither ``_dv`` nor ``_base``) — a PARTIAL base
+    snapshot that must not be read, rolled back to, or allowed to hold
+    a vacuum ``keep_last`` slot. Every complete snapshot written by
+    this module carries the marker (Spark's default committer);
+    manually-assembled dirs without one are not supported."""
+    vdir = _vdir(path, v)
+    return (
+        not os.path.exists(os.path.join(vdir, _BASE))
+        and not os.path.isdir(os.path.join(vdir, _DV))
+        and not os.path.exists(os.path.join(vdir, "_SUCCESS"))
+    )
+
+
+def _is_orphan(path: str, v: int) -> bool:
+    return _is_orphan_delete(path, v) or _is_orphan_base(path, v)
+
+
 def _resolve_chain(path: str, v: int) -> tuple[int, list[str]]:
     """Walk a delete-version chain down to its base snapshot. Returns
     ``(base_version, dv_dirs)`` — every ``_dv`` directory on the walk
@@ -143,6 +163,12 @@ def _resolve_chain(path: str, v: int) -> tuple[int, list[str]]:
                     f"version {v} at {path} is an ORPHAN delete version "
                     "(crashed delete_where: _dv written, _base pointer "
                     "missing) — it holds no data; vacuum() reclaims it"
+                )
+            if _is_orphan_base(path, v):
+                raise ValueError(
+                    f"version {v} at {path} is an ORPHAN base snapshot "
+                    "(crashed write_version: no _SUCCESS commit marker) "
+                    "— it is incomplete; vacuum() reclaims it"
                 )
             return v, dvs
         dvs.append(os.path.join(_vdir(path, v), _DV))
@@ -303,11 +329,11 @@ def rollback(path: str, version: int) -> None:
     """Flip the pointer to an older snapshot — O(1), no data moves."""
     if not os.path.isdir(os.path.join(path, f"v{version:05d}")):
         raise FileNotFoundError(f"version {version} does not exist at {path}")
-    if _is_orphan_delete(path, version):
+    if _is_orphan(path, version):
         raise ValueError(
-            f"version {version} at {path} is an ORPHAN delete version "
-            "(crashed delete_where) — it holds no data and cannot be the "
-            "current version"
+            f"version {version} at {path} is an ORPHAN version (crashed "
+            "delete_where or write_version) — it holds no complete data "
+            "and cannot be the current version"
         )
     tmp = os.path.join(path, f".{_CURRENT}.tmp")
     with open(tmp, "w") as f:
@@ -321,13 +347,14 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     ``_base`` chain reaches: a delete version shares its base's data
     files, so dropping the base would corrupt every reader of the
     delete version (the DV-lifecycle analogue of Delta's
-    vacuum-respects-active-snapshots rule). Orphan delete versions
-    (crashed ``delete_where``; :func:`_is_orphan_delete`) never count
-    toward the ``keep_last`` newest slots — an orphan holding a slot
-    would evict a real older snapshot in its place (ADVICE r11) — and
-    are reclaimed, EXCEPT (review r12): the NEWEST version dir, which
-    is indistinguishable from a ``delete_where`` still in flight (its
-    ``_dv`` lands before its ``_base``; reclaiming it would crash the
+    vacuum-respects-active-snapshots rule). Orphan versions — crashed
+    ``delete_where`` (``_dv`` without ``_base``) AND crashed
+    ``write_version`` (no ``_SUCCESS`` marker; review r12) — never
+    count toward the ``keep_last`` newest slots (an orphan holding a
+    slot would evict a real older snapshot in its place, ADVICE r11)
+    and are reclaimed, EXCEPT: the NEWEST version dir, which is
+    indistinguishable from a writer still in flight (its payload lands
+    before its commit marker/pointer; reclaiming it would crash the
     writer mid-commit — it gets collected by a later vacuum once a
     newer version exists), and a dir ``_current`` points at (a legacy
     pointer from the pre-r12 rollback that accepted orphans; deleting
@@ -336,7 +363,7 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
 
     cur = current_version(path)
     all_vs = _versions(path)
-    vs = [v for v in all_vs if not _is_orphan_delete(path, v)]
+    vs = [v for v in all_vs if not _is_orphan(path, v)]
     newest = all_vs[-1] if all_vs else None
     orphans = [
         v

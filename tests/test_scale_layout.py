@@ -927,7 +927,7 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     # AnalysisException from scanning an underscore-hidden dir
     with pytest.raises(ValueError, match="ORPHAN delete version"):
         read_version(spark, path, version=4)
-    with pytest.raises(ValueError, match="ORPHAN delete version"):
+    with pytest.raises(ValueError, match="ORPHAN version"):
         rollback(path, 4)
 
     # vacuum: the NEWEST dir is indistinguishable from a delete_where
@@ -966,6 +966,25 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     removed = vacuum(path3, keep_last=1)
     assert 3 not in removed
     assert os.path.isdir(orphan2)
+
+    # the SIBLING crash class (review r12): write_version dying
+    # mid-parquet leaves a dir with no _SUCCESS marker — same
+    # treatment: clear read error, rollback rejected, no keep_last
+    # slot, reclaimed once a newer version exists
+    path4 = str(tmp_path / "tbl_partial")
+    write_version(df, path4)  # v1 real
+    partial = os.path.join(path4, "v00002")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1 garbage")  # files landed, no _SUCCESS commit
+    with pytest.raises(ValueError, match="ORPHAN base snapshot"):
+        read_version(spark, path4, version=2)
+    with pytest.raises(ValueError, match="ORPHAN version"):
+        rollback(path4, 2)
+    assert vacuum(path4, keep_last=1) == []  # newest: maybe in-flight
+    write_version(df, path4)  # v3 — the partial can't be in-flight now
+    assert vacuum(path4, keep_last=2) == [2]
+    assert read_version(spark, path4).count() == 100
 
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it

@@ -65,15 +65,14 @@ def _latest_green() -> tuple[dict[str, int], int]:
             return None
         return int(m.group(1))
 
-    files = [
-        p
+    rounds = {
+        p: r
         for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-        if _round(p) is not None
-    ]
+        if (r := _round(p)) is not None
+    }
 
     latest: dict[str, int] = {}
-    for path in files:
-        rnd = _round(path)
+    for path, rnd in rounds.items():
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
@@ -85,7 +84,7 @@ def _latest_green() -> tuple[dict[str, int], int]:
             )
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
-    cur = max((_round(p) for p in files), default=0)
+    cur = max(rounds.values(), default=0)
     return latest, cur
 
 

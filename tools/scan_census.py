@@ -150,6 +150,12 @@ def main() -> int:
     from cs_tutorial_reporting_spark.queries import QUERIES
     from cs_tutorial_reporting_spark.session import get_spark
 
+    unknown = sorted(set(names) - set(QUERIES))
+    if unknown:
+        # a typo'd name silently censusing nothing prints a green
+        # "0 need review" — error like check_oracle does (review r12)
+        parser.error(f"unknown query names: {unknown}")
+
     spark = get_spark(app_name="scan_census")
     hits = []
     for name, q in QUERIES.items():

@@ -23,13 +23,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    import argparse
+
     sys.path.insert(0, REPO)
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    reps = int(args[1]) if len(args) > 1 else 2
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "sf_dir", nargs="?", default="/root/testdata/sf0.1",
+        help="testdata dir (default sf0.1)",
+    )
+    parser.add_argument(
+        "reps", nargs="?", type=int, default=2, help="best-of-N reps"
+    )
+    cli = parser.parse_args()  # unknown flags error instead of running
+    sf_dir, reps = cli.sf_dir, cli.reps
     if not os.path.isdir(sf_dir):
-        print(f"ERROR: not a directory: {sf_dir}")
-        return 2
+        parser.error(f"not a directory: {sf_dir}")
 
     from cs_tutorial_reporting_spark.queries import QUERIES
     from cs_tutorial_reporting_spark.session import get_spark
