@@ -72,11 +72,10 @@ def main() -> None:
             # to bench_compare, front-running its r11 window entry
             "unigram_em_refine",
             # round-11: the explode-symmetrized item-CF rewrite —
-            # benched so its timing is visible every round while its
-            # clause-(a) correctness re-attestation waits for the r13
-            # window slot (same front-running protocol as knn/dbscan/
-            # unigram above; unflagged by bench_compare until a
-            # baseline row exists)
+            # benched so its timing is visible every round; its
+            # clause-(a) correctness re-attestation landed with the
+            # r13 window slot (baseline rows exist since r11, so
+            # bench_compare flags it normally)
             "item_similarity_topk",
         )
         if n in QUERIES
@@ -231,8 +230,8 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(path, ignore_errors=True)
     out["build_zordered_write"] = round(best_z, 3)
 
-    # Deletion-vector lifecycle (r12 entrant, fronting the r13 DV
-    # registration per SURVEY §16): snapshot write + positional delete
+    # Deletion-vector lifecycle (r12 entrant; the DV query block is
+    # REGISTERED since r13 per SURVEY §16): snapshot write + positional delete
     # + chain-resolving read. The delete must cost rows-DELETED (DV
     # positions only), never a table rewrite — the row is the ingest
     # side of the versioned-table story. Setup and predicate come from

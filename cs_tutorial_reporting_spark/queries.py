@@ -950,7 +950,8 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # [EXT] + surface registrations live in sibling modules; importing
 # populates QUERIES.
-from . import queries_ext  # noqa: E402,F401  (registry side-effect import)
+from . import queries_dv  # noqa: E402,F401  (registry side-effect import)
+from . import queries_ext  # noqa: E402,F401
 from . import queries_scale  # noqa: E402,F401
 from . import queries_surface  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
@@ -1025,29 +1026,9 @@ _DEMOTED_TAIL: list[str] = [
     # and dedup_transitive_clusters stay IN the window despite their r5
     # rows: the minhash pair expansion they depend on was rewritten
     # lambda-free this round (policy clause (a)).
-    "composite_pk_dedup",       # [r5 ✓] F2/J1 ⊂ incremental_watermark_load (bench)
-    "join_left_outer",          # [r5 ✓] outer-preserve ⊂ join_full_outer family
-    "agg_distinct",             # [r5 ✓] A2 key-set ⊂ distinct_pairs (promoted)
-    "rollup_status_priority",   # [r5 ✓] ROLLUP ⊂ cube/grouping-sets family
-    "cube_returnflag_linestatus",  # [r5 ✓] CUBE ⊂ rollup family + q1 (bench)
-    "limit_offset_pagination",  # [r5 ✓] L1/A3 ⊂ window_topk_per_group (bench)
-    "scalar_string_functions",  # [r5 ✓] X6 ⊂ doc_text_stats (bench)
-    "doc_lang_id",              # [r5 ✓] map-expr heuristic ⊂ doc_text_stats (bench)
-    "simhash_collision_groups", # [r5 ✓] pure-expression hash ⊂ minhash (bench)
-    "similarity_topk_ivf_pruned",  # [r5 ✓] partition pruning ⊂ ivfpq_pruned (promoted)
-    "similarity_topk_ivfpq",    # [r5 ✓] composed IVF+PQ ⊂ ivfpq_residual (bench)
-    "multimodal_feature_extract",  # [r5 ✓] mapInPandas fake ⊂ jpeg/gif/png decodes
-    "constraint_check_report",  # [r5 ✓] K4 enforcement ⊂ incremental_watermark (bench)
-    "q9_product_profit",        # [r5 ✓] 5-way join graph ⊂ q5 (bench)
-    "q16_supplier_part_counts", # [r5 ✓] NOT-IN + distinct agg ⊂ q4/q21 family
-    "q17_small_quantity_revenue",  # [r5 ✓] avg-subquery ⊂ correlated_min family
-    "q11_important_parts",      # [r5 ✓] group-HAVING-scalar ⊂ q20 (same window slot)
-    "q20_promo_part_suppliers", # [r5 ✓] nested semi chain ⊂ q21 family
-    "ngram_novelty_scores",     # [r5 ✓] bigram LM arrays ⊂ doc_chunking family
-    "doc_chunking_stats",       # [r5 ✓] array slice exprs ⊂ sequence_packing (bench)
-    "embedding_int8_quantize",  # [r5 ✓] array quantize ⊂ similarity_topk_pq (bench)
-    "winnow_containment_pairs", # [r5 ✓] posting-list join ⊂ minhash (bench)
-    "training_mix_order",       # [r5 ✓] weighted interleave ⊂ mixture_temperature (promoted)
+    # (round 13 PROMOTED the twenty-three remaining r5 rows —
+    # composite_pk_dedup … training_mix_order — per the §16 booking;
+    # they were age-forced at r13, the gate's MAX_ROW_AGE bound.)
     # round-6 late additions (sketch/scale primitives): the r8 27-block
     # (hll_portable_distinct … multimodal_tiff_decode) and the r9
     # 27-block (table_ndv_profile … corpus_cleaning_funnel) PROMOTED to
@@ -1215,7 +1196,9 @@ _DEMOTED_TAIL: list[str] = [
     "quantile_sketch_error_audit",  # [r10 ✓] sketch-vs-exact error ⊂ percentile/sketch family
     "late_arrival_backfill_report",  # [r10 ✓] watermark lateness audit ⊂ incremental family
     "lpa_communities_copurchase",  # [r10 ✓] label propagation ⊂ graph iteration family
-    "item_similarity_topk",     # [r10 ✓] cosine item-item ⊂ similarity family (bench entrant since r11)
+    # (round 13 RE-WINDOWED item_similarity_topk — clause (a): the
+    # late-r11 explode-symmetrization rewrite post-dates its r10 row;
+    # the one non-DV free slot per the §16 arithmetic.)
     "distribution_drift_tv",    # [r10 ✓] total-variation drift ⊂ drift/profile family
     "hybrid_rrf_fusion",        # [r10 ✓] reciprocal-rank fusion ⊂ bm25/similarity family
     "acf_hourly_lags",          # [r10 ✓] autocorrelation lags ⊂ trend/seasonal family
@@ -1256,6 +1239,41 @@ _DEMOTED_TAIL: list[str] = [
     "unigram_piece_usage",      # [r11 ✓] piece census ⊂ unigram-LM family
     "unigram_bits_per_token",   # [r11 ✓] bits/token rollup ⊂ unigram-LM family
     "unigram_em_refine",        # [r11 ✓] EM re-estimate ⊂ unigram-LM family
+    # ---- round-13 rotation (standing policy): the twenty-seven [r12 ✓]
+    # non-bench window shapes with code UNCHANGED since their r12 row
+    # step down so the exactly booked r13 27-block (23 age-forced r5
+    # rows + the 3 deletion-vector registrations windowed immediately +
+    # item_similarity_topk's clause-(a) re-attest, SURVEY §16 binding
+    # decision) can attest. The registry is now 232 and FROZEN for
+    # good; these queue at the very end of the retirement schedule
+    # (r16+).
+    "join_full_outer",          # [r12 ✓] outer-preserve ⊂ join surface family
+    "approx_count_distinct",    # [r12 ✓] HLL sketch agg ⊂ hll/kmv sketch family
+    "doc_fingerprint",          # [r12 ✓] rolling-hash fp ⊂ doc_text_stats (bench)
+    "embedding_near_dup_pairs", # [r12 ✓] exact-cosine baseline ⊂ near_dup_lsh (bench)
+    "flag_contaminated_docs",   # [r12 ✓] gram-overlap probe ⊂ fuzzy_decontaminate family
+    "doc_repetition_ratio",     # [r12 ✓] dup-line share ⊂ doc_topgram_repetition family
+    "streaming_session_rollup", # [r12 ✓] session windows ⊂ streaming_hourly_rollup (bench)
+    "pii_scrub_stats",          # [r12 ✓] regex scrub census ⊂ doc_text_stats (bench)
+    "streaming_dedup_distinct", # [r12 ✓] stream dropDuplicates ⊂ streaming family
+    "multimodal_bmp_decode",    # [r12 ✓] BMP decode ⊂ multimodal codec family
+    "multimodal_gif_decode",    # [r12 ✓] LZW decode ⊂ multimodal codec family
+    "multimodal_jpeg_decode",   # [r12 ✓] baseline JPEG decode ⊂ multimodal codec family
+    "multimodal_mjpeg_frames",  # [r12 ✓] MJPEG frame split ⊂ multimodal codec family
+    "multimodal_avi_frames",    # [r12 ✓] RIFF/AVI walk ⊂ multimodal codec family
+    "vocab_top_terms",          # [r12 ✓] global vocab census ⊂ tfidf_top_terms (bench)
+    "stratified_sample",        # [r12 ✓] per-stratum sample ⊂ deterministic_sample family
+    "timeseries_gapfill_hourly",  # [r12 ✓] gap-explode interpolate ⊂ ts family (bench twin)
+    "timeseries_anomaly_hours", # [r12 ✓] one-pass z-score spans ⊂ ts/gapfill family
+    "zorder_curve_keys",        # [r12 ✓] bit-interleave keys ⊂ layout_locality family
+    "partition_skew_report",    # [r12 ✓] key-skew census ⊂ join_fanout_hotspots family
+    "q14_promo_revenue_ratio",  # [r12 ✓] conditional share ⊂ q8/q19 family
+    "q18_large_volume_orders",  # [r12 ✓] HAVING-IN join ⊂ having_filter family
+    "correlated_min_subquery",  # [r12 ✓] per-group min probe ⊂ q2/q17 family
+    "q4_order_priority_check",  # [r12 ✓] EXISTS semi ⊂ q21/subquery_exists family
+    "q12_priority_by_linestatus",  # [r12 ✓] conditional agg ⊂ pivot/q14 family
+    "q13_customer_order_distribution",  # [r12 ✓] outer-join histogram ⊂ q22 family
+    "q15_top_supplier",         # [r12 ✓] scalar-max view join ⊂ q11/q20 family
 ]
 
 _CHECK_WINDOW = 50
@@ -1360,6 +1378,13 @@ _CHECK_WINDOW = 50
 #: hours filtered as gaps, ADVICE r11) lands BEFORE
 #: timeseries_gapfill_hourly's scheduled window row, so its fresh r12
 #: attestation covers the final shape; REWINDOWED stays empty.
+#: Round 13 addendum: the clause-(a) queue is now EMPTY —
+#: item_similarity_topk (the last entry) is promoted into this round's
+#: window per the §16 slot arithmetic; its r10 row predates r13, so
+#: the gate needs no exemption and REWINDOWED stays empty. The three
+#: deletion-vector registrations are newcomers windowed immediately
+#: (never-attested, exempt by construction). The registry is 232 and
+#: frozen for good; steady state is pure oldest-first rotation.
 REWINDOWED: set[str] = set()
 
 

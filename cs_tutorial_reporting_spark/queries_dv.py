@@ -1,5 +1,5 @@
-"""Deletion-vector query block — REHEARSED, awaiting the r13 scoped
-registration (SURVEY §16, binding registry decision).
+"""Deletion-vector query block — REGISTERED at r13 (SURVEY §16's one
+scoped unfreeze; the registry is 232 and frozen for good after this).
 
 The three queries exercise the positional deletion-vector lifecycle on
 ``sources/versioned.py`` end-to-end against real testdata: each call
@@ -17,13 +17,12 @@ Frozen design (rehearsed at sf0.01 in r11, productized r12):
 - base frame: ``orders(o_orderkey, o_custkey, o_orderstatus)``
   repartitioned to 4 files on ``o_orderkey`` so deletes span files.
 
-r13 registration is copy-paste: wrap each function with
-``@register(name, oracle=DV_ORACLES[name])`` (see ``queries.py``),
-import this module from the package ``__init__`` alongside the other
-query modules, window the three names immediately (tail nevers are
-prohibited), and add the ``build_dv_delete`` bench row — per SURVEY
-§16 the r13 window block is exactly 23 r5 rows + these 3 +
-``item_similarity_topk``.
+Registered via the loop at the bottom (``register(name,
+oracle=DV_ORACLES[name])`` over ``DV_BLOCK``) and imported from
+``queries.py`` alongside the other query modules; the three names are
+windowed immediately (tail nevers are prohibited) — per SURVEY §16 the
+r13 window block is exactly 23 r5 rows + these 3 +
+``item_similarity_topk``. ``build_dv_delete`` is the bench row.
 
 Scale story (100 TB): ``delete_where`` writes positions only — cost
 proportional to rows DELETED; ``read_version`` is one base scan + one
@@ -102,8 +101,19 @@ def dv_chain_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     every prior version byte-exactly while the pointer advances."""
     path = _fresh_versioned_orders(spark, sf_dir)
     try:
-        v2, _ = delete_where(spark, path, P1)
-        v3, _ = delete_where(spark, path, P2)
+        v2, n1 = delete_where(spark, path, P1)
+        v3, n2 = delete_where(spark, path, P2)
+        # The frozen design assumes both predicates match live rows; a
+        # no-op delete returns the CURRENT version, which would emit
+        # duplicate version rows that diverge from the oracle only at
+        # driver time. Fail fast with a clear message instead
+        # (ADVICE r12 #4).
+        if n1 <= 0 or n2 <= 0 or (1, v2, v3) != (1, 2, 3):
+            raise AssertionError(
+                "dv_chain_time_travel frozen-design drift: expected both "
+                f"deletes to fire on versions 2/3, got versions ({v2}, {v3}) "
+                f"with n_deleted ({n1}, {n2}) — testdata or projection changed"
+            )
         rows = []
         for v in (1, v2, v3):
             rows.append(
@@ -189,10 +199,21 @@ DV_ORACLES: dict[str, str] = {
     """,
 }
 
-#: name → query fn, in registration order — r13 wraps these with
-#: ``@register`` and windows them immediately.
+#: name → query fn, in registration order (kept for the rehearsal
+#: pytest + bench.py, which exercise the block through this dict).
 DV_BLOCK = {
     "dv_delete_read_consistency": dv_delete_read_consistency,
     "dv_chain_time_travel": dv_chain_time_travel,
     "dv_compaction_equivalence": dv_compaction_equivalence,
 }
+
+# r13 scoped registration (SURVEY §16): the three queries enter the
+# registry with their oracles and are windowed immediately — they are
+# NOT in queries._DEMOTED_TAIL, so they land in the checked head.
+from .queries import register  # noqa: E402  (import cycle-safe: queries.py
+# imports this module only after `register` is defined, the same pattern
+# as the other query modules)
+
+for _name, _fn in DV_BLOCK.items():
+    register(_name, oracle=DV_ORACLES[_name])(_fn)
+del _name, _fn

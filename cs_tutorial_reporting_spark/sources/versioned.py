@@ -358,7 +358,18 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     writer mid-commit — it gets collected by a later vacuum once a
     newer version exists), and a dir ``_current`` points at (a legacy
     pointer from the pre-r12 rollback that accepted orphans; deleting
-    it would dangle the pointer). Returns removed versions."""
+    it would dangle the pointer). Returns removed versions.
+
+    Orphan-base dirs that hold real parquet data files are QUARANTINED
+    (renamed ``v{N}.quarantined``) instead of deleted: such a dir is
+    indistinguishable from a complete snapshot whose ``_SUCCESS``
+    marker was stripped by a copy tool (S3 sync / distcp commonly
+    exclude underscore-prefixed files), and destroying it would be
+    data loss rather than cleanup (ADVICE r12). The rename removes it
+    from the version namespace (``_VDIR`` is anchored, so readers,
+    ``write_version`` numbering, and later vacuums no longer see it)
+    while preserving the bytes for manual recovery."""
+    import glob as _glob
     import shutil
 
     cur = current_version(path)
@@ -381,5 +392,11 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     removable = [v for v in vs if v not in keep] + orphans
     removable.sort()
     for v in removable:
-        shutil.rmtree(_vdir(path, v))
+        vdir = _vdir(path, v)
+        if _is_orphan_base(path, v) and _glob.glob(
+            os.path.join(vdir, "*.parquet")
+        ):
+            os.replace(vdir, vdir + ".quarantined")
+        else:
+            shutil.rmtree(vdir)
     return removable

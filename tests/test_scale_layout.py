@@ -970,7 +970,11 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     # the SIBLING crash class (review r12): write_version dying
     # mid-parquet leaves a dir with no _SUCCESS marker — same
     # treatment: clear read error, rollback rejected, no keep_last
-    # slot, reclaimed once a newer version exists
+    # slot, reclaimed once a newer version exists. An orphan-base
+    # holding parquet data files could equally be a COMPLETE snapshot
+    # whose _SUCCESS a copy tool stripped (S3 sync/distcp underscore
+    # filters), so reclamation QUARANTINES it (rename, bytes kept)
+    # instead of deleting it (ADVICE r12).
     path4 = str(tmp_path / "tbl_partial")
     write_version(df, path4)  # v1 real
     partial = os.path.join(path4, "v00002")
@@ -985,6 +989,23 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     write_version(df, path4)  # v3 — the partial can't be in-flight now
     assert vacuum(path4, keep_last=2) == [2]
     assert read_version(spark, path4).count() == 100
+    # the data-bearing orphan left the version namespace but its bytes
+    # survive for manual recovery; a later vacuum ignores it
+    assert not os.path.isdir(partial)
+    q = partial + ".quarantined"
+    assert os.path.isfile(os.path.join(q, "part-00000.snappy.parquet"))
+    assert vacuum(path4, keep_last=2) == []
+    assert os.path.isdir(q)
+
+    # an orphan-base with NO data files (pure mid-write debris) is
+    # still deleted outright — nothing to recover
+    path5 = str(tmp_path / "tbl_debris")
+    write_version(df, path5)  # v1 real
+    os.makedirs(os.path.join(path5, "v00002"))  # empty partial dir
+    write_version(df, path5)  # v3 — debris can't be in-flight now
+    assert vacuum(path5, keep_last=2) == [2]
+    assert not os.path.exists(os.path.join(path5, "v00002"))
+    assert not os.path.exists(os.path.join(path5, "v00002.quarantined"))
 
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it

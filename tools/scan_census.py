@@ -126,8 +126,12 @@ def main() -> int:
     # positional-dir compatibility: the first positional is the data
     # dir only if it IS a directory on disk — a bare "sf0.1" that
     # doesn't resolve must error, not silently become a query filter
-    # (ADVICE r11)
-    looks_like_dir = names and (
+    # (ADVICE r11). A registered query name is never a dir, even if it
+    # starts with "sf" (ADVICE r12 — no such name exists today, but a
+    # future one must not be misrouted to the isdir check).
+    from cs_tutorial_reporting_spark.queries import QUERIES
+
+    looks_like_dir = names and names[0] not in QUERIES and (
         os.path.isdir(names[0])
         or "/" in names[0]
         or names[0].startswith("sf")
@@ -147,7 +151,6 @@ def main() -> int:
     if not os.path.isdir(sf_dir):
         parser.error(f"sf_dir is not a directory: {sf_dir}")
 
-    from cs_tutorial_reporting_spark.queries import QUERIES
     from cs_tutorial_reporting_spark.session import get_spark
 
     unknown = sorted(set(names) - set(QUERIES))

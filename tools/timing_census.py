@@ -45,6 +45,10 @@ def main() -> int:
     spark = get_spark(app_name="timing_census")
     spark.range(1000).selectExpr("sum(id)").collect()
     out: dict[str, float] = {}
+    # failures live in their OWN map — a -1.0 sentinel inside
+    # "timings" would win any downstream min()/floor computation
+    # (ADVICE r12)
+    errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         best = float("inf")
         try:
@@ -53,15 +57,21 @@ def main() -> int:
                 q.fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 3)
+            print(f"{out[name]:8.3f}  {name}", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"ERR {name}: {str(e)[:100]}", flush=True)
-            out[name] = -1.0
-        print(f"{out[name]:8.3f}  {name}", flush=True)
+            errors[name] = str(e)[:200]
+            print(f"     ERR  {name}: {str(e)[:100]}", flush=True)
     ranked = sorted(out.items(), key=lambda kv: -kv[1])
     print("\nslowest 25:")
     for name, sec in ranked[:25]:
         print(f"  {sec:8.3f}  {name}")
-    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "timings": out}))
+    if errors:
+        print(f"\n{len(errors)} FAILED: {sorted(errors)}")
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "reps": reps, "timings": out, "errors": errors}
+        )
+    )
     return 0
 
 
