@@ -950,12 +950,25 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # [EXT] + surface registrations live in sibling modules; importing
 # populates QUERIES.
-from . import queries_dv  # noqa: E402,F401  (registry side-effect import)
-from . import queries_ext  # noqa: E402,F401
+from . import queries_ext  # noqa: E402,F401  (registry side-effect import)
 from . import queries_scale  # noqa: E402,F401
 from . import queries_surface  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_training  # noqa: E402,F401
+
+# r13 scoped registration (SURVEY §16): the deletion-vector block is
+# registered HERE, not inside queries_dv — queries_dv has no import
+# back into this module, so it cannot hit the circular-import window
+# where a sibling imported first registers after _reorder_registry()
+# and silently lands outside the checked head (review r13). The three
+# names are not in _DEMOTED_TAIL: windowed immediately.
+from . import queries_dv  # noqa: E402
+
+for _dv_name in queries_dv.DV_BLOCK:
+    register(_dv_name, oracle=queries_dv.DV_ORACLES[_dv_name])(
+        queries_dv.DV_BLOCK[_dv_name]
+    )
+del _dv_name
 
 #: The correctness harness checks the FIRST 50 registry entries. Every
 #: SURVEY §2 family and every benched query must land inside that

@@ -368,19 +368,16 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     data loss rather than cleanup (ADVICE r12). The rename removes it
     from the version namespace (``_VDIR`` is anchored, so readers,
     ``write_version`` numbering, and later vacuums no longer see it)
-    while preserving the bytes for manual recovery."""
-    import glob as _glob
+    while preserving the bytes for manual recovery. An orphan-classified
+    dir that a RETAINED version's chain still reaches is left untouched
+    entirely (neither deleted nor renamed) — the retained reader's
+    recovery path is restoring the stripped marker in place."""
     import shutil
 
     cur = current_version(path)
     all_vs = _versions(path)
     vs = [v for v in all_vs if not _is_orphan(path, v)]
     newest = all_vs[-1] if all_vs else None
-    orphans = [
-        v
-        for v in all_vs
-        if v not in set(vs) and v != cur and v != newest
-    ]
     keep: set[int] = set(vs[-keep_last:]) if keep_last else set()
     if cur is not None:
         keep.add(cur)
@@ -389,12 +386,26 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         while b is not None and b not in keep:
             keep.add(b)
             b = _base_of(path, b)
+    # keep is computed BEFORE the orphan list: a retained delete
+    # version's ``_base`` chain can reach an orphan-CLASSIFIED base
+    # (a complete snapshot whose ``_SUCCESS`` a copy tool stripped) —
+    # reclaiming it would strand every reader of the retained version
+    # (review r13). Such a dir stays in place so recovery is
+    # re-creating the marker, not restoring data.
+    orphans = [
+        v
+        for v in all_vs
+        if v not in set(vs) and v != cur and v != newest and v not in keep
+    ]
     removable = [v for v in vs if v not in keep] + orphans
     removable.sort()
     for v in removable:
         vdir = _vdir(path, v)
-        if _is_orphan_base(path, v) and _glob.glob(
-            os.path.join(vdir, "*.parquet")
+        # listdir, not glob: a table path containing glob
+        # metacharacters ('[', '*', …) must not defeat the
+        # data-bearing probe and fall through to rmtree (review r13)
+        if _is_orphan_base(path, v) and any(
+            f.endswith(".parquet") for f in os.listdir(vdir)
         ):
             os.replace(vdir, vdir + ".quarantined")
         else:

@@ -48,3 +48,42 @@ def test_dv_rehearsal_pins_r11_values(spark):
     assert got == {(1, 15000), (2, 14319), (3, 9544)}
     row = DV_BLOCK["dv_delete_read_consistency"](spark, SF_DIR).collect()[0]
     assert row["n_deleted"] == 681
+
+
+def test_dv_registration_survives_import_order():
+    """The DV block must land INSIDE the checked window even when
+    queries_dv is the first package module imported (review r13): a
+    module that registers itself via a circular ``from .queries import
+    register`` runs after ``_reorder_registry()`` in that ordering and
+    silently appends its queries past the demoted tail. Registration
+    therefore lives in queries.py; this pin imports queries_dv FIRST
+    in a fresh interpreter and asserts window membership."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import cs_tutorial_reporting_spark.queries_dv as dv\n"
+                "from cs_tutorial_reporting_spark.queries import QUERIES, _CHECK_WINDOW\n"
+                "import json\n"
+                "head = list(QUERIES)[:_CHECK_WINDOW]\n"
+                "print(json.dumps({n: n in head for n in dv.DV_BLOCK}))\n"
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=repo,
+    )
+    membership = json.loads(out.stdout.strip().splitlines()[-1])
+    assert membership == {
+        "dv_delete_read_consistency": True,
+        "dv_chain_time_travel": True,
+        "dv_compaction_equivalence": True,
+    }, membership

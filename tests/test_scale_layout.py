@@ -1007,6 +1007,37 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     assert not os.path.exists(os.path.join(path5, "v00002"))
     assert not os.path.exists(os.path.join(path5, "v00002.quarantined"))
 
+    # an orphan-CLASSIFIED base that a RETAINED delete version's chain
+    # reaches must be left ENTIRELY untouched (neither deleted nor
+    # quarantined): stripping v2's _SUCCESS after v3 = delete(base=2)
+    # simulates a copy tool dropping the marker on a live chain —
+    # reclaiming v2 would strand v3's readers; recovery is restoring
+    # the marker in place (review r13)
+    path6 = str(tmp_path / "tbl_kept_chain")
+    write_version(df, path6)  # v1 (ages out)
+    write_version(df.repartition(2, "k"), path6)  # v2 — chain base
+    delete_where(spark, path6, "grp = 3")  # v3, _base=2, _current=3
+    marker = os.path.join(path6, "v00002", "_SUCCESS")
+    os.remove(marker)  # v2 is now orphan-classified but load-bearing
+    assert vacuum(path6, keep_last=1) == [1]
+    assert os.path.isdir(os.path.join(path6, "v00002"))
+    assert not os.path.exists(os.path.join(path6, "v00002.quarantined"))
+    with open(marker, "w"):  # restore the marker: chain reads again
+        pass
+    assert read_version(spark, path6).count() == 90
+
+    # glob metacharacters in the TABLE PATH must not defeat the
+    # data-bearing quarantine probe (listdir, not glob — review r13)
+    path7 = str(tmp_path / "tbl[a]")
+    write_version(df, path7)  # v1 real
+    partial7 = os.path.join(path7, "v00002")
+    os.makedirs(partial7)
+    with open(os.path.join(partial7, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1 garbage")
+    write_version(df, path7)  # v3 — the partial can't be in-flight now
+    assert vacuum(path7, keep_last=2) == [2]
+    assert os.path.isdir(partial7 + ".quarantined")
+
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it
     path2 = str(tmp_path / "tbl_meta")
