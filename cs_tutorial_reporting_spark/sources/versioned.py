@@ -360,18 +360,21 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     pointer from the pre-r12 rollback that accepted orphans; deleting
     it would dangle the pointer). Returns removed versions.
 
-    Orphan-base dirs that hold real parquet data files are QUARANTINED
-    (renamed ``v{N}.quarantined``) instead of deleted: such a dir is
-    indistinguishable from a complete snapshot whose ``_SUCCESS``
-    marker was stripped by a copy tool (S3 sync / distcp commonly
-    exclude underscore-prefixed files), and destroying it would be
-    data loss rather than cleanup (ADVICE r12). The rename removes it
-    from the version namespace (``_VDIR`` is anchored, so readers,
-    ``write_version`` numbering, and later vacuums no longer see it)
-    while preserving the bytes for manual recovery. An orphan-classified
-    dir that a RETAINED version's chain still reaches is left untouched
-    entirely (neither deleted nor renamed) — the retained reader's
-    recovery path is restoring the stripped marker in place."""
+    Orphan dirs of EITHER class that hold real parquet bytes are
+    QUARANTINED (renamed ``v{N}.quarantined[.K]``) instead of deleted:
+    an orphan-base is indistinguishable from a complete snapshot whose
+    ``_SUCCESS`` marker was stripped by a copy tool (S3 sync / distcp
+    commonly exclude underscore-prefixed files — ADVICE r12), and an
+    orphan-delete whose ``_dv`` parquet survived such a copy is a
+    COMMITTED delete version missing only its ``_base`` marker —
+    destroying its positions would silently resurrect deleted rows
+    (review r13). The rename removes the dir from the version
+    namespace (``_VDIR`` is anchored, so readers, ``write_version``
+    numbering, and later vacuums no longer see it) while preserving
+    the bytes for manual recovery. An orphan-classified dir that a
+    RETAINED version's chain still reaches is left untouched entirely
+    (neither deleted nor renamed) — the retained reader's recovery
+    path is restoring the stripped marker in place."""
     import shutil
 
     cur = current_version(path)
@@ -401,13 +404,38 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     removable.sort()
     for v in removable:
         vdir = _vdir(path, v)
-        # listdir, not glob: a table path containing glob
-        # metacharacters ('[', '*', …) must not defeat the
-        # data-bearing probe and fall through to rmtree (review r13)
-        if _is_orphan_base(path, v) and any(
-            f.endswith(".parquet") for f in os.listdir(vdir)
-        ):
-            os.replace(vdir, vdir + ".quarantined")
+        # BOTH orphan classes quarantine when they hold parquet bytes:
+        # an orphan-delete whose ``_dv`` parquet survived a copy tool
+        # that stripped only the ``_base`` marker file is a COMMITTED
+        # delete version in disguise — destroying its positions would
+        # silently resurrect deleted rows once the operator restores
+        # the markers (review r13 second batch). The probe walks the
+        # dir (listdir/walk, never glob: metacharacters in the table
+        # path must not defeat it — review r13). Non-orphan removable
+        # versions are superseded real snapshots: plain rmtree is the
+        # point of vacuum.
+        if _is_orphan(path, v) and _holds_parquet(vdir):
+            os.replace(vdir, _quarantine_dest(vdir))
         else:
             shutil.rmtree(vdir)
     return removable
+
+
+def _holds_parquet(vdir: str) -> bool:
+    for _root, _dirs, files in os.walk(vdir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _quarantine_dest(vdir: str) -> str:
+    """First free ``v{N}.quarantined[.K]`` name — version numbers can
+    be reused after a rollback+vacuum, so a second quarantine of the
+    same number must not os.replace into a non-empty dir (ENOTEMPTY
+    would abort vacuum mid-sweep; review r13 second batch)."""
+    dest = vdir + ".quarantined"
+    k = 0
+    while os.path.exists(dest):
+        k += 1
+        dest = f"{vdir}.quarantined.{k}"
+    return dest

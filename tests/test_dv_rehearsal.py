@@ -78,9 +78,12 @@ def test_dv_registration_survives_import_order():
         ],
         capture_output=True,
         text=True,
-        check=True,
         cwd=repo,
     )
+    # check=False + explicit assert: check=True would swallow the
+    # child's stderr (the actual AssertionError) inside a bare
+    # CalledProcessError (review r13 second batch)
+    assert out.returncode == 0, out.stderr
     membership = json.loads(out.stdout.strip().splitlines()[-1])
     assert membership == {
         "dv_delete_read_consistency": True,

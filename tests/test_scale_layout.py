@@ -1027,16 +1027,41 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     assert read_version(spark, path6).count() == 90
 
     # glob metacharacters in the TABLE PATH must not defeat the
-    # data-bearing quarantine probe (listdir, not glob — review r13)
+    # data-bearing quarantine probe (listdir/walk, not glob — review
+    # r13); and a second quarantine of a REUSED version number must
+    # land on a fresh .quarantined.K suffix instead of aborting vacuum
+    # with ENOTEMPTY (review r13 second batch)
     path7 = str(tmp_path / "tbl[a]")
     write_version(df, path7)  # v1 real
     partial7 = os.path.join(path7, "v00002")
+    os.makedirs(os.path.join(partial7 + ".quarantined", "old"))  # prior epoch
     os.makedirs(partial7)
     with open(os.path.join(partial7, "part-00000.snappy.parquet"), "wb") as f:
         f.write(b"PAR1 garbage")
     write_version(df, path7)  # v3 — the partial can't be in-flight now
     assert vacuum(path7, keep_last=2) == [2]
-    assert os.path.isdir(partial7 + ".quarantined")
+    assert not os.path.isdir(partial7)
+    assert os.path.isfile(
+        os.path.join(partial7 + ".quarantined.1", "part-00000.snappy.parquet")
+    )
+
+    # a data-bearing orphan-DELETE quarantines too: stripping v2's
+    # _base (the copy-tool scenario — only the marker file is lost,
+    # the _dv parquet survives) must not destroy committed delete
+    # positions; recovery = restoring the marker (review r13 second
+    # batch)
+    path8 = str(tmp_path / "tbl_dv_orphan")
+    write_version(df, path8)  # v1
+    delete_where(spark, path8, "grp = 3")  # v2, _base=1
+    write_version(df, path8)  # v3 — pointer moves on, v2 reclaimable
+    base_marker = os.path.join(path8, "v00002", "_base")
+    os.remove(base_marker)  # v2 now classifies as orphan-delete
+    assert sorted(vacuum(path8, keep_last=1)) == [1, 2]
+    q8 = os.path.join(path8, "v00002.quarantined")
+    assert os.path.isdir(os.path.join(q8, "_dv"))
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(q8, "_dv"))
+    )
 
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it

@@ -38,6 +38,10 @@ def main() -> int:
     sf_dir, reps = cli.sf_dir, cli.reps
     if not os.path.isdir(sf_dir):
         parser.error(f"not a directory: {sf_dir}")
+    if reps < 1:
+        # reps=0 would record every query as Infinity (an invalid JSON
+        # token) without touching the errors map (review r13)
+        parser.error(f"reps must be >= 1, got {reps}")
 
     from cs_tutorial_reporting_spark.queries import QUERIES
     from cs_tutorial_reporting_spark.session import get_spark
