@@ -22,6 +22,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Stamp the host conditions to STDERR (stdout stays exactly the
+    # one-JSON-line driver contract): every recorded board's flags are
+    # dispositioned against load per the bench variance rule
+    # (BASELINE.md rounds 5-13), and boards without a load stamp force
+    # that analysis to guess. getloadavg is (1, 5, 15)-minute.
+    try:
+        la = os.getloadavg()
+        print(
+            f"bench host load avg: {la[0]:.2f} {la[1]:.2f} {la[2]:.2f}",
+            file=sys.stderr,
+            flush=True,
+        )
+    except OSError:
+        pass
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cs_tutorial_reporting_spark.queries import QUERIES
     from cs_tutorial_reporting_spark.session import get_spark

@@ -30,6 +30,18 @@ echo "== ship gate 2/4: pytest =="
 python -m pytest tests/ -q
 
 echo "== ship gate 3/4: bench drift vs best recorded round =="
+# The bench step otherwise runs minutes after a ~16-min pytest and
+# flags a warm-host phantom nearly every round (r12: three raised,
+# three killed by settle-and-rerun; r13: one). Mechanize the settle
+# protocol — the documented rule is "never read a bench above 15-min
+# load 0.5": wait for that, bounded at 20 min (then run anyway and
+# let the variance rule disposition any flag).
+for _ in $(seq 1 40); do
+  load15=$(cut -d' ' -f3 /proc/loadavg)
+  awk -v l="$load15" 'BEGIN {exit !(l < 0.5)}' && break
+  echo "  settling: 15-min load ${load15} >= 0.5, waiting 30s"
+  sleep 30
+done
 python tools/bench_compare.py
 
 echo "SHIP GATE GREEN"
