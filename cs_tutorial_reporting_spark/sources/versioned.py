@@ -205,21 +205,49 @@ def _with_positions(base: DataFrame) -> DataFrame:
     )
 
 
+#: DV payloads (compressed parquet bytes, summed over the chain) up to
+#: this size join as an explicit broadcast — positions-only files, so
+#: 64 MB compressed is roughly 2-5x that in executor memory, far
+#: inside the broadcast hard cap. ABOVE it the hint is dropped and the
+#: anti-join shuffles (AQE picks the strategy): a single 1%-delete on
+#: a 100 TB table mints ~1e9 positions (tens of GB) in ONE
+#: delete_where, with no apply_deletes opportunity beforehand, so an
+#: unconditional broadcast would OOM the very write path that creates
+#: the chance to compact.
+DV_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _dv_bytes(dv_dirs: list[str]) -> int:
+    total = 0
+    for d in dv_dirs:
+        for root, _dirs, files in os.walk(d):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    return total
+
+
 def _minus_deleted(
     spark: SparkSession, with_pos: DataFrame, dv_dirs: list[str]
 ) -> DataFrame:
-    """Drop deleted positions: ONE broadcast anti-join against the
-    union of the chain's DVs. The DV side is tiny by contract (deleted
-    positions only — megabytes while the base is terabytes); run
-    :func:`apply_deletes` before a chain's DVs outgrow broadcast
-    range. Base-side filters/pruning are untouched: the join key is
-    reader metadata, not data columns."""
+    """Drop deleted positions: ONE anti-join against the union of the
+    chain's DVs — an explicit broadcast while the chain's parquet
+    payload is at most :data:`DV_BROADCAST_MAX_BYTES` (the common
+    case: positions-only megabytes against a terabyte base), a plain
+    shuffled anti-join above it (AQE chooses the physical strategy; a
+    billion-position delete must not be driver-collected). Base-side
+    filters/pruning are untouched either way: the join key is reader
+    metadata, not data columns."""
     dv = spark.read.parquet(*dv_dirs).select(
         F.col("file_path").alias("__del_fp"),
         F.col("row_index").alias("__del_ri"),
     )
+    if _dv_bytes(dv_dirs) <= DV_BROADCAST_MAX_BYTES:
+        dv = F.broadcast(dv)
     return with_pos.join(
-        F.broadcast(dv),
+        dv,
         (F.col("__dv_fp") == F.col("__del_fp"))
         & (F.col("__dv_ri") == F.col("__del_ri")),
         "left_anti",
