@@ -81,11 +81,18 @@ def _load_new(path: str | None) -> dict:
         with open(path) as f:
             doc = json.load(f)
         return doc.get("parsed", doc)
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, check=True,
-    ).stdout
-    line = [l for l in out.splitlines() if re.match(r'^\{"metric"', l)][-1]
+    )
+    # forward bench.py's host-conditions stamp — captured stderr would
+    # otherwise swallow it, and flags are dispositioned against load
+    for l in proc.stderr.splitlines():
+        if "host load" in l:
+            print(l)
+    line = [
+        l for l in proc.stdout.splitlines() if re.match(r'^\{"metric"', l)
+    ][-1]
     return json.loads(line)
 
 
