@@ -252,19 +252,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join. Fact-fact join (lineitem⋈orders)
-    shuffles on the key; all four dimension sides broadcast — at 100 TB
-    the plan is one shuffle exchange, not five."""
+    shuffles on the key; dimension sides broadcast at small SF (the
+    constant-size nation/region by explicit hint, the data-proportional
+    customer/supplier by Catalyst's own size check) — at 100 TB the
+    fact join is the one mandatory shuffle and the big dims degrade
+    gracefully to shuffled joins instead of OOMing a forced broadcast."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Hint discipline (review r13): only CONSTANT-size dims carry an
+    # explicit broadcast hint (nation=25 rows, region=5 — fixed by the
+    # schema at any SF). customer/supplier grow with the data — at
+    # 100 TB they are terabytes, and an explicit hint bypasses Spark's
+    # size check entirely; hint-free, Catalyst auto-broadcasts them at
+    # small SF (same physical plan, pinned) and AQE falls back to a
+    # shuffled join from real stats at scale.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey))
+        .join(c, (o.o_custkey == c.c_custkey))
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -935,7 +945,10 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with the data: no explicit hint (review r13) —
+        # auto-broadcast keeps the same plan at small SF, AQE decides
+        # from stats at 100 TB
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
         .agg(
             F.round(
