@@ -113,17 +113,28 @@ def main() -> None:
     timings.update(_build_path_benches(spark, sf_dir))
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # The host load stamp rides IN the JSON (r13 verdict item 3): the
+    # stderr stamp above is for humans watching live, but the driver
+    # records only the JSON line, and a warm board (e.g. BENCH_r13,
+    # 71.8 s with semdedup at 4.41 vs 3.35 solo) must be dispositionable
+    # from the artifact alone. (load_1m, load_15m) at bench END — the
+    # 15-min figure is the settle-protocol gate value (< 0.5 = quiesced).
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    try:
+        la_end = os.getloadavg()
+        payload["load"] = {
+            "load_1m": round(la_end[0], 2),
+            "load_15m": round(la_end[2], 2),
+        }
+    except OSError:
+        pass
+    print(json.dumps(payload))
 
 
 def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:

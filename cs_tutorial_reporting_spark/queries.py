@@ -1063,45 +1063,17 @@ _DEMOTED_TAIL: list[str] = [
     # (round 11 PROMOTED the final thirteen never-attested entries —
     # trimmed_mean_order_value … matview_agg_delta_refresh — into the
     # window per the §12 schedule; never-attested tail is now ZERO)
-    # ---- round-7 rotation (standing policy): the twenty-seven [r6 ✓]
-    # non-bench window shapes with code UNCHANGED since their r6 row
-    # step down so the owed 26-block (ten r2-stale + fifteen round-6
-    # mid-round additions + deferred ngram_jaccard_consecutive) and the
-    # one verdict-demanded newcomer (corpus_quality_score) can attest.
-    # These are the FRESHEST rows in the registry — they queue at the
-    # very end of the retirement schedule (r10+).
-    "dedup_anti_join",          # [r6 ✓] F2/J1 ⊂ incremental_watermark_load (bench)
-    "project_cast_null_if_empty",  # [r6 ✓] P1-P3 ⊂ incremental_watermark_load (bench)
-    "watermark_scalar",         # [r6 ✓] A1 ⊂ incremental_watermark_load (bench)
-    "q6_forecast_revenue",      # [r6 ✓] pushdown filter-agg ⊂ q1 (bench)
-    "join_semi",                # [r6 ✓] semi ⊂ q3 (bench) + subquery_exists family
-    "distinct_pairs",           # [r6 ✓] A2 key-set ⊂ dedup_exact_docs (bench)
-    "scalar_date_functions",    # [r6 ✓] X1-X3 ⊂ events_hourly/sessionize family
-    "events_hourly_rollup",     # [r6 ✓] time-bucket agg ⊂ streaming_hourly_rollup (bench)
-    "pivot_status_by_priority", # [r6 ✓] pivot ⊂ q1 conditional aggs (bench)
-    "doc_winnow_fingerprints",  # [r6 ✓] winnowing ⊂ doc_text_stats (bench) + minhash
-    "fuzzy_decontaminate_docs", # [r6 ✓] gram-overlap probe ⊂ minhash (bench)
-    "dedup_transitive_clusters",  # [r6 ✓] CC over pairs ⊂ minhash (bench)
-    "asof_join_next_event",     # [r6 ✓] forward mirror ⊂ asof_join_last_click (bench)
-    "range_join_value_buckets", # [r6 ✓] bucketed range ⊂ asof family + interval_bucket
-    "dedup_fuzzy_keepmin",      # [r6 ✓] keep-min policy ⊂ minhash (bench)
-    "multimodal_wav_decode",    # [r6 ✓] RIFF+PCM decode ⊂ multimodal codec family
-    "multimodal_png_decode",    # [r6 ✓] DEFLATE decode ⊂ multimodal codec family
-    "corpus_quality_filter",    # [r6 ✓] rule gates ⊂ corpus_quality_score (promoted)
-    "mixture_temperature_sample",  # [r6 ✓] temperature mix ⊂ deterministic_sample family
-    "deterministic_sample",     # [r6 ✓] hash-threshold sample ⊂ mixture family
-    "similarity_topk_ivfpq_pruned",  # [r6 ✓] partition-pruned ADC ⊂ ivfpq_residual (bench)
-    "similarity_topk_ivfpq_rerank",  # [r6 ✓] two-stage rerank ⊂ ivfpq_residual (bench)
-    "union_by_name_missing",    # [r6 ✓] set-op surface ⊂ distinct_pairs family
-    "bpe_merge_ranks",          # [r6 ✓] BPE train loop ⊂ bpe_tokenize_stats (promoted)
-    "doc_length_mad_by_lang",   # [r6 ✓] grouped-agg pandas UDF ⊂ multimodal Arrow family
+    # ---- round-14 rotation (standing policy): the twenty-five r6 rows
+    # (dedup_anti_join … doc_length_mad_by_lang) plus the two oldest r7
+    # rows (ngram_jaccard_consecutive, multimodal_wav_dsp) PROMOTED to
+    # the window per freshness_report --plan (age-forced at 8 rounds =
+    # MAX_ROW_AGE+1 without this rotation); the twenty-seven [r13 ✓]
+    # shapes step down to the tail end below.
     # ---- round-8 rotation (standing policy): the twenty-seven [r7 ✓]
     # non-bench window shapes with code UNCHANGED since their r7 row
     # step down so the r8 27-block (SURVEY §12 schedule) can attest.
     # Freshest rows in the registry — they queue at the very end of
     # the retirement schedule (r11+).
-    "ngram_jaccard_consecutive",  # [r7 ✓] gram-overlap ⊂ minhash (bench) family
-    "multimodal_wav_dsp",       # [r7 ✓] PCM DSP ⊂ multimodal codec family
     "record_linkage_blocked",   # [r7 ✓] blocked fuzzy match ⊂ prefix-filter family
     "cohort_retention_weekly",  # [r7 ✓] cohort pivot ⊂ cumulative_new_users family
     "event_transition_matrix",  # [r7 ✓] lag-pair census ⊂ trigram/lift family
@@ -1300,6 +1272,39 @@ _DEMOTED_TAIL: list[str] = [
     "q12_priority_by_linestatus",  # [r12 ✓] conditional agg ⊂ pivot/q14 family
     "q13_customer_order_distribution",  # [r12 ✓] outer-join histogram ⊂ q22 family
     "q15_top_supplier",         # [r12 ✓] scalar-max view join ⊂ q11/q20 family
+    # ---- round-14 rotation (standing policy): the twenty-seven [r13 ✓]
+    # non-bench window shapes with code UNCHANGED since their r13 row
+    # step down so the age-forced 27-block (25 r6 rows + the 2 oldest
+    # r7 rows, freshness_report --plan) can attest. Freshest rows in
+    # the registry — they queue at the very end of the retirement
+    # schedule (r17+).
+    "composite_pk_dedup",       # [r13 ✓] F2/J1 composite ⊂ incremental_watermark_load (bench)
+    "join_left_outer",          # [r13 ✓] outer-preserve ⊂ join surface family
+    "agg_distinct",             # [r13 ✓] A2 key-set ⊂ dedup_exact_docs (bench)
+    "rollup_status_priority",   # [r13 ✓] ROLLUP ⊂ grouping-sets family
+    "cube_returnflag_linestatus",  # [r13 ✓] CUBE ⊂ grouping-sets family
+    "limit_offset_pagination",  # [r13 ✓] L1 batching ⊂ keyset_pagination family
+    "scalar_string_functions",  # [r13 ✓] X6 surface ⊂ string scalar family
+    "doc_lang_id",              # [r13 ✓] n-gram lang-ID ⊂ doc_text_stats (bench)
+    "simhash_collision_groups", # [r13 ✓] simhash grouping ⊂ simhash/minhash family
+    "similarity_topk_ivf_pruned",  # [r13 ✓] partition-pruned IVF ⊂ similarity_topk_ivf (bench)
+    "multimodal_feature_extract",  # [r13 ✓] binary metadata extract ⊂ multimodal codec family
+    "similarity_topk_ivfpq",    # [r13 ✓] ADC scan ⊂ ivfpq_residual (bench)
+    "item_similarity_topk",     # [r13 ✓] explode-symmetrized cosine ⊂ similarity family (bench row)
+    "constraint_check_report",  # [r13 ✓] K4 PK invariants ⊂ fd/constraint family
+    "q9_product_profit",        # [r13 ✓] multi-dim profit join ⊂ q5 (bench) family
+    "q16_supplier_part_counts", # [r13 ✓] anti-join distinct ⊂ q22 family
+    "q17_small_quantity_revenue",  # [r13 ✓] correlated avg probe ⊂ q2/correlated family
+    "q11_important_parts",      # [r13 ✓] share-of-total HAVING ⊂ q15/q20 family
+    "q20_promo_part_suppliers", # [r13 ✓] nested IN chain ⊂ q21/q4 family
+    "ngram_novelty_scores",     # [r13 ✓] cross-corpus LM ⊂ ngram_cross_domain family
+    "doc_chunking_stats",       # [r13 ✓] chunk spans ⊂ sequence_packing (bench) family
+    "embedding_int8_quantize",  # [r13 ✓] int8 quantize ⊂ pq/quantize family
+    "winnow_containment_pairs", # [r13 ✓] winnow overlap ⊂ doc_winnow/minhash family
+    "training_mix_order",       # [r13 ✓] interleaved mix ⊂ mixture/epoch-plan family
+    "dv_delete_read_consistency",  # [r13 ✓] DV delete+read ⊂ versioned/DV family
+    "dv_chain_time_travel",     # [r13 ✓] DV chain resolve ⊂ versioned/DV family
+    "dv_compaction_equivalence",  # [r13 ✓] DV compaction ⊂ versioned/DV family
 ]
 
 _CHECK_WINDOW = 50
@@ -1411,6 +1416,21 @@ _CHECK_WINDOW = 50
 #: deletion-vector registrations are newcomers windowed immediately
 #: (never-attested, exempt by construction). The registry is 232 and
 #: frozen for good; steady state is pure oldest-first rotation.
+#: Round 14 addendum: the broadcast-hint census closure (VERDICT r13
+#: item 2 + ADVICE r13 medium) dropped every data-proportional
+#: F.broadcast hint repo-wide — 16 registered queries touched
+#: (dbscan_embedding_clusters, knn_label_agreement via
+#: knn_agreement_from_candidates, item_similarity_topk,
+#: bloom_prefilter_semi, pareto_revenue_coverage, and 11 TPC-H
+#: shapes: q7/q8/q9/q14/q15/q16/q17/q19/q20/q21/q2). PLAN-ONLY in
+#: every case (a hint never changes values; auto-broadcast keeps the
+#: identical physical plan at harness SF — test_plans.py 25/25
+#: unchanged), value identity re-verified against the DuckDB oracles
+#: at sf0.001/0.01/0.1 for all 16. The r8 clause-(a) boundary ruling
+#: applies verbatim: no re-window needed; each re-attests at its
+#: scheduled window return. tests/test_broadcast_census.py now pins
+#: the full adjudicated hint allowlist. REWINDOWED stays empty; the
+#: r14 window is the age-forced 27-block per freshness_report --plan.
 REWINDOWED: set[str] = set()
 
 

@@ -4298,8 +4298,10 @@ def knn_agreement_from_candidates(e: DataFrame, nn: DataFrame) -> DataFrame:
     )
     n_labels = e.select("vec_id", F.col("label").alias("n_label"))
     per_q = (
-        nn.join(F.broadcast(labels), "query_id")
-        .join(F.broadcast(n_labels), "vec_id")
+        # hint-free: labels/n_labels are full-corpus projections —
+        # data-proportional; stats/AQE decide (r14 hint-census rule)
+        nn.join(labels, "query_id")
+        .join(n_labels, "vec_id")
         .groupBy("query_id", "q_label")
         .agg(
             F.sum(
@@ -4406,9 +4408,13 @@ def dbscan_census_from_pairs(e: DataFrame, pairs: DataFrame) -> DataFrame:
         F.count("*").alias("d")
     )
     cores = deg.filter(F.col("d") >= 2).select("node").localCheckpoint()
+    # hint-free: `cores` is data-proportional on a general graph — an
+    # explicit broadcast would bypass Spark's size check and OOM at
+    # scale; stats/AQE pick broadcast while it is actually small
+    # (round-13 hint census rule, r14 closure of the deferred family).
     cce = pairs.join(
-        F.broadcast(cores.select(F.col("node").alias("id_a"))), "id_a"
-    ).join(F.broadcast(cores.select(F.col("node").alias("id_b"))), "id_b")
+        cores.select(F.col("node").alias("id_a")), "id_a"
+    ).join(cores.select(F.col("node").alias("id_b")), "id_b")
     labels = connected_components(cce)
     singletons = (
         cores.join(labels.select("node"), "node", "left_anti")
@@ -4416,7 +4422,7 @@ def dbscan_census_from_pairs(e: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     all_cores = labels.unionByName(singletons).localCheckpoint()
     border = (
-        und.join(F.broadcast(cores.select(F.col("node").alias("id_a"))),
+        und.join(cores.select(F.col("node").alias("id_a")),
                  "id_a", "left_anti")
         .join(
             all_cores.select(

@@ -148,7 +148,7 @@ def bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey"),
     )
     exact = probe.join(
-        F.broadcast(dim), probe.o_custkey == dim.c_custkey, "left_semi"
+        dim, probe.o_custkey == dim.c_custkey, "left_semi"
     ).count()
     agg = probe.agg(
         F.count("*").alias("n_probe"),
@@ -1200,7 +1200,7 @@ def pareto_revenue_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_suppkey", F.expr(_CENTS).alias("cents"))
         .groupBy("l_suppkey")
         .agg(F.sum("cents").alias("cents"))
-        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+        .join(sup.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -4302,9 +4302,10 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable-core threshold as the co-purchase graph family).
 
     100 TB: the quadratic per-basket pair fanout is the co-purchase
-    join (pruned by support before scoring); occurrence counts
-    broadcast; ranking is a per-item top-k window — the
-    classic offline item-CF batch shape.
+    join (pruned by support before scoring); occurrence counts join
+    hint-free (item-cardinality-proportional — stats/AQE broadcast
+    them only while actually small); ranking is a per-item top-k
+    window — the classic offline item-CF batch shape.
 
     r11: symmetrization is an EXPLODE of (p,q)/(q,p) structs from the
     aggregated pair frame, not a union of two selects over it — the
@@ -4351,8 +4352,10 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos2_ppm").desc(), F.col("q").asc()
     )
     return (
-        sym.join(F.broadcast(occ.toDF("p", "np")), "p")
-        .join(F.broadcast(occ.toDF("q", "nq")), "q")
+        # hint-free: occ is item-cardinality-proportional — an explicit
+        # hint would bypass the size check at 100 TB (r14 hint census)
+        sym.join(occ.toDF("p", "np"), "p")
+        .join(occ.toDF("q", "nq"), "q")
         .withColumn("cos2_ppm", score)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

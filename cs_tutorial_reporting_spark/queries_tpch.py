@@ -55,10 +55,13 @@ def _rev():
 def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation shipping volume by year. The two
     nation dims are filtered to the pair BEFORE touching the facts, so
-    supplier/customer shrink via broadcast joins and the disjunctive
-    pair predicate runs on two short string columns — the fact table
-    never carries rows outside the two nations. At 100 TB the only big
-    shuffle is lineitem⋈orders on orderkey."""
+    supplier/customer shrink through the hinted 2-row nation joins and
+    the disjunctive pair predicate runs on two short string columns —
+    the fact table never carries rows outside the two nations. The
+    nation-filtered supplier/customer sides join hint-free: they are
+    SF-proportional, so stats/AQE broadcast them only while actually
+    small. At 100 TB the only big shuffle is lineitem⋈orders on
+    orderkey."""
     pair = ("NATION_1", "NATION_2")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
     sup = (
@@ -74,7 +77,7 @@ def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     joined = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
@@ -147,7 +150,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("l_shipdate").cast("bigint").alias("o_year"),
             _rev().alias("volume"),
@@ -239,7 +242,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
     agg = joined.agg(
         F.round(F.sum(promo), 2).alias("promo_revenue"),
@@ -322,7 +325,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction keeps working over a broadcast hash join."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
     cond = (
         ((brand == "Brand#3") & size.between(1, 5) & qty.between(1, 11))
@@ -376,7 +379,7 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     return (
         solo.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(F.broadcast(s), F.col("the_supp") == F.col("s_suppkey"))
+        .join(s, F.col("the_supp") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("supp_nation"))
         .agg(F.count("*").alias("n_orders"))
@@ -535,8 +538,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     li = t(spark, sf_dir, "lineitem")
     joined = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     amount = _rev() - F.col("p_retailprice") * F.col("l_quantity") / 10
@@ -658,10 +661,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_suppkey").isNotNull())
     )
     kept = li.join(
-        F.broadcast(excluded),
+        excluded,
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_anti",
-    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(p, F.col("l_partkey") == F.col("p_partkey"))
     return kept.groupBy(
         "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
     ).agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
@@ -694,7 +697,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
     small = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(cut, F.col("l_partkey") == F.col("cut_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
     )
@@ -767,7 +770,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("__top"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -800,7 +803,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     heavy = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("__q"))
         .filter(F.col("__q") > 400)
@@ -878,8 +881,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("p_partkey").orderBy("cost_c", "s_name")
     ranked = (
-        cost.join(F.broadcast(eur), F.col("suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        cost.join(eur, F.col("suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("partkey") == F.col("p_partkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )

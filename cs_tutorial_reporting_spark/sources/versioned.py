@@ -369,7 +369,9 @@ def rollback(path: str, version: int) -> None:
     os.replace(tmp, os.path.join(path, _CURRENT))
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    path: str, keep_last: int = 2, *, detail: bool = False
+) -> list[int] | dict[str, list[int]]:
     """Drop snapshot dirs older than the last ``keep_last``, never the
     pointer's target — and never any version a RETAINED version's
     ``_base`` chain reaches: a delete version shares its base's data
@@ -402,7 +404,26 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     the bytes for manual recovery. An orphan-classified dir that a
     RETAINED version's chain still reaches is left untouched entirely
     (neither deleted nor renamed) — the retained reader's recovery
-    path is restoring the stripped marker in place."""
+    path is restoring the stripped marker in place.
+
+    A quarantined orphan-delete keeps its RECOVERY UNIT whole (ADVICE
+    r13): its ``_base`` marker is gone — that is what made it an
+    orphan — but the ``_dv`` parquet records the base snapshot's data
+    files by absolute path, so any removable data-bearing version
+    those positions index is quarantined alongside it instead of
+    rmtree'd. Without this, the same sweep that preserved the
+    positions could reclaim the base they point at, leaving the
+    quarantine unrecoverable. Caveat (documented, not solved): a
+    mid-chain delete version BETWEEN the orphan and its base is only
+    retained if something live still reaches it — recovery of a
+    long-chain orphan restores the newest surviving prefix of the
+    chain, not necessarily every intermediate DV.
+
+    Returns the versions swept out of the namespace (deleted +
+    quarantined together, sorted — the namespace view callers key
+    on). Pass ``detail=True`` for
+    ``{"deleted": [...], "quarantined": [...]}`` so operators can tell
+    reclaimed space from preserved bytes (ADVICE r13)."""
     import shutil
 
     cur = current_version(path)
@@ -430,23 +451,77 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     ]
     removable = [v for v in vs if v not in keep] + orphans
     removable.sort()
+    # BOTH orphan classes quarantine when they hold parquet bytes:
+    # an orphan-delete whose ``_dv`` parquet survived a copy tool
+    # that stripped only the ``_base`` marker file is a COMMITTED
+    # delete version in disguise — destroying its positions would
+    # silently resurrect deleted rows once the operator restores
+    # the markers (review r13 second batch). The probe walks the
+    # dir (listdir/walk, never glob: metacharacters in the table
+    # path must not defeat it — review r13). Non-orphan removable
+    # versions are superseded real snapshots: plain rmtree is the
+    # point of vacuum.
+    quarantine: set[int] = {
+        v
+        for v in removable
+        if _is_orphan(path, v) and _holds_parquet(_vdir(path, v))
+    }
+    # Keep each quarantined orphan-delete's recovery unit whole
+    # (ADVICE r13): the versions its positions index — recovered from
+    # the ``_dv`` payload's recorded file paths, the only pointer that
+    # survives the stripped marker — must not be rmtree'd by the same
+    # sweep that preserved the positions.
+    removable_set = set(removable)
+    for v in sorted(quarantine):
+        if _is_orphan_delete(path, v):
+            for ref in _dv_referenced_versions(_vdir(path, v)):
+                if ref in removable_set and _holds_parquet(
+                    _vdir(path, ref)
+                ):
+                    quarantine.add(ref)
+    deleted: list[int] = []
+    quarantined: list[int] = []
     for v in removable:
         vdir = _vdir(path, v)
-        # BOTH orphan classes quarantine when they hold parquet bytes:
-        # an orphan-delete whose ``_dv`` parquet survived a copy tool
-        # that stripped only the ``_base`` marker file is a COMMITTED
-        # delete version in disguise — destroying its positions would
-        # silently resurrect deleted rows once the operator restores
-        # the markers (review r13 second batch). The probe walks the
-        # dir (listdir/walk, never glob: metacharacters in the table
-        # path must not defeat it — review r13). Non-orphan removable
-        # versions are superseded real snapshots: plain rmtree is the
-        # point of vacuum.
-        if _is_orphan(path, v) and _holds_parquet(vdir):
+        if v in quarantine:
             os.replace(vdir, _quarantine_dest(vdir))
+            quarantined.append(v)
         else:
             shutil.rmtree(vdir)
+            deleted.append(v)
+    if detail:
+        return {"deleted": deleted, "quarantined": quarantined}
     return removable
+
+
+def _dv_referenced_versions(vdir: str) -> set[int]:
+    """Version numbers whose data files an orphan-delete's ``_dv``
+    positions index — parsed from the recorded absolute ``file_path``
+    strings (the ``_base`` marker is gone; the payload itself is the
+    only surviving pointer). Matches the anchored ``v{N:05d}`` path
+    segment :func:`_vdir` writes; over-matching (a table path that
+    itself contains such a segment) errs toward quarantine, the safe
+    direction. Unreadable payloads yield the empty set — positions
+    that cannot be read name nothing recoverable to keep whole."""
+    import re
+
+    refs: set[int] = set()
+    try:
+        import pyarrow.parquet as pq
+
+        for root, _dirs, files in os.walk(os.path.join(vdir, _DV)):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                col = pq.read_table(
+                    os.path.join(root, f), columns=["file_path"]
+                )
+                for s in col.column("file_path").to_pylist():
+                    for m in re.finditer(r"/v(\d{5})/", s or ""):
+                        refs.add(int(m.group(1)))
+    except Exception:
+        return set()
+    return refs
 
 
 def _holds_parquet(vdir: str) -> bool:

@@ -1049,19 +1049,47 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     # _base (the copy-tool scenario — only the marker file is lost,
     # the _dv parquet survives) must not destroy committed delete
     # positions; recovery = restoring the marker (review r13 second
-    # batch)
+    # batch). The recovery unit stays WHOLE (ADVICE r13): v2's
+    # positions index v1's data files, so the same sweep must
+    # quarantine v1 as well — rmtree-ing it would leave the preserved
+    # _dv pointing at reclaimed bytes. detail=True separates reclaimed
+    # space from preserved bytes.
     path8 = str(tmp_path / "tbl_dv_orphan")
     write_version(df, path8)  # v1
     delete_where(spark, path8, "grp = 3")  # v2, _base=1
     write_version(df, path8)  # v3 — pointer moves on, v2 reclaimable
     base_marker = os.path.join(path8, "v00002", "_base")
     os.remove(base_marker)  # v2 now classifies as orphan-delete
-    assert sorted(vacuum(path8, keep_last=1)) == [1, 2]
+    swept = vacuum(path8, keep_last=1, detail=True)
+    assert swept == {"deleted": [], "quarantined": [1, 2]}
     q8 = os.path.join(path8, "v00002.quarantined")
     assert os.path.isdir(os.path.join(q8, "_dv"))
     assert any(
         f.endswith(".parquet") for f in os.listdir(os.path.join(q8, "_dv"))
     )
+    q8_base = os.path.join(path8, "v00001.quarantined")
+    assert os.path.isdir(q8_base)  # the base the positions index
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(q8_base)
+    )
+    assert not os.path.isdir(os.path.join(path8, "v00001"))
+
+    # ...but a base the orphan-delete does NOT index is reclaimed
+    # normally in the same sweep (quarantine must not become "keep
+    # everything"): v1 here is superseded data the orphan never
+    # touched. The plain (detail-free) return stays the sorted union —
+    # the namespace view callers key on.
+    path8b = str(tmp_path / "tbl_dv_orphan_unrelated")
+    write_version(df, path8b)  # v1 — superseded, unreferenced
+    write_version(df, path8b)  # v2 — the base the delete indexes
+    delete_where(spark, path8b, "grp = 3")  # v3, _base=2
+    write_version(df, path8b)  # v4 — pointer moves on
+    os.remove(os.path.join(path8b, "v00003", "_base"))
+    assert sorted(vacuum(path8b, keep_last=1)) == [1, 2, 3]
+    assert not os.path.isdir(os.path.join(path8b, "v00001"))
+    assert not os.path.exists(os.path.join(path8b, "v00001.quarantined"))
+    assert os.path.isdir(os.path.join(path8b, "v00002.quarantined"))
+    assert os.path.isdir(os.path.join(path8b, "v00003.quarantined"))
 
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it

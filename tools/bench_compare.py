@@ -29,6 +29,52 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLAG_RATIO = 1.5
 
+#: Documented per-query comparison floors (seconds): rows whose anchor
+#: value was caught on an unrepresentatively FAST run and would
+#: phantom-flag every round against it. Each entry cites the evidence;
+#: the comparison base becomes max(best-ever, floor) for that row.
+#: semdedup_prune_report: r13 anchor caught 2.214 s, but the documented
+#: quiesced solo floor is 3.35-3.40 s (r9 note + r13 verdict best-of-3
+#: re-measure at 15-min load 0.50; BASELINE.md round-14 note) — the
+#: operator is memory-bandwidth-bound (the r12 Arrow-scorer class) and
+#: 2.2 s is a lucky-DRAM run, not the code's floor.
+FLOOR_OVERRIDES: dict[str, float] = {
+    "semdedup_prune_report": 3.35,
+}
+
+#: Anchor-epoch audit band (ADVICE r13): BENCH_ANCHOR_r7.json preserves
+#: the previous epoch's quiesced board so the r13 epoch-reset claim
+#: (same-HEAD host drift, documented 1.22-1.33x totals / 1.15x median
+#: per-query) stays machine-checkable. Per-query new/old anchor ratios
+#: outside this band are printed as epoch outliers — a genuine code
+#: regression absorbed into the new floor would show up here.
+EPOCH_BAND = (0.70, 1.65)
+
+
+def _epoch_audit() -> None:
+    old_p = os.path.join(REPO, "BENCH_ANCHOR_r7.json")
+    new_p = os.path.join(REPO, "BENCH_ANCHOR.json")
+    if not (os.path.exists(old_p) and os.path.exists(new_p)):
+        return
+    with open(old_p) as f:
+        old = json.load(f)
+    with open(new_p) as f:
+        new = json.load(f)
+    lo, hi = EPOCH_BAND
+    outliers = []
+    for q in sorted(set(old["queries"]) & set(new["queries"])):
+        if q in FLOOR_OVERRIDES:
+            continue  # already dispositioned by floor
+        r = new["queries"][q] / old["queries"][q] if old["queries"][q] else 0
+        if not lo <= r <= hi:
+            outliers.append((q, round(r, 2)))
+    if outliers:
+        print(
+            "EPOCH AUDIT: per-query anchor ratios outside the documented "
+            f"{lo}-{hi}x host-drift band (regressions absorbed into the "
+            f"epoch reset would appear here): {outliers}"
+        )
+
 
 def _load_old(path: str | None) -> dict:
     if path is not None:
@@ -104,7 +150,21 @@ GLOBAL_DRIFT_LIMIT = 2.0
 
 def main(new_path: str | None, old_path: str | None) -> int:
     old, new = _load_old(old_path), _load_new(new_path)
-    oq, nq = old["queries"], new["queries"]
+    oq, nq = dict(old["queries"]), new["queries"]
+    # documented floors replace unrepresentatively fast baseline rows
+    for q, floor in FLOOR_OVERRIDES.items():
+        if q in oq and oq[q] < floor:
+            print(f"floor override: {q} baseline {oq[q]}s -> {floor}s "
+                  "(documented quiesced solo floor, see FLOOR_OVERRIDES)")
+            oq[q] = floor
+    # the board's own host-conditions stamp (in-JSON since r14) — flags
+    # on a board whose 15-min load was >= 0.5 are contention suspects
+    stamp = new.get("load")
+    if stamp:
+        print(f"new-board host load stamp: 1m={stamp.get('load_1m')} "
+              f"15m={stamp.get('load_15m')} "
+              f"({'QUIESCED' if stamp.get('load_15m', 9) < 0.5 else 'WARM — treat flags as contention suspects'})")
+    _epoch_audit()
     # Median drift across the comparable board estimates the HOST's
     # speed delta vs the rounds that recorded the best-evers: per the
     # twice-observed bench-variance rule (BASELINE.md rounds 5-6,
