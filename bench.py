@@ -117,8 +117,11 @@ def main() -> None:
     # stderr stamp above is for humans watching live, but the driver
     # records only the JSON line, and a warm board (e.g. BENCH_r13,
     # 71.8 s with semdedup at 4.41 vs 3.35 solo) must be dispositionable
-    # from the artifact alone. (load_1m, load_15m) at bench END — the
-    # 15-min figure is the settle-protocol gate value (< 0.5 = quiesced).
+    # from the artifact alone. The settle-protocol gate value is the
+    # 15-min load at bench START (`la`, sampled above, before this
+    # process's own multi-core work pollutes the average — a quiesced
+    # start can read >= 0.5 at end purely from the bench itself, review
+    # r14); the end sample is kept as supporting context.
     payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -129,10 +132,14 @@ def main() -> None:
     try:
         la_end = os.getloadavg()
         payload["load"] = {
-            "load_1m": round(la_end[0], 2),
-            "load_15m": round(la_end[2], 2),
+            "load_1m": round(la[0], 2),
+            "load_15m": round(la[2], 2),
+            "load_1m_end": round(la_end[0], 2),
+            "load_15m_end": round(la_end[2], 2),
         }
-    except OSError:
+    except (OSError, NameError):
+        # NameError: the start-of-run getloadavg raised OSError, so
+        # `la` was never bound — no stamp either way
         pass
     print(json.dumps(payload))
 

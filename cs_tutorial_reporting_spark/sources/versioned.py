@@ -501,26 +501,33 @@ def _dv_referenced_versions(vdir: str) -> set[int]:
     only surviving pointer). Matches the anchored ``v{N:05d}`` path
     segment :func:`_vdir` writes; over-matching (a table path that
     itself contains such a segment) errs toward quarantine, the safe
-    direction. Unreadable payloads yield the empty set — positions
-    that cannot be read name nothing recoverable to keep whole."""
+    direction. Failures are PER FILE: a multi-part ``_dv`` whose copy
+    also truncated one part must not discard the refs already parsed
+    from the readable parts — that would rmtree the base those
+    positions index, exactly the state this function exists to
+    prevent (review r14). A fully unreadable payload yields the empty
+    set — positions that cannot be read name nothing recoverable."""
     import re
 
     refs: set[int] = set()
     try:
         import pyarrow.parquet as pq
-
-        for root, _dirs, files in os.walk(os.path.join(vdir, _DV)):
-            for f in files:
-                if not f.endswith(".parquet"):
-                    continue
+    except Exception:
+        return refs
+    for root, _dirs, files in os.walk(os.path.join(vdir, _DV)):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            try:
                 col = pq.read_table(
                     os.path.join(root, f), columns=["file_path"]
                 )
-                for s in col.column("file_path").to_pylist():
-                    for m in re.finditer(r"/v(\d{5})/", s or ""):
-                        refs.add(int(m.group(1)))
-    except Exception:
-        return set()
+                vals = col.column("file_path").to_pylist()
+            except Exception:
+                continue  # keep refs harvested from readable parts
+            for s in vals:
+                for m in re.finditer(r"/v(\d{5})/", s or ""):
+                    refs.add(int(m.group(1)))
     return refs
 
 

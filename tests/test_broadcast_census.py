@@ -180,8 +180,3 @@ def test_every_broadcast_hint_is_adjudicated():
         "stale ADJUDICATED row(s) — the hint was removed; delete the "
         f"allowlist entry too: {gone}"
     )
-
-
-def test_census_total_matches():
-    # belt-and-suspenders: the site total is part of the contract
-    assert sum(_census().values()) == sum(ADJUDICATED.values())

@@ -1091,6 +1091,23 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     assert os.path.isdir(os.path.join(path8b, "v00002.quarantined"))
     assert os.path.isdir(os.path.join(path8b, "v00003.quarantined"))
 
+    # _dv ref harvesting is PER FILE (review r14): a multi-part _dv
+    # whose copy also truncated one part must still preserve the base
+    # named by the READABLE parts — one corrupt file discarding all
+    # refs would rmtree the base and recreate the unrecoverable state.
+    path8c = str(tmp_path / "tbl_dv_orphan_corrupt_part")
+    write_version(df, path8c)  # v1 — the indexed base
+    delete_where(spark, path8c, "grp = 3")  # v2, _base=1
+    write_version(df, path8c)  # v3 — pointer moves on
+    os.remove(os.path.join(path8c, "v00002", "_base"))
+    dv_dir = os.path.join(path8c, "v00002", "_dv")
+    with open(os.path.join(dv_dir, "part-corrupt.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1 not really parquet")  # unreadable extra part
+    swept_c = vacuum(path8c, keep_last=1, detail=True)
+    assert swept_c == {"deleted": [], "quarantined": [1, 2]}
+    assert os.path.isdir(os.path.join(path8c, "v00001.quarantined"))
+    assert not os.path.isdir(os.path.join(path8c, "v00001"))
+
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it
     path2 = str(tmp_path / "tbl_meta")

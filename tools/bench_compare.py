@@ -190,8 +190,11 @@ def main(new_path: str | None, old_path: str | None) -> int:
         print(f"{name:<32} {o:>7.3f} {n:>7.3f} {ratio:>5.2f}x {rel:>6.2f}x{mark}")
         if rel > FLAG_RATIO and ratio > FLAG_RATIO:
             flagged.append(name)
-    print(f"\ntotal: old={old['value']}s new={new['value']}s "
-          f"({new['value'] / old['value']:.2f}x)")
+    # footer totals re-sum the (possibly floor-overridden) per-row
+    # baselines so the quoted ratio matches the table above it
+    old_total = round(sum(oq.values()), 3)
+    print(f"\ntotal: old={old_total}s new={new['value']}s "
+          f"({new['value'] / old_total:.2f}x)")
     if med > GLOBAL_DRIFT_LIMIT:
         print(
             f"GLOBAL SLOWDOWN: median drift {med:.2f}x > "
