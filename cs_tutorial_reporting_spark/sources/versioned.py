@@ -413,11 +413,16 @@ def vacuum(
     those positions index is quarantined alongside it instead of
     rmtree'd. Without this, the same sweep that preserved the
     positions could reclaim the base they point at, leaving the
-    quarantine unrecoverable. Caveat (documented, not solved): a
-    mid-chain delete version BETWEEN the orphan and its base is only
-    retained if something live still reaches it — recovery of a
-    long-chain orphan restores the newest surviving prefix of the
-    chain, not necessarily every intermediate DV.
+    quarantine unrecoverable. The unit also spans MID-CHAIN delete
+    versions (the r13 caveat, solved r14): DV payloads are
+    incremental — each ``_dv`` records only that version's new
+    deletes — so the orphan's view builds on every delete version
+    between it and the base its positions index. Any removable
+    delete version whose ``_base`` chain reaches a version the unit
+    preserves (a quarantined version, or a harvested ref that stayed
+    live) is quarantined with it; manual recovery (rename the unit
+    back, restore the stripped marker) then reproduces the
+    pre-vacuum view whole, not just its newest surviving prefix.
 
     Returns the versions swept out of the namespace (deleted +
     quarantined together, sorted — the namespace view callers key
@@ -472,13 +477,36 @@ def vacuum(
     # survives the stripped marker — must not be rmtree'd by the same
     # sweep that preserved the positions.
     removable_set = set(removable)
+    refs: set[int] = set()
     for v in sorted(quarantine):
         if _is_orphan_delete(path, v):
-            for ref in _dv_referenced_versions(_vdir(path, v)):
-                if ref in removable_set and _holds_parquet(
-                    _vdir(path, ref)
-                ):
-                    quarantine.add(ref)
+            refs |= _dv_referenced_versions(_vdir(path, v))
+    for ref in sorted(refs):
+        if ref in removable_set and _holds_parquet(_vdir(path, ref)):
+            quarantine.add(ref)
+    # ... and the unit's MID-CHAIN delete versions (r13 caveat, solved
+    # r14): DV payloads are incremental, so the orphan's view builds on
+    # every delete version between it and the base its positions index.
+    # The orphan's own ``_base`` is gone — chain topology around it is
+    # unrecoverable — so membership is decided from the SURVIVING side:
+    # a removable delete version whose chain reaches a version the unit
+    # preserves (quarantined, or a harvested ref that stayed live)
+    # shares the orphan's base and is quarantined with it. Over-matching
+    # errs toward quarantine, the safe direction. One membership pass
+    # suffices: chains are walked to their bottom, so any version
+    # reaching a newly-added member also reaches that member's own hit
+    # directly.
+    recovery = quarantine | refs
+    for w in removable:
+        if w in quarantine:
+            continue
+        node, seen = _base_of(path, w), {w}
+        while node is not None and node not in seen:
+            if node in recovery:
+                quarantine.add(w)
+                break
+            seen.add(node)
+            node = _base_of(path, node)
     deleted: list[int] = []
     quarantined: list[int] = []
     for v in removable:

