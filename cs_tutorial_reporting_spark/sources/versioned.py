@@ -404,7 +404,11 @@ def vacuum(
     the bytes for manual recovery. An orphan-classified dir that a
     RETAINED version's chain still reaches is left untouched entirely
     (neither deleted nor renamed) — the retained reader's recovery
-    path is restoring the stripped marker in place.
+    path is restoring the stripped marker in place. For a kept
+    orphan-DELETE that promise needs its unit intact below the strip
+    point, so the versions its ``_dv`` positions index — and the
+    unit's mid-chain delete versions — are retained in place with it
+    (review r14): marker restoration must have a base to land on.
 
     A quarantined orphan-delete keeps its RECOVERY UNIT whole (ADVICE
     r13): its ``_base`` marker is gone — that is what made it an
@@ -435,14 +439,53 @@ def vacuum(
     all_vs = _versions(path)
     vs = [v for v in all_vs if not _is_orphan(path, v)]
     newest = all_vs[-1] if all_vs else None
+    base_cache: dict[int, int | None] = {}
+
+    def _b(v: int) -> int | None:
+        # one marker read per version per sweep: the membership walks
+        # below re-visit the same chain once per version above it,
+        # O(n²) marker opens on a long chain without this (review r14)
+        if v not in base_cache:
+            base_cache[v] = _base_of(path, v)
+        return base_cache[v]
+
     keep: set[int] = set(vs[-keep_last:]) if keep_last else set()
     if cur is not None:
         keep.add(cur)
     for v in list(keep):
-        b = _base_of(path, v)
+        b = _b(v)
         while b is not None and b not in keep:
             keep.add(b)
-            b = _base_of(path, b)
+            b = _b(b)
+    # An IN-PLACE orphan-delete — one a retained version's marker
+    # chain reaches, the pointer's target, or the newest dir —
+    # promises IN-PLACE recovery: restore its stripped ``_base`` and
+    # the chain reads again. The keep-chain walk above stops at its
+    # missing marker, so the versions BELOW the strip point were
+    # previously neither kept nor quarantined and got rmtree'd,
+    # breaking that promise with retained data (review r14). Harvest
+    # its ``_dv`` refs the same way the quarantine side does: the
+    # base those positions index — and every surviving delete version
+    # whose own chain reaches it (the unit's mid-chain DVs; payloads
+    # are incremental) — stays IN PLACE, because renaming any of them
+    # would dangle the very marker-restoration the recovery promises.
+    protected = keep | {v for v in (cur, newest) if v is not None}
+    keep_refs: set[int] = set()
+    for v in sorted(protected):
+        if _is_orphan_delete(path, v):
+            keep_refs |= _dv_referenced_versions(_vdir(path, v))
+    if keep_refs:
+        keep |= {r for r in keep_refs if os.path.isdir(_vdir(path, r))}
+        for w in all_vs:
+            if w in keep:
+                continue
+            node, seen = _b(w), {w}
+            while node is not None and node not in seen:
+                if node in keep_refs:
+                    keep.add(w)
+                    break
+                seen.add(node)
+                node = _b(node)
     # keep is computed BEFORE the orphan list: a retained delete
     # version's ``_base`` chain can reach an orphan-CLASSIFIED base
     # (a complete snapshot whose ``_SUCCESS`` a copy tool stripped) —
@@ -500,13 +543,13 @@ def vacuum(
     for w in removable:
         if w in quarantine:
             continue
-        node, seen = _base_of(path, w), {w}
+        node, seen = _b(w), {w}
         while node is not None and node not in seen:
             if node in recovery:
                 quarantine.add(w)
                 break
             seen.add(node)
-            node = _base_of(path, node)
+            node = _b(node)
     deleted: list[int] = []
     quarantined: list[int] = []
     for v in removable:

@@ -1135,6 +1135,54 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
         f.write("2")  # restore the stripped marker
     assert read_version(spark, path8d, version=3).count() == expect
 
+    # The KEPT-orphan twin (review r14, reproduced data loss): when
+    # the stripped orphan-delete is itself RETAINED (a kept version's
+    # marker chain reaches it), the keep-chain walk stops at its
+    # missing _base, and the base below was previously neither kept
+    # nor quarantined — rmtree'd, breaking the documented in-place
+    # recovery (restore the marker) with retained data. Now the
+    # versions the kept orphan's _dv indexes stay IN PLACE (no
+    # rename: restoration must have a base to land on).
+    path8e = str(tmp_path / "tbl_dv_orphan_kept")
+    write_version(df, path8e)  # v1 — the indexed base
+    delete_where(spark, path8e, "grp = 3")  # v2, _base=1
+    delete_where(spark, path8e, "grp = 5")  # v3, _base=2
+    expect_e = read_version(spark, path8e, version=3).count()
+    write_version(df, path8e)  # v4 — pointer moves on
+    os.remove(os.path.join(path8e, "v00002", "_base"))  # strip MID
+    # keep_last=2 retains v3/v4; v3's chain reaches v2 (kept in
+    # place); v1 must survive in place for v3's recovery
+    assert vacuum(path8e, keep_last=2, detail=True) == {
+        "deleted": [],
+        "quarantined": [],
+    }
+    assert os.path.isdir(os.path.join(path8e, "v00001"))
+    with open(os.path.join(path8e, "v00002", "_base"), "w") as f:
+        f.write("1")  # in-place recovery: restore the marker
+    assert read_version(spark, path8e, version=3).count() == expect_e
+
+    # ... and the kept LONG-CHAIN variant: v5 (current) chains to a
+    # stripped v4; the mid-chain v2/v3 and base v1 below the strip
+    # point all stay in place, and marker restoration recovers the
+    # whole chain's view.
+    path8f = str(tmp_path / "tbl_dv_orphan_kept_chain")
+    write_version(df, path8f)  # v1
+    delete_where(spark, path8f, "grp = 3")  # v2
+    delete_where(spark, path8f, "grp = 5")  # v3
+    delete_where(spark, path8f, "grp = 7")  # v4 — will be stripped
+    delete_where(spark, path8f, "grp = 9")  # v5, _base=4
+    expect_f = read_version(spark, path8f, version=5).count()
+    os.remove(os.path.join(path8f, "v00004", "_base"))
+    assert vacuum(path8f, keep_last=1, detail=True) == {
+        "deleted": [],
+        "quarantined": [],
+    }
+    for v in (1, 2, 3):
+        assert os.path.isdir(os.path.join(path8f, f"v{v:05d}"))
+    with open(os.path.join(path8f, "v00004", "_base"), "w") as f:
+        f.write("3")
+    assert read_version(spark, path8f, version=5).count() == expect_f
+
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it
     path2 = str(tmp_path / "tbl_meta")
