@@ -449,6 +449,30 @@ def vacuum(
             base_cache[v] = _base_of(path, v)
         return base_cache[v]
 
+    refs_cache: dict[int, set[int]] = {}
+
+    def _refs(v: int) -> set[int]:
+        # one payload harvest per orphan-delete per sweep: the keep
+        # side, the unit-claim scan, and the quarantine side may all
+        # ask for the same version's refs
+        if v not in refs_cache:
+            refs_cache[v] = _dv_referenced_versions(_vdir(path, v))
+        return refs_cache[v]
+
+    def _chain_reaches(w: int, hits: set[int]) -> bool:
+        # shared by the keep-side and quarantine-side membership walks
+        # (review r14 second batch — one copy of the cycle-guarded
+        # termination logic): walk ``w``'s ``_base`` chain to the
+        # strip point / bottom / a cycle; True when any node below
+        # ``w`` is in ``hits``
+        node, seen = _b(w), {w}
+        while node is not None and node not in seen:
+            if node in hits:
+                return True
+            seen.add(node)
+            node = _b(node)
+        return False
+
     keep: set[int] = set(vs[-keep_last:]) if keep_last else set()
     if cur is not None:
         keep.add(cur)
@@ -473,19 +497,38 @@ def vacuum(
     keep_refs: set[int] = set()
     for v in sorted(protected):
         if _is_orphan_delete(path, v):
-            keep_refs |= _dv_referenced_versions(_vdir(path, v))
+            keep_refs |= _refs(v)
     if keep_refs:
-        keep |= {r for r in keep_refs if os.path.isdir(_vdir(path, r))}
-        for w in all_vs:
-            if w in keep:
+        for r in sorted(keep_refs):
+            # a harvested ref joins keep WITH its own ``_base`` chain
+            # (review r14 second batch): an over-matched ref can name
+            # a delete version, and keeping it without its base would
+            # leave a dangling marker in the namespace — the exact
+            # corruption vacuum's keep-chain rule exists to prevent
+            if not os.path.isdir(_vdir(path, r)):
                 continue
-            node, seen = _b(w), {w}
-            while node is not None and node not in seen:
-                if node in keep_refs:
-                    keep.add(w)
-                    break
-                seen.add(node)
-                node = _b(node)
+            keep.add(r)
+            b = _b(r)
+            while b is not None and b not in keep:
+                keep.add(b)
+                b = _b(b)
+        # a SECOND stripped marker mid-chain hides the unit's lower
+        # half from the membership walk — an orphan-delete whose own
+        # positions name a kept unit's base shares that base and
+        # stays in place with it (review r14 second batch: renaming
+        # it would dangle the in-place restoration one level up)
+        unit_hits = set(keep_refs)
+        for w in all_vs:
+            if (
+                w not in keep
+                and _is_orphan_delete(path, w)
+                and _refs(w) & keep_refs
+            ):
+                keep.add(w)
+                unit_hits.add(w)
+        for w in all_vs:
+            if w not in keep and _chain_reaches(w, unit_hits):
+                keep.add(w)
     # keep is computed BEFORE the orphan list: a retained delete
     # version's ``_base`` chain can reach an orphan-CLASSIFIED base
     # (a complete snapshot whose ``_SUCCESS`` a copy tool stripped) —
@@ -523,7 +566,7 @@ def vacuum(
     refs: set[int] = set()
     for v in sorted(quarantine):
         if _is_orphan_delete(path, v):
-            refs |= _dv_referenced_versions(_vdir(path, v))
+            refs |= _refs(v)
     for ref in sorted(refs):
         if ref in removable_set and _holds_parquet(_vdir(path, ref)):
             quarantine.add(ref)
@@ -541,15 +584,8 @@ def vacuum(
     # directly.
     recovery = quarantine | refs
     for w in removable:
-        if w in quarantine:
-            continue
-        node, seen = _b(w), {w}
-        while node is not None and node not in seen:
-            if node in recovery:
-                quarantine.add(w)
-                break
-            seen.add(node)
-            node = _b(node)
+        if w not in quarantine and _chain_reaches(w, recovery):
+            quarantine.add(w)
     deleted: list[int] = []
     quarantined: list[int] = []
     for v in removable:
@@ -577,11 +613,19 @@ def _dv_referenced_versions(vdir: str) -> set[int]:
     from the readable parts — that would rmtree the base those
     positions index, exactly the state this function exists to
     prevent (review r14). A fully unreadable payload yields the empty
-    set — positions that cannot be read name nothing recoverable."""
+    set — positions that cannot be read name nothing recoverable.
+
+    Streams ROW GROUP by row group and uniques the ``file_path``
+    column before touching Python (review r14 second batch): a
+    crashed 1%-delete on a 100 TB table leaves ~1e9 positions —
+    ``to_pylist`` over a whole file would hold GBs of path strings on
+    the maintenance process's heap, while the distinct paths number
+    only in the data-file thousands."""
     import re
 
     refs: set[int] = set()
     try:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
     except Exception:
         return refs
@@ -590,15 +634,21 @@ def _dv_referenced_versions(vdir: str) -> set[int]:
             if not f.endswith(".parquet"):
                 continue
             try:
-                col = pq.read_table(
-                    os.path.join(root, f), columns=["file_path"]
-                )
-                vals = col.column("file_path").to_pylist()
+                pf = pq.ParquetFile(os.path.join(root, f))
+                groups = range(pf.metadata.num_row_groups)
             except Exception:
                 continue  # keep refs harvested from readable parts
-            for s in vals:
-                for m in re.finditer(r"/v(\d{5})/", s or ""):
-                    refs.add(int(m.group(1)))
+            for g in groups:
+                try:
+                    col = pf.read_row_group(g, columns=["file_path"])
+                    vals = pc.unique(
+                        col.column("file_path").combine_chunks()
+                    ).to_pylist()
+                except Exception:
+                    continue  # per row group, same rationale as per file
+                for s in vals:
+                    for m in re.finditer(r"/v(\d{5})/", s or ""):
+                        refs.add(int(m.group(1)))
     return refs
 
 

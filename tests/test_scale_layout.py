@@ -1183,6 +1183,54 @@ def test_deletion_vector_orphan_and_reserved_column_guards(spark, tmp_path):
         f.write("3")
     assert read_version(spark, path8f, version=5).count() == expect_f
 
+    # the NEWEST-dir route into the harvest (review r14 second
+    # batch): an un-kept orphan-delete that survives only as the
+    # maybe-in-flight newest dir still protects the versions its
+    # positions index — they stay in place even when retention alone
+    # would reclaim them.
+    path8g = str(tmp_path / "tbl_dv_orphan_newest")
+    write_version(df, path8g)  # v1 — the indexed base
+    delete_where(spark, path8g, "grp = 3")  # v2, _base=1
+    write_version(df, path8g)  # v3 — new base, pointer here
+    orphan_g = os.path.join(path8g, "v00004")
+    os.makedirs(orphan_g)  # crash sim: _dv landed, _base did not
+    shutil.copytree(
+        os.path.join(path8g, "v00002", "_dv"),
+        os.path.join(orphan_g, "_dv"),
+    )
+    assert vacuum(path8g, keep_last=1, detail=True) == {
+        "deleted": [],
+        "quarantined": [],
+    }
+    assert os.path.isdir(os.path.join(path8g, "v00001"))
+    assert os.path.isdir(os.path.join(path8g, "v00002"))
+
+    # DOUBLE-STRIP kept chain (review r14 second batch): two stripped
+    # markers in one retained chain — the membership walk stops at
+    # the second strip point, so the orphan BELOW it is claimed by
+    # its own positions naming the kept unit's base, and everything
+    # stays in place for a two-marker in-place recovery.
+    path8h = str(tmp_path / "tbl_dv_double_strip")
+    write_version(df, path8h)  # v1
+    delete_where(spark, path8h, "grp = 3")  # v2 — will be stripped
+    delete_where(spark, path8h, "grp = 5")  # v3
+    delete_where(spark, path8h, "grp = 7")  # v4 — will be stripped
+    delete_where(spark, path8h, "grp = 9")  # v5 (current)
+    expect_h = read_version(spark, path8h, version=5).count()
+    os.remove(os.path.join(path8h, "v00004", "_base"))
+    os.remove(os.path.join(path8h, "v00002", "_base"))
+    assert vacuum(path8h, keep_last=1, detail=True) == {
+        "deleted": [],
+        "quarantined": [],
+    }
+    for v in (1, 2, 3):
+        assert os.path.isdir(os.path.join(path8h, f"v{v:05d}"))
+    with open(os.path.join(path8h, "v00004", "_base"), "w") as f:
+        f.write("3")
+    with open(os.path.join(path8h, "v00002", "_base"), "w") as f:
+        f.write("1")
+    assert read_version(spark, path8h, version=5).count() == expect_h
+
     # reserved-column guard: a user _metadata column is rejected before
     # any positional join can mis-resolve against it
     path2 = str(tmp_path / "tbl_meta")
