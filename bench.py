@@ -36,6 +36,19 @@ def main() -> None:
         )
     except OSError:
         pass
+
+    def _steal_jiffies():
+        # hypervisor steal accrues invisibly to loadavg (r14: a
+        # QUIESCED-stamped board read 1.26x lock-step during a
+        # neighbor burst — BASELINE.md round-14 note); stamp the
+        # run's delta so such boards are adjudicable from the JSON
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, ValueError, IndexError):
+            return None
+
+    steal0 = _steal_jiffies()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cs_tutorial_reporting_spark.queries import QUERIES
     from cs_tutorial_reporting_spark.session import get_spark
@@ -137,6 +150,9 @@ def main() -> None:
             "load_1m_end": round(la_end[0], 2),
             "load_15m_end": round(la_end[2], 2),
         }
+        steal1 = _steal_jiffies()
+        if steal0 is not None and steal1 is not None:
+            payload["load"]["steal_jiffies"] = steal1 - steal0
     except (OSError, NameError):
         # NameError: the start-of-run getloadavg raised OSError, so
         # `la` was never bound — no stamp either way

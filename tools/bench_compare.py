@@ -161,9 +161,11 @@ def main(new_path: str | None, old_path: str | None) -> int:
     # on a board whose 15-min load was >= 0.5 are contention suspects
     stamp = new.get("load")
     if stamp:
+        steal = stamp.get("steal_jiffies")
         print(f"new-board host load stamp: 1m={stamp.get('load_1m')} "
-              f"15m={stamp.get('load_15m')} "
-              f"({'QUIESCED' if stamp.get('load_15m', 9) < 0.5 else 'WARM — treat flags as contention suspects'})")
+              f"15m={stamp.get('load_15m')}"
+              + (f" steal={steal}j" if steal is not None else "") +
+              f" ({'QUIESCED' if stamp.get('load_15m', 9) < 0.5 else 'WARM — treat flags as contention suspects'})")
     _epoch_audit()
     # Median drift across the comparable board estimates the HOST's
     # speed delta vs the rounds that recorded the best-evers: per the
@@ -178,6 +180,15 @@ def main(new_path: str | None, old_path: str | None) -> int:
     med = ratios[len(ratios) // 2] if ratios else 1.0
     flagged = []
     print(f"host drift (median ratio over {len(ratios)} queries): {med:.2f}x")
+    if med >= 1.2:
+        print(
+            f"MEDIAN DRIFT {med:.2f}x LOCK-STEP: host artifact suspected "
+            "REGARDLESS of the load stamp (r14: a QUIESCED-stamped board "
+            "read 1.26x median during a hypervisor-neighbor burst — guest "
+            "steal time is invisible to loadavg; BASELINE.md round-14 "
+            "note). Disposition any flags below by solo best-of-4 "
+            "reproduction; do not chase rows."
+        )
     print(f"{'query':<32} {'old':>7} {'new':>7} {'ratio':>6} {'vs-board':>8}")
     for name in sorted(set(oq) | set(nq)):
         o, n = oq.get(name), nq.get(name)
