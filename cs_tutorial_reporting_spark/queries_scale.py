@@ -3028,6 +3028,28 @@ def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _copurchase_pair_counts(li_raw: DataFrame) -> DataFrame:
+    """(pa, pb, c) with pa < pb: distinct part pairs per order across
+    orders — the shared co-purchase support frame (distinct + okey
+    self-join + pair groupBy). r14 optimization note: a collect_set
+    basket form (posexplode+slice pair expansion, one exchange fewer)
+    was measured SLOWER at sf0.1 on the isolated builder with a noop
+    sink — 1.44–1.49 s vs 1.26–1.41 s best-of-4 warm, three
+    interleaved reps — because the ObjectHashAggregate(collect_set) +
+    the anti-coalescing repartition cost more than the saved exchange
+    at this row width; the self-join form stays (guide §1.1: the
+    "ideal" plan lost to the gotcha, empirical loop wins).
+    """
+    li = li_raw.distinct()
+    return (
+        li.toDF("okey", "pa")
+        .join(li.toDF("okey", "pb"), "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 @register(
     "triangle_count_copurchase",
     oracle="""
@@ -3089,20 +3111,11 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub that would emit deg² wedges emits ~0 because every hub edge
     points INTO it. All joins are node-keyed equi-joins.
     """
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.toDF("okey", "pa")
-    b = li.toDF("okey", "pb")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = (
-        a.join(b, "okey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .drop("sup")
+        _copurchase_pair_counts(li)
+        .filter(F.col("c") >= 2)
+        .drop("c")
         .localCheckpoint()  # deg + orientation + closure join share it
     )
     deg = (
@@ -3354,19 +3367,8 @@ def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed unroll: distance-bounded BFS is the production shape
     (frontier iteration to fixpoint adds a driver loop, same joins).
     """
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e0 = (
-        li.toDF("okey", "pa")
-        .join(li.toDF("okey", "pb"), "okey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = _copurchase_pair_counts(li).filter(F.col("c") >= 2).drop("c")
     sym = (
         e0.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .unionByName(e0.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
@@ -3464,26 +3466,26 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     round keeps the unrolled lineage O(1). Production iterates the
     same joins under a driver loop to fixpoint; the flag certifies
     the fixed unroll reached it.
+
+    r14 (optimization): the peel loop exits EARLY once the edge count
+    is unchanged over a round: peeling only removes edges, so
+    count-equal ⇒ set-equal ⇒ every later round is the identity and
+    the 14-round unroll's answer (counts AND the converged flag) is
+    reproduced exactly — the per-round counts ride free on the
+    just-checkpointed blocks, and at sf0.1 the fixpoint lands in a few
+    rounds, saving ~10 localCheckpoint jobs of pure per-job overhead
+    (guide §1.2: remove passes). Tri-SF oracle identity re-verified
+    against the unchanged 14-round unrolled oracle.
     """
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e0 = (
-        li.toDF("okey", "pa")
-        .join(li.toDF("okey", "pb"), "okey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = _copurchase_pair_counts(li).filter(F.col("c") >= 2).drop("c")
     edges = (
         e0.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .unionByName(e0.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
         .localCheckpoint()
     )
     prev = None
+    n_prev_count = edges.count()
     for _ in range(_KCORE_ROUNDS):
         keep = (
             edges.groupBy("u")
@@ -3498,6 +3500,10 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint()  # bound unrolled lineage per round
         )
+        n_cur_count = edges.count()
+        if n_cur_count == n_prev_count:
+            break  # fixpoint: rounds up to _KCORE_ROUNDS are identity
+        n_prev_count = n_cur_count
     core_nodes = edges.agg(
         F.count_distinct("u").alias("n_core_nodes")
     )
@@ -4212,20 +4218,8 @@ _COPURCHASE_EDGES_SQL = """
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    return (
-        li.toDF("okey", "pa")
-        .join(li.toDF("okey", "pb"), "okey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .drop("sup")
-    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return _copurchase_pair_counts(li).filter(F.col("c") >= 2).drop("c")
 
 
 @register("lpa_communities_copurchase", oracle=None)
@@ -4319,6 +4313,12 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unflagged entrants in the same change so its timing is
     regression-visible every interim round, and the union-form twin
     pytest re-checks values in every gate.
+
+    r14 (optimization round): a collect_set basket form (occ + cooc
+    off one basket frame) was tried and measured SLOWER (2.46–2.51 s
+    vs 1.66–1.68 s warm A/B at sf0.1) — the ObjectHashAggregate
+    basket build loses to the distinct+SMJ shape here; reverted, see
+    _copurchase_pair_counts.
     """
     from pyspark.sql import Window
 
@@ -4733,6 +4733,19 @@ def theilsen_slope_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume — the standard Theil-Sen deployment shape. A multi-year
     span would switch to the sampled estimator (random pair subset)
     on the same dataflow.
+
+    r14 (optimization): the pair expansion is the sanctioned
+    posexplode+slice combination over each type's sorted (x, y) hour
+    array — one linear plan where the old shape paid a localCheckpoint
+    job, a self SortMergeJoin (equi-keyed on the ~5-value event_type,
+    so the `<` filter evaluated h² pairs to keep h²/2), a second
+    n_hours aggregate, and a final join. array_sort on the structs
+    orders by x (unique per type), so slice pairs have x_a < x_b by
+    construction and the slope multiset is IDENTICAL — measured 4.5 s
+    → ~1.3 s at sf0.1 (guide §2.4: remove shuffles outright; the two
+    groupBys share one hash partitioning, so the expansion and the
+    median agg add no exchange). Parallelism stays type-bounded (≤ 5
+    concurrent pair tasks) exactly like the old 5-key join.
     """
     ev = t(spark, sf_dir, "events")
     hourly = (
@@ -4746,33 +4759,47 @@ def theilsen_slope_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "x")
         .agg(F.sum("v").cast("bigint").alias("y"))
-        .localCheckpoint()  # pair self-join + per-type count share it
     )
-    a, b = hourly.alias("a"), hourly.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.x") < F.col("b.x")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        F.expr(
-            "CAST((b.y - a.y) * CAST(1000000 AS BIGINT) AS BIGINT)"
-            " div (b.x - a.x)"
-        ).alias("slope_e6"),
+    packed = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("x", "y"))).alias("__hs")
+    # keyed repartition BEFORE the explode (round-8 AQE gotcha): the
+    # packed frame is #types rows, so AQE coalesces its agg shuffle to
+    # ONE partition and the whole h²/2 pair fanout would run on one
+    # core; the partition count must differ from
+    # spark.sql.shuffle.partitions or CollapseRepartition removes it.
+    ).repartition(8, "event_type")
+    pairs = (
+        packed.select(
+            "event_type",
+            F.size("__hs").cast("bigint").alias("n_hours"),
+            "__hs",
+            F.posexplode("__hs").alias("__i", "__a"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "__a",
+            F.explode(
+                F.slice("__hs", F.col("__i") + F.lit(2), F.size("__hs"))
+            ).alias("__b"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.expr(
+                "CAST((__b.y - __a.y) * CAST(1000000 AS BIGINT) AS BIGINT)"
+                " div (__b.x - __a.x)"
+            ).alias("slope_e6"),
+        )
     )
-    n_hours = hourly.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_hours")
-    )
-    med = pairs.groupBy("event_type").agg(
+    return pairs.groupBy("event_type").agg(
+        F.max("n_hours").alias("n_hours"),
         F.count("*").cast("bigint").alias("n_pairs"),
         F.expr(
             "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_e6)"
             " AS BIGINT)"
         ).alias("theilsen_slope_e6"),
-    )
-    return n_hours.join(med, "event_type").select(
-        "event_type", "n_hours", "n_pairs", "theilsen_slope_e6"
-    )
+    ).select("event_type", "n_hours", "n_pairs", "theilsen_slope_e6")
 
 
 @register(
