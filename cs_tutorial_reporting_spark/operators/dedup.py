@@ -1222,7 +1222,18 @@ def prefix_filter_pairs(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), shingle_n).alias("s"),
     )
-    toks = sets.select("doc_id", F.explode("s").alias("tok"))
+    # Materialize the token posting frame ONCE (r14, guide §2.4 +
+    # round-10 minhash lesson): both the frequency agg and the docw
+    # rank join consume it, and because the vocabulary side broadcasts
+    # there is no exchange to shield the reuse — without the cut the
+    # shingle HOF + explode (the corpus-scan cost) evaluates twice
+    # (measured: 2 documents scans → 1; ~0.5 s off the benched query
+    # at sf0.1). Eager localCheckpoint, not persist: blocks are
+    # GC-reclaimed (minhash_lsh_pairs note), and eagerness closes the
+    # round-4 HOF re-evaluation window.
+    toks = sets.select("doc_id", F.explode("s").alias("tok")).localCheckpoint(
+        eager=True
+    )
     freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
     # vocabulary-sized global sort (single-partition window is fine at
     # vocab scale; corpus-sublinear)
