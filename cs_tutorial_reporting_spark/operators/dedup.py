@@ -439,10 +439,19 @@ def minhash_lsh_pairs_incremental(
 
     Same signature/band/cap/verify contract as ``minhash_lsh_pairs``
     (identical hashes, identical max_bucket guard), but pair
-    generation is a new-side × index band JOIN rather than in-bucket
-    combination, so the quadratic term is |new| × bucket, never
-    |corpus| × bucket. Returns (id_a, id_b, jaccard), id_a < id_b,
-    distinct, each pair containing ≥1 new doc.
+    expansion is anchored on the NEW side — each bucket expands only
+    (new doc) × (bucket member) combinations — so the quadratic term
+    is |new| × bucket, never |corpus| × bucket. Returns
+    (id_a, id_b, jaccard), id_a < id_b, distinct, each pair
+    containing ≥1 new doc.
+
+    r14 shape (guide §2.4): one band shuffle with in-bucket expansion
+    — the sorted id array plus its new-id subset are collected per
+    band and new-anchored pairs expand in-row, exactly like the full
+    path's posexplode+slice form. The previous join form (new-side ×
+    index equi-join on __band) spent two extra joins (recovering the
+    __new flag; re-attaching the ≤max_bucket filter) and an extra
+    eager-checkpoint job barrier for the same pair set.
 
     100 TB: the corpus side's (id, band) rows and shingle sets are
     exactly what a persisted dedup index stores — in production they
@@ -465,21 +474,27 @@ def minhash_lsh_pairs_incremental(
         shingle_n,
         extra_cols={"__new": new_col},
     )
-    bands = bands.join(sh_df.select("__id", "__new"), "__id")
-    ok = (
+    # One band shuffle; the ≤max_bucket cap counts EVERY bucket member
+    # (old and new — identical to the former count-then-join form), and
+    # collect_list skips the nulls of the when(), so __new_ids is the
+    # bucket's new-doc subset.
+    buckets = (
         bands.groupBy("__band")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") <= max_bucket)
-        .select("__band")
-    )
-    idx = bands.join(ok, "__band").localCheckpoint(eager=True)
-    new_side = idx.filter(F.col("__new")).select(
-        "__band", F.col("__id").alias("__id_n")
+        .agg(
+            F.array_sort(F.collect_list("__id")).alias("__ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("__new"), F.col("__id")))
+            ).alias("__new_ids"),
+        )
+        .filter(
+            (F.size("__ids") <= max_bucket) & (F.size("__new_ids") >= 1)
+        )
     )
     cand = (
-        new_side.join(
-            idx.select("__band", F.col("__id").alias("__id_o")), "__band"
+        buckets.select(
+            F.explode("__new_ids").alias("__id_n"), F.col("__ids")
         )
+        .select("__id_n", F.explode("__ids").alias("__id_o"))
         .filter(F.col("__id_n") != F.col("__id_o"))
         .select(
             F.least("__id_n", "__id_o").alias("id_a"),
@@ -1438,8 +1453,15 @@ def _shingle_band_frames(
     IDENTICAL to minhash_lsh_pairs / minhash_lsh_pairs_incremental
     (salted md5-prefix min over exploded shingles; plain expressions,
     no higher-order lambdas — the round-4 hazard class), so an index
-    built here is probe-compatible with the full-recompute paths."""
+    built here is probe-compatible with the full-recompute paths.
+
+    ``extra_cols`` ride on ``sh_df`` AND on ``bands`` (r14: threaded
+    through the signature aggregate as extra group keys — each is
+    functionally dependent on ``__id``, so the grouping cardinality
+    and the signature values are unchanged; previously consumers had
+    to join ``bands`` back to ``sh_df`` to recover them)."""
     n_bands = num_hashes // band_size
+    extras = list((extra_cols or {}).keys())
     carried = [
         F.col(srccol).alias(alias)
         for alias, srccol in (extra_cols or {}).items()
@@ -1454,12 +1476,13 @@ def _shingle_band_frames(
         for j in range(num_hashes)
     ]
     mh = (
-        sh_df.select("__id", F.explode("__sh").alias("__s"))
-        .groupBy("__id")
+        sh_df.select("__id", *extras, F.explode("__sh").alias("__s"))
+        .groupBy("__id", *extras)
         .agg(*salted_mins)
     )
     bands = mh.select(
         "__id",
+        *extras,
         F.explode(
             F.array(
                 *[

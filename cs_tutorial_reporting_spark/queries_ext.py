@@ -3467,9 +3467,9 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc_id % 10 = 0 play the fresh crawl) against the full corpus
     — intra-corpus pairs are excluded because earlier runs already
     found them. Same hashes/bands/cap/threshold as the benched
-    minhash_lsh_dedup_pairs; pair generation is the new-side × band-
-    index JOIN (operators/dedup.py::minhash_lsh_pairs_incremental), so
-    the per-run quadratic term is |new| × bucket. The oracle is the
+    minhash_lsh_dedup_pairs; pair expansion is new-anchored in-bucket
+    (operators/dedup.py::minhash_lsh_pairs_incremental), so the
+    per-run quadratic term is |new| × bucket. The oracle is the
     full-corpus pair oracle restricted to pairs touching the batch —
     pinning that the incremental path finds EXACTLY the pairs a full
     re-run would attribute to these docs, no more, no fewer.
@@ -4446,12 +4446,32 @@ def dbscan_census_from_pairs(e: DataFrame, pairs: DataFrame) -> DataFrame:
             F.coalesce("n_core", F.lit(0)).cast("bigint").alias("n_core"),
             F.coalesce("n_border", F.lit(0)).cast("bigint").alias("n_border"),
         )
+        # consumed twice below (census rows + the noise remainder agg);
+        # the checkpoint also turns what were THREE separate driver
+        # jobs (n_total collect, all_cores.count, border.count — r14
+        # optimization, guide §1.2/§5) into plan-side aggregates: the
+        # assigned totals are Σ n_core / Σ n_border of this tiny frame,
+        # so the noise row now rides in the final collect instead of
+        # re-running the border anti-join pipeline a second time.
+        .localCheckpoint(eager=True)
     )
-    n_total = e.agg(F.count("*").alias("n")).collect()[0][0]  # bounded scalar
-    n_assigned = all_cores.count() + border.count()
-    noise = spark.createDataFrame(
-        [(-1, 0, int(n_total - n_assigned))],
-        "cluster_id bigint, n_core bigint, n_border bigint",
+    n_total = e.agg(F.count("*").alias("__nt"))
+    noise = (
+        merged.agg(
+            F.sum("n_core").alias("__a"), F.sum("n_border").alias("__b")
+        )
+        .crossJoin(n_total)
+        .select(
+            F.lit(-1).cast("bigint").alias("cluster_id"),
+            F.lit(0).cast("bigint").alias("n_core"),
+            (
+                F.col("__nt")
+                - F.coalesce(F.col("__a"), F.lit(0))
+                - F.coalesce(F.col("__b"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_border"),
+        )
     )
     return merged.unionByName(noise)
 

@@ -72,6 +72,9 @@ ALLOWED_BNLJ: dict[str, int] = {
     "kmv_jaccard_sources": 4,  # source<source sketch pairs (#sources rows)
     "bloom_prefilter_semi": 1,  # 1-row dim-count aggregate (r14: the
     # former dim.count() driver action folded into the result plan)
+    "dbscan_embedding_clusters": 1,  # 1-row assigned-totals × 1-row
+    # n_total cross (r14: the former three driver count jobs folded
+    # into the noise-row plan; both sides single-row aggregates)
     "triangle_count_copurchase": 3,  # 1-row support-threshold counts
     "hll_intersection_overlap": 2,  # type<type register tables (64×#types)
     "bfs_levels_copurchase": 1,  # 1-row node count
