@@ -23,6 +23,8 @@ cap (``max_bucket``) guards the pathological all-identical case.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 import pandas as pd
 
@@ -1590,21 +1592,48 @@ def _write_index_tables(
                 "part of the frozen index contract"
             )
     if buckets is None:
-        sh_df.write.mode(mode).parquet(f"{path}/shingles")
-        bands.select("__band", "__id").write.mode(mode).parquet(
-            f"{path}/bands"
-        )
-        counts.write.mode(mode).parquet(f"{path}/band_counts")
-        return
-    sh_df.withColumn("__sp", _id_bucket(F.col("__id"), buckets)).write.mode(
-        mode
-    ).partitionBy("__sp").parquet(f"{path}/shingles")
-    bands.select(
-        "__band", "__id", _band_bucket(F.col("__band"), buckets).alias("__bp")
-    ).write.mode(mode).partitionBy("__bp").parquet(f"{path}/bands")
-    counts.withColumn(
-        "__bp", _band_bucket(F.col("__band"), buckets)
-    ).write.mode(mode).partitionBy("__bp").parquet(f"{path}/band_counts")
+        writes = [
+            (sh_df, f"{path}/shingles", None),
+            (bands.select("__band", "__id"), f"{path}/bands", None),
+            (counts, f"{path}/band_counts", None),
+        ]
+    else:
+        writes = [
+            (
+                sh_df.withColumn("__sp", _id_bucket(F.col("__id"), buckets)),
+                f"{path}/shingles",
+                "__sp",
+            ),
+            (
+                bands.select(
+                    "__band",
+                    "__id",
+                    _band_bucket(F.col("__band"), buckets).alias("__bp"),
+                ),
+                f"{path}/bands",
+                "__bp",
+            ),
+            (
+                counts.withColumn(
+                    "__bp", _band_bucket(F.col("__band"), buckets)
+                ),
+                f"{path}/band_counts",
+                "__bp",
+            ),
+        ]
+
+    def _write(df: DataFrame, dest: str, part_col: str | None) -> None:
+        w = df.write.mode(mode)
+        if part_col is not None:
+            w = w.partitionBy(part_col)
+        w.parquet(dest)
+
+    # the three tables are independent (bands is checkpointed upstream),
+    # so overlap the jobs: each alone underfills the executor at index
+    # scale, and the scheduler interleaves their tasks
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(_write, *w) for w in writes]:
+            fut.result()
 
 
 def write_band_index(

@@ -38,22 +38,39 @@ def grouped_exact_percentiles(
     group_col: str,
     value: Column,
     percentiles: dict[str, float],
+    stddev: str | None = None,
 ) -> DataFrame:
     """One row per group with a column per entry of ``percentiles``
     (name → p in [0, 1]). ``value`` should be integer-typed (cast/scale
-    first — e.g. cents) so cross-engine interpolation is exact."""
+    first — e.g. cents) so cross-engine interpolation is exact.
+
+    ``stddev`` (optional column name) adds the sample stddev of
+    ``value`` computed FROM THE HISTOGRAM — the consumer's separate
+    stddev scan/shuffle/join folds into this operator's single
+    pipeline. Two-pass weighted form (mean via the same per-group
+    window, then Σ cnt·(v−mean)²) — numerically stable, no
+    catastrophic s2−s1²/n cancellation, and the aggregation state
+    stays O(distinct values) like the rank walk."""
     hist = df.groupBy(F.col(group_col), value.alias("__v")).agg(
         F.count("*").alias("__cnt")
     )
     w_run = Window.partitionBy(group_col).orderBy("__v")
     w_all = Window.partitionBy(group_col)
-    ann = hist.select(
-        group_col,
-        "__v",
-        "__cnt",
+    cols = [
+        F.col(group_col),
+        F.col("__v"),
+        F.col("__cnt"),
         F.sum("__cnt").over(w_run).alias("__cum"),  # values ≤ __v
         F.sum("__cnt").over(w_all).alias("__n"),
-    )
+    ]
+    if stddev is not None:
+        cols.append(
+            (
+                F.sum(F.col("__cnt") * F.col("__v")).over(w_all)
+                / F.sum("__cnt").over(w_all)
+            ).alias("__mean")
+        )
+    ann = hist.select(*cols)
     # a histogram row covers sorted 0-based indices [cum−cnt, cum−1]
     first_idx = F.col("__cum") - F.col("__cnt")
     last_idx = F.col("__cum") - 1
@@ -70,5 +87,15 @@ def grouped_exact_percentiles(
             F.when(frac == 0, v_lo.cast("double"))
             .otherwise(v_lo + (v_hi - v_lo) * frac)
             .alias(name)
+        )
+    if stddev is not None:
+        n = F.max("__n")
+        m2 = F.sum(
+            F.col("__cnt")
+            * (F.col("__v") - F.col("__mean"))
+            * (F.col("__v") - F.col("__mean"))
+        )
+        aggs.append(
+            F.when(n > 1, F.sqrt(m2 / (n - F.lit(1)))).alias(stddev)
         )
     return ann.groupBy(group_col).agg(*aggs)

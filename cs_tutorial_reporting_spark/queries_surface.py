@@ -44,23 +44,29 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines produce bit-identical midpoints — interpolating raw
     doubles can land a half-cent boundary on differently-associated
     floats and flip round(·, 2) (seen at sf0.001). The answer (and the
-    oracle) is unchanged from the single-pass ``F.percentile`` form."""
+    oracle) is unchanged from the single-pass ``F.percentile`` form.
+
+    r14: the sample stddev folds into the same histogram — the separate
+    stddev_samp leg cost a SECOND full lineitem scan + broadcast join;
+    sd over exact integer cents /100 ≡ sd over prices (stddev is
+    scale-equivariant and the cents are exact integers)."""
     from .operators.percentile import grouped_exact_percentiles
 
     li = t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     qs = grouped_exact_percentiles(
-        li, "l_returnflag", cents, {"__p25": 0.25, "__p50": 0.5, "__p75": 0.75}
+        li,
+        "l_returnflag",
+        cents,
+        {"__p25": 0.25, "__p50": 0.5, "__p75": 0.75},
+        stddev="__sd_c",
     )
-    sd = li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_extendedprice").alias("__sd")
-    )
-    return qs.join(F.broadcast(sd), "l_returnflag").select(
+    return qs.select(
         "l_returnflag",
         F.round(F.col("__p25") / 100, 2).alias("p25"),
         F.round(F.col("__p50") / 100, 2).alias("p50"),
         F.round(F.col("__p75") / 100, 2).alias("p75"),
-        F.round("__sd", 2).alias("sd"),
+        F.round(F.col("__sd_c") / 100, 2).alias("sd"),
     )
 
 

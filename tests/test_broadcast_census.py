@@ -103,7 +103,6 @@ ADJUDICATED: dict[tuple[str, str], int] = {
     ("queries_scale.py", "equidepth_partition_bounds"): 1,  # 1-row bounds
     ("queries_scale.py", "quantile_normalize_doclen"): 1,  # 1-row n_total
     # 1-row scalar subquery sides
-    ("queries_surface.py", "percentile_stats"): 1,
     ("queries_surface.py", "scalar_subquery_above_avg"): 1,
     ("queries_surface.py", "string_agg_suppliers"): 1,  # const: nation
     # const: brand_min (25 brands) — the de-correlated grouped-min dim

@@ -155,6 +155,47 @@ def test_grouped_exact_percentiles_matches_percentile_buffer(spark):
     assert got == want
 
 
+def test_grouped_exact_percentiles_stddev_fold(spark):
+    """The histogram-folded sample stddev (r14) matches stddev_samp to
+    float precision on ties, singletons (NULL — n=1 guard), and dense
+    groups, and the fold adds no second scan of the input."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cs_tutorial_reporting_spark.operators.percentile import (
+        grouped_exact_percentiles,
+    )
+
+    rows = (
+        [("a", v) for v in [1, 1, 2, 2, 2, 9, 100, 100]]
+        + [("b", v) for v in [5, 3, 8, 1, 7]]
+        + [("c", v) for v in [42]]  # n=1 → NULL (stddev_samp: NaN/NULL)
+        + [("d", v) for v in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = grouped_exact_percentiles(
+        df, "g", F.col("v"), {"p50": 0.5}, stddev="sd"
+    )
+    got = {r["g"]: r["sd"] for r in out.collect()}
+    want = {
+        r["g"]: r["sd"]
+        for r in df.groupBy("g").agg(F.stddev_samp("v").alias("sd")).collect()
+    }
+    assert got["c"] is None
+    for g in ("a", "b", "d"):
+        assert math.isclose(got[g], want[g], rel_tol=1e-12), (g, got, want)
+    # single pipeline: exactly one scan of the source in the plan
+    # (fresh frame — an executed AQE plan string repeats the initial plan)
+    plan = (
+        grouped_exact_percentiles(df, "g", F.col("v"), {"p50": 0.5}, stddev="sd")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+
+
 def test_sequence_packing_layout_and_plan(spark):
     """Hand-computed concat-and-chunk layout (max_tokens=10, 1 shard):
     cumulative prefix sums place doc 3 (tokens 4,5,3 -> cum 4,9,12)
