@@ -36,10 +36,17 @@ def funnel_conversion(
     if len(stages) < 2:
         raise ValueError("a funnel needs at least two stages")
     spark = events.sparkSession
+    # r14 (guide §1.2): each stage aggregate is eagerly checkpointed —
+    # without it, stage k's .count() re-derived stages 1..k-1 through
+    # the growing lineage (quadratic recompute: 6 stage computations
+    # for a 3-stage funnel; A/B best 1.25 → 1.02 s at sf0.1). The
+    # checkpointed frame is small (≤ distinct keys still in the
+    # funnel) and each stage is now computed exactly once.
     cur = (
         events.filter(F.col(type_col) == stages[0])
         .groupBy(key_col)
         .agg(F.min(ts_col).alias("__t"))
+        .localCheckpoint(eager=True)
     )
     counts = [cur.count()]
     for stage in stages[1:]:
@@ -49,6 +56,7 @@ def funnel_conversion(
             .filter(F.col(ts_col) > F.col("__t"))
             .groupBy(key_col)
             .agg(F.min(ts_col).alias("__t"))
+            .localCheckpoint(eager=True)
         )
         counts.append(nxt.count())
         cur = nxt

@@ -70,26 +70,56 @@ def grouped_ols_slope(
     oracle-checkable while standing in for arbitrary per-group fits).
 
     Two-pass centered formula in float64: slope = Σ(x-x̄)(y-ȳ)/Σ(x-x̄)².
-    At 100 TB: one hash shuffle on the key; each group's fit is
-    in-memory vectorized NumPy; state is O(group), not O(total).
+
+    r14 (guide §4.2): the grouped map runs over HASH BUCKETS of the
+    key, not single keys — one key per call meant one Python dispatch
+    plus a 1-row pandas frame per key (the per-group overhead was ~5x
+    the math; A/B best 5.04 → 1.01 s at sf0.1). Each bucket's batch is
+    reduced per key with vectorized NumPy (stable key sort +
+    ``np.add.reduceat`` segment sums — same two-pass centered float64
+    formula, per-group summation order is the batch arrival order
+    either way; the oracle contract is round(slope, 4), tri-SF
+    verified). Keys are complete within a bucket (hash partitioning).
+    At 100 TB: one hash shuffle on the bucket key; per-task state is
+    O(bucket) and the bucket count scales with the shuffle-partition
+    setting, so batches stay bounded.
     """
+    import numpy as np
     import pandas as pd
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf[ts_col].astype("int64") / 86400e9  # datetime64[ns] → days
-        y = pdf[y_col].astype("float64")
-        xc = x - x.mean()
-        sxx = float((xc * xc).sum())
-        slope = float((xc * (y - y.mean())).sum()) / sxx if sxx > 0 else None
+    # enough buckets that each shuffle partition sees a few Arrow
+    # batches, scale-adaptive via the session's shuffle parallelism
+    buckets = max(
+        64, int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+    def fit_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        x = (pdf[ts_col].astype("int64").to_numpy() / 86400e9)[order]
+        y = pdf[y_col].astype("float64").to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        counts = np.diff(np.r_[starts, len(key)])
+        xm = np.add.reduceat(x, starts) / counts
+        ym = np.add.reduceat(y, starts) / counts
+        xc = x - np.repeat(xm, counts)
+        yc = y - np.repeat(ym, counts)
+        sxx = np.add.reduceat(xc * xc, starts)
+        sxy = np.add.reduceat(xc * yc, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # NaN (sxx == 0) crosses the Arrow boundary as NULL, same
+            # as the old per-key path's None
+            slope = np.where(sxx > 0, sxy / sxx, np.nan)
         return pd.DataFrame(
-            {"key": [pdf[key_col].iloc[0]], "slope": [slope], "n": [len(pdf)]}
+            {"key": key[starts], "slope": slope, "n": counts.astype("int64")}
         )
 
-    out_schema = f"key bigint, slope double, n bigint"
+    out_schema = "key bigint, slope double, n bigint"
     return (
         events.select(key_col, ts_col, y_col)
-        .groupBy(key_col)
-        .applyInPandas(fit, out_schema)
+        .groupBy(F.pmod(F.xxhash64(key_col), F.lit(buckets)).alias("__b"))
+        .applyInPandas(lambda _k, pdf: fit_bucket(pdf), out_schema)
         .filter(F.col("n") >= min_points)
         .withColumnRenamed("key", key_col)
     )

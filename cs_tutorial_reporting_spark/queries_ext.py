@@ -3326,9 +3326,15 @@ def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the naive census is O(n²) popcounts; banding reduces it
     to per-band equi-join buckets (4x16 buckets here), and the
     verify touches candidates only. A pair matching in k bands is
-    seen k times — the distinct-pair dedupe BEFORE counting is
-    load-bearing. Aggregate (4-row) output keeps the result bounded
-    on a corpus whose near-dup density is high (313k pairs at sf0.1
+    seen k times — deduplication is load-bearing, and (r14, guide
+    §2.4) it is done IN-ROW: a pair is emitted only from its MINIMAL
+    matching band (the guard below checks that every earlier band's
+    nibble differs), so each candidate pair survives exactly once and
+    the wide distinct Exchange of all candidate pairs disappears —
+    the join output pipelines straight into the hamming filter and a
+    map-combined 4-row count (A/B best 5.16 → 2.31 s at sf0.1, counts
+    identical). Aggregate (4-row) output keeps the result bounded on
+    a corpus whose near-dup density is high (2.8M pairs at sf0.1
     would be the row-level result).
     """
     from .operators.dedup import simhash_fingerprint
@@ -3360,11 +3366,25 @@ def simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "j", "bv"
     )
+    # first-matching-band guard (unrolled booleans — no HOF lambdas,
+    # the round-4 hazard class): all bands below j must differ
+    eq = [
+        F.expr(
+            f"(shiftright(fp_a, {4 * i}) & 15) = "
+            f"(shiftright(fp_b, {4 * i}) & 15)"
+        )
+        for i in range(3)
+    ]
+    guard = (
+        (F.col("j") == 0)
+        | ((F.col("j") == 1) & ~eq[0])
+        | ((F.col("j") == 2) & ~eq[0] & ~eq[1])
+        | ((F.col("j") == 3) & ~eq[0] & ~eq[1] & ~eq[2])
+    )
     cand = (
         a.join(b, ["j", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
+        .filter(guard)
     )
     pairs = cand.select(
         F.expr("CAST(bit_count(fp_a ^ fp_b) AS INT)").alias("hamming")

@@ -2016,6 +2016,38 @@ def test_funnel_strict_ordering_and_tie_exclusion(spark):
         funnel_conversion(ev, "user_id", "ts", "event_type", ["view"])
 
 
+def test_grouped_ols_slope_bucketed_matches_per_key(spark):
+    """r14 internals pin: grouped_ols_slope groups by hash BUCKET and
+    reduces per key with np.add.reduceat inside the bucket — every key
+    must still surface exactly once with its own two-pass centered
+    slope (keys sharing a bucket must not mix), min_points must filter,
+    and a zero-variance group (all x equal) must yield NULL."""
+    import math
+
+    TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = []
+    # 40 keys -> several keys per bucket at the test's 64 buckets;
+    # slope of key k is exactly k (y = k * x_days)
+    base = dt.datetime(2024, 1, 1)
+    for k in range(1, 41):
+        for i in range(6):
+            rows.append((k, base + dt.timedelta(days=i), float(k * i)))
+    # key 1000: 5 points all at the SAME instant -> sxx == 0 -> NULL
+    rows += [(1000, TS("2024-02-01T00:00:00"), float(i)) for i in range(5)]
+    # key 2000: only 4 points -> filtered by min_points=5
+    rows += [(2000, base + dt.timedelta(days=i), 1.0) for i in range(4)]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+
+    from cs_tutorial_reporting_spark.operators.sessionize import grouped_ols_slope
+
+    got = {r.user_id: r for r in grouped_ols_slope(ev, min_points=5).collect()}
+    assert set(got) == set(range(1, 41)) | {1000}
+    for k in range(1, 41):
+        assert got[k].n == 6
+        assert math.isclose(got[k].slope, float(k), rel_tol=1e-9), (k, got[k])
+    assert got[1000].slope is None and got[1000].n == 5
+
+
 def test_blocked_linkage_caps_blocks_and_matches_known_pairs(spark):
     """Record linkage (round 6): same-block near-names pair at their
     exact edit distance; cross-block pairs never form even at distance
