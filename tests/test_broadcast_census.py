@@ -93,7 +93,7 @@ ADJUDICATED: dict[tuple[str, str], int] = {
     ("queries_scale.py", "table_ndv_profile"): 1,  # per-col exact audit (col count const)
     ("queries_scale.py", "quota_waterfall_mix"): 2,  # 1-row totals x2
     ("queries_scale.py", "bitmap_retention_days"): 1,  # const: <=31-row day grid
-    ("queries_scale.py", "kmv_jaccard_sources"): 1,  # const: source-pair dim
+    ("queries_scale.py", "kmv_jaccard_sources"): 3,  # const: source-pair dim + per-source size table x2 (S rows < S^2 dim rows, same source-enum bound)
     ("queries_scale.py", "event_trigram_paths"): 1,  # 1-row total
     ("queries_scale.py", "hll_intersection_overlap"): 3,  # const: type-pair dim + 2 register tables (2^p const)
     ("queries_scale.py", "rendezvous_shard_rebalance.assign"): 1,  # const: shard list
