@@ -69,7 +69,7 @@ ALLOWED_BNLJ: dict[str, int] = {
     "hits_event_graph": 2,  # final hub+auth ppm totals (1-row each)
     "quota_waterfall_mix": 3,  # per-source caps frame (#sources rows)
     "bitmap_retention_days": 1,  # ≤31-row literal day grid
-    "kmv_jaccard_sources": 4,  # source<source sketch pairs (#sources rows)
+    "kmv_jaccard_sources": 3,  # source<source sketch pairs (#sources rows); was 4 — the r14 co-occurrence exact leg replaced one pair-expand cross with an in-row posexplode
     "bloom_prefilter_semi": 1,  # 1-row dim-count aggregate (r14: the
     # former dim.count() driver action folded into the result plan)
     "dbscan_embedding_clusters": 1,  # 1-row assigned-totals × 1-row
