@@ -423,6 +423,95 @@ def _lsh_pairs_from_signed(
     )
 
 
+def minhash_lsh_pairs_multiband(
+    signed: DataFrame,
+    num_hashes: int,
+    band_specs: dict[str, int],
+    jaccard_threshold: float,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Several bandings of ONE :func:`minhash_sign` frame in a single
+    banding pass: returns tagged pairs ``(__tag, id_a, id_b, jaccard)``
+    where filtering on ``__tag == t`` yields EXACTLY the output of
+    ``minhash_lsh_pairs(presigned=signed, band_size=band_specs[t])``
+    (pytest-pinned).
+
+    Why (r14, guide §2.4 — the banding-parameter-sweep shape): a sweep
+    over K bandings ran K full banding pipelines off the shared signed
+    frame — K band shuffles, K bucket groupings, K pair-dedup
+    exchanges, K double verify joins. The rows those K pipelines
+    shuffle are disjoint by construction (each carries its banding's
+    band keys), so ONE pipeline over leg-tagged band structs moves the
+    same bytes through ONE shuffle per stage. Per-leg semantics are
+    preserved exactly because ``__tag`` rides in every key: buckets
+    group by (tag, band) — identical per-leg bucket populations, so
+    the ``max_bucket`` degenerate-bucket cap fires per leg exactly as
+    before — pair dedup keys on (tag, id_a, id_b), and the verify
+    expressions are the single-leg ones verbatim. Kept textually
+    parallel to :func:`_lsh_pairs_from_signed`; any edit there must
+    land here too (the equality pytest pins it).
+    """
+    _validate_presigned(signed, num_hashes, shingle_n)
+    sh_df = signed.select("__id", "__sh")
+    structs = []
+    for tag, band_size in band_specs.items():
+        n_bands = num_hashes // band_size
+        for b in range(n_bands):
+            structs.append(
+                F.struct(
+                    F.lit(tag).alias("__tag"),
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"__mh{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    ).alias("__band"),
+                )
+            )
+    bands = signed.select(
+        "__id", F.explode(F.array(*structs)).alias("__tb")
+    ).select(
+        "__id",
+        F.col("__tb.__tag").alias("__tag"),
+        F.col("__tb.__band").alias("__band"),
+    )
+    buckets = (
+        bands.groupBy("__tag", "__band")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            "__tag", F.col("__ids"), F.posexplode("__ids").alias("__i", "id_a")
+        )
+        .select(
+            "__tag",
+            "id_a",
+            F.explode(
+                F.slice("__ids", F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("id_b"),
+        )
+        .dropDuplicates(["__tag", "id_a", "id_b"])
+    )
+    verified = pairs.join(
+        sh_df.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+        "id_a",
+    ).join(
+        sh_df.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = (F.size("__sh_a") + F.size("__sh_b")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("__tag", "id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs_incremental(
     df: DataFrame,
     text_col: str,
@@ -784,6 +873,16 @@ def connected_components(
     label) pairs; ``localCheckpoint`` truncates lineage so plans stay
     O(1) per round. Non-convergence within ``max_iter`` raises rather
     than returning partial labels (2^25 ≫ any real diameter).
+
+    Measured negative (r14, do not re-try): batching TWO propagation
+    steps per checkpoint+convergence-count segment (halving the
+    driver-visible jobs; labels are monotone so "segment changed" ≡
+    final < segment-start) produced IDENTICAL labels but no
+    reproducible win — quiet-host fresh-process A/B on the sf0.1
+    DBSCAN core graph read best/median 3.86/3.94 s (per-step, this
+    form) vs 4.07/4.16 s (segmented): the doubled-lineage checkpoint
+    job costs what the saved count jobs gain. The per-step wall cost
+    is the materialization work itself, not the job round-trips.
 
     Decision note — when to reach for full large-star/small-star
     instead: this operator keeps the EDGE set static (pinned in tests

@@ -115,15 +115,33 @@ def dv_chain_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"deletes to fire on versions 2/3, got versions ({v2}, {v3}) "
                 f"with n_deleted ({n1}, {n2}) — testdata or projection changed"
             )
-        rows = []
+        # ONE Spark job counts all three versions (r14, guide §1.2):
+        # the per-version .count() loop ran three driver jobs back to
+        # back, each a base scan + DV anti-join with the other 31
+        # cores idle in its tail; the union computes the same three
+        # counts in one job. A version absent from the grouped result
+        # has zero live rows (cannot happen under the frozen design,
+        # but the .get keeps the fold structurally exact).
+        unioned = None
         for v in (1, v2, v3):
-            rows.append(
-                (
-                    v,
-                    read_version(spark, path, version=v).count(),
-                    dv_chain_stats(path, v)["n_delete_versions"],
-                )
+            f = read_version(spark, path, version=v).select(
+                F.lit(v).cast("bigint").alias("version")
             )
+            unioned = f if unioned is None else unioned.unionByName(f)
+        live = {
+            int(r["version"]): int(r["n"])
+            for r in unioned.groupBy("version")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        rows = [
+            (
+                v,
+                live.get(v, 0),
+                dv_chain_stats(path, v)["n_delete_versions"],
+            )
+            for v in (1, v2, v3)
+        ]
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(

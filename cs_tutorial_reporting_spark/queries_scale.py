@@ -3736,18 +3736,23 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter choice.
 
     All three legs are the engine's own pinned pipelines (operators/
-    dedup.py::prefix_filter_pairs / minhash_lsh_pairs); the audit adds
-    two broadcast-sized left joins (|GT pairs| << corpus) and a decile
+    dedup.py::prefix_filter_pairs / minhash banding); the audit adds
+    one broadcast-sized left join (|GT pairs| << corpus) and a decile
     rollup; ground truth is materialized once and reused by both legs,
-    and the MinHash sign stage (shingles + 8-hash signature — the
+    the MinHash sign stage (shingles + 8-hash signature — the
     full-corpus-scan cost of each LSH leg) is materialized ONCE via
-    minhash_sign and banded twice (round 9: sign-once/band-K× is the
-    parameter-sweep shape at 100 TB; output bit-identical to the
-    per-leg inline path, pytest-pinned). The oracle composes the same
-    pinned SQL twins via queries_ext.minhash_oracle_sql.
+    minhash_sign (round 9: sign-once/band-K× is the parameter-sweep
+    shape at 100 TB), and since r14 BOTH bandings run through ONE
+    leg-tagged banding pipeline (minhash_lsh_pairs_multiband, guide
+    §2.4 — one band shuffle / bucket grouping / pair dedup / verify
+    join instead of two of each; per-leg output pytest-pinned equal
+    to the per-leg presigned path). The GT left joins fold the same
+    way: GT exploded across the two leg tags joins the tagged pair
+    set once. The oracle composes the same pinned SQL twins via
+    queries_ext.minhash_oracle_sql.
     """
     from .operators.dedup import (
-        minhash_lsh_pairs,
+        minhash_lsh_pairs_multiband,
         minhash_sign,
         prefix_filter_pairs,
     )
@@ -3757,30 +3762,26 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", 6, 10, shingle_n=3
     ).localCheckpoint()
     signed = minhash_sign(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
-
-    def leg(tag: str, band_size: int) -> DataFrame:
-        lsh = minhash_lsh_pairs(
-            docs,
-            "text",
-            "doc_id",
-            num_hashes=8,
-            band_size=band_size,
-            jaccard_threshold=0.6,
-            presigned=signed,
-        ).select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            F.lit(1).alias("__hit"),
-        )
-        return gt.join(lsh, ["doc_a", "doc_b"], "left").select(
-            F.lit(tag).alias("bands"),
-            F.expr("jac_ppm div 100000").alias("decile"),
-            "__hit",
-        )
-
+    tagged = minhash_lsh_pairs_multiband(
+        signed,
+        num_hashes=8,
+        band_specs={"4x2": 2, "2x4": 4},
+        jaccard_threshold=0.6,
+        shingle_n=3,
+    ).select(
+        F.col("__tag").alias("bands"),
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(1).alias("__hit"),
+    )
+    gt_by_leg = gt.select(
+        "doc_a",
+        "doc_b",
+        F.expr("jac_ppm div 100000").alias("decile"),
+        F.explode(F.array(F.lit("4x2"), F.lit("2x4"))).alias("bands"),
+    )
     return (
-        leg("4x2", 2)
-        .unionByName(leg("2x4", 4))
+        gt_by_leg.join(tagged, ["bands", "doc_a", "doc_b"], "left")
         .groupBy("bands", "decile")
         .agg(
             F.count("*").cast("bigint").alias("n_truth"),

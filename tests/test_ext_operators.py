@@ -90,6 +90,43 @@ def test_minhash_presigned_bitwise_equals_inline(spark):
         assert inline == pre and inline, (band_size, len(inline), len(pre))
 
 
+def test_minhash_multiband_equals_per_leg_presigned(spark):
+    """minhash_lsh_pairs_multiband filtered to one tag must be
+    BIT-IDENTICAL — ids AND rounded jaccard — to the per-leg
+    presigned path for EVERY banding in the spec (the r14
+    lsh_recall_audit fusion: one leg-tagged banding pipeline instead
+    of K). Pins the textually-parallel multiband implementation
+    against drift from _lsh_pairs_from_signed."""
+    from cs_tutorial_reporting_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_multiband,
+        minhash_sign,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    signed = minhash_sign(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+    tagged = minhash_lsh_pairs_multiband(
+        signed,
+        num_hashes=8,
+        band_specs={"4x2": 2, "2x4": 4},
+        jaccard_threshold=0.6,
+        shingle_n=3,
+    ).collect()
+    for tag, band_size in (("4x2", 2), ("2x4", 4)):
+        multi = {
+            (r.id_a, r.id_b, r.jaccard) for r in tagged if r["__tag"] == tag
+        }
+        per_leg = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(
+                docs, "text", "doc_id",
+                num_hashes=8, band_size=band_size, jaccard_threshold=0.6,
+                presigned=signed,
+            ).collect()
+        }
+        assert multi == per_leg and multi, (tag, len(multi), len(per_leg))
+
+
 def test_minhash_presigned_param_mismatch_raises(spark):
     """minhash_lsh_pairs(presigned=) must REFUSE a signed frame built
     with different sign parameters (ADVICE r9): a shingle_n mismatch
