@@ -1069,44 +1069,19 @@ _DEMOTED_TAIL: list[str] = [
     # the window per freshness_report --plan (age-forced at 8 rounds =
     # MAX_ROW_AGE+1 without this rotation); the twenty-seven [r13 ✓]
     # shapes step down to the tail end below.
-    # ---- round-8 rotation (standing policy): the twenty-seven [r7 ✓]
-    # non-bench window shapes with code UNCHANGED since their r7 row
-    # step down so the r8 27-block (SURVEY §12 schedule) can attest.
-    # Freshest rows in the registry — they queue at the very end of
-    # the retirement schedule (r11+).
-    "record_linkage_blocked",   # [r7 ✓] blocked fuzzy match ⊂ prefix-filter family
-    "cohort_retention_weekly",  # [r7 ✓] cohort pivot ⊂ cumulative_new_users family
-    "event_transition_matrix",  # [r7 ✓] lag-pair census ⊂ trigram/lift family
-    "fk_candidate_containment", # [r7 ✓] containment profiling ⊂ fd/constraint family
-    "snapshot_diff_orders",     # [r7 ✓] full-outer diff ⊂ scd2/matview family
-    "profile_drift_orders",     # [r7 ✓] stats drift ⊂ distribution_drift_tv family
-    "funnel_conversion_stages", # [r7 ✓] ordered-step funnel ⊂ sessionize family
-    "inverted_index_search",    # [r7 ✓] posting-list AND ⊂ bm25/search family
-    "phrase_search_positional", # [r7 ✓] adjacency verify ⊂ inverted_index family
-    "grouped_trend_slope",      # [r7 ✓] grouped-agg pandas UDF ⊂ hourly_trend_slope_exact
-    "corpus_quality_score",     # [r7 ✓] learned scorer ⊂ corpus_cleaning_funnel
-    "subquery_exists_anti",     # [r7 ✓] EXISTS/NOT-EXISTS ⊂ join_semi family
-    "scalar_subquery_above_avg",  # [r7 ✓] scalar subquery ⊂ q17 family
-    "array_functions_spectrum", # [r7 ✓] array scalar surface ⊂ map_functions family
-    "string_agg_suppliers",     # [r7 ✓] listagg ⊂ string scalar family
-    "regexp_extract_part_colors",  # [r7 ✓] regex surface ⊂ string scalar family
-    "null_safe_join_props",     # [r7 ✓] <=> join ⊂ join surface family
-    "explode_lateral_shingles", # [r7 ✓] lateral explode ⊂ udtf_chunk_rows family
-    "map_functions_scalar",     # [r7 ✓] map scalar surface ⊂ array family
-    "ngram_cross_domain_rarity",  # [r7 ✓] cross-domain LM ⊂ ngram_novelty family
-    "bpe_tokenize_stats",       # [r7 ✓] BPE encode ⊂ bpe_merge_ranks family
-    # ---- round-9 rotation (standing policy): the twenty-seven [r8 ✓]
+    # ---- round-15 rotation (standing policy): the twenty-one [r7 ✓]
+    # rows (record_linkage_blocked … bpe_tokenize_stats) and the six
+    # oldest [r8 ✓] rows (hll_portable_distinct, bloom_prefilter_semi,
+    # split_assign_stats, user_activity_islands, interval_bucket_join,
+    # udtf_chunk_rows) PROMOTED to the window per freshness_report
+    # --plan (age-forced); the twenty-seven [r14 ✓] shapes step down
+    # to the tail end below.
+    # ---- round-9 rotation (standing policy): the remaining [r8 ✓]
     # non-bench window shapes with code UNCHANGED since their r8 row
     # step down so the r9 27-block (table_ndv_profile …
     # corpus_cleaning_funnel, SURVEY §12 schedule) can attest. Freshest
     # rows in the registry — they queue at the very end of the
     # retirement schedule (r12+).
-    "hll_portable_distinct",    # [r8 ✓] register-exact HLL ⊂ hll_intersection_overlap (promoted)
-    "bloom_prefilter_semi",     # [r8 ✓] bloom semi-probe ⊂ cms/kmv sketch family
-    "split_assign_stats",       # [r8 ✓] hash-split assignment ⊂ rendezvous_shard_rebalance (promoted)
-    "user_activity_islands",    # [r8 ✓] gaps-and-islands ⊂ interval_union_coverage (promoted)
-    "interval_bucket_join",     # [r8 ✓] bucketed interval join ⊂ asof_join_last_click (bench)
-    "udtf_chunk_rows",          # [r8 ✓] UDTF+LATERAL ⊂ arrow_native_tokenstats (promoted)
     "cms_heavy_hitters",        # [r8 ✓] CMS point queries ⊂ cms_join_size_estimate (promoted)
     "seasonal_hourly_profile",  # [r8 ✓] hour-of-week profile ⊂ hopping_window_traffic (promoted)
     "pagerank_event_graph",     # [r8 ✓] iterative link analysis ⊂ hits_event_graph (promoted)
@@ -1305,6 +1280,39 @@ _DEMOTED_TAIL: list[str] = [
     "dv_delete_read_consistency",  # [r13 ✓] DV delete+read ⊂ versioned/DV family
     "dv_chain_time_travel",     # [r13 ✓] DV chain resolve ⊂ versioned/DV family
     "dv_compaction_equivalence",  # [r13 ✓] DV compaction ⊂ versioned/DV family
+    # ---- round-15 rotation (standing policy): the twenty-seven
+    # [r14 ✓] non-bench window shapes with code UNCHANGED since their
+    # r14 row step down so the age-forced 27-block (21 r7 rows + 6
+    # oldest r8 rows, freshness_report --plan) can attest. Freshest
+    # rows in the registry — they queue at the very end of the
+    # retirement schedule (r18+).
+    "dedup_anti_join",          # [r14 ✓] F2/J1 anti-join ⊂ incremental_watermark_load (bench)
+    "project_cast_null_if_empty",  # [r14 ✓] P1–P3 projection ⊂ project surface family
+    "watermark_scalar",         # [r14 ✓] A1 scalar MAX ⊂ incremental_watermark_load (bench)
+    "q6_forecast_revenue",      # [r14 ✓] pushdown aggregate ⊂ q1 (bench) family
+    "join_semi",                # [r14 ✓] LEFT SEMI ⊂ join surface family
+    "distinct_pairs",           # [r14 ✓] A2 key-set distinct ⊂ dedup_exact_docs (bench)
+    "scalar_date_functions",    # [r14 ✓] X1–X3 surface ⊂ date scalar family
+    "events_hourly_rollup",     # [r14 ✓] hourly truncate rollup ⊂ streaming_hourly_rollup (bench)
+    "pivot_status_by_priority", # [r14 ✓] pivot ⊂ q12/q14 conditional-agg family
+    "doc_winnow_fingerprints",  # [r14 ✓] winnowing k-gram ⊂ doc_winnow/minhash family
+    "fuzzy_decontaminate_docs", # [r14 ✓] LSH decontaminate ⊂ minhash (bench) family
+    "ngram_jaccard_consecutive",  # [r14 ✓] shingle Jaccard ⊂ prefix_filter family
+    "dedup_transitive_clusters",  # [r14 ✓] CC over dup pairs ⊂ minhash/CC family
+    "asof_join_next_event",     # [r14 ✓] forward as-of ⊂ asof_join_last_click (bench)
+    "range_join_value_buckets", # [r14 ✓] banded range join ⊂ interval_bucket_join family
+    "dedup_fuzzy_keepmin",      # [r14 ✓] keep-min survivor ⊂ minhash (bench) family
+    "multimodal_wav_decode",    # [r14 ✓] RIFF/PCM decode ⊂ multimodal codec family
+    "multimodal_png_decode",    # [r14 ✓] DEFLATE/unfilter ⊂ multimodal codec family
+    "multimodal_wav_dsp",       # [r14 ✓] window DSP ⊂ multimodal_wav_decode family
+    "corpus_quality_filter",    # [r14 ✓] quality gate ⊂ doc_text_stats (bench) family
+    "mixture_temperature_sample",  # [r14 ✓] temperature weights ⊂ training mix family
+    "deterministic_sample",     # [r14 ✓] hash-threshold sample ⊂ sampling family
+    "similarity_topk_ivfpq_pruned",  # [r14 ✓] pruned ADC ⊂ ivfpq_residual (bench)
+    "similarity_topk_ivfpq_rerank",  # [r14 ✓] exact rerank ⊂ ivfpq_residual (bench)
+    "union_by_name_missing",    # [r14 ✓] allowMissingColumns ⊂ set-op surface family
+    "bpe_merge_ranks",          # [r14 ✓] BPE train ⊂ bpe_tokenize_stats family
+    "doc_length_mad_by_lang",   # [r14 ✓] grouped MAD ⊂ doc_text_stats (bench) family
 ]
 
 _CHECK_WINDOW = 50
