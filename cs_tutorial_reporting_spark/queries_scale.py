@@ -3750,7 +3750,25 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     way: GT exploded across the two leg tags joins the tagged pair
     set once. The oracle composes the same pinned SQL twins via
     queries_ext.minhash_oracle_sql.
+
+    r15 (guide §2.6 overlap): the GT leg and the sign leg are
+    independent (both derive only from ``docs``) but were
+    driver-serialized by their internal eager checkpoints
+    (prefix_filter_pairs materializes toks+docw; minhash_sign its
+    sh_df+signed) — each leg's checkpoint tail left most cores idle.
+    The two leg constructions now run from a 2-thread pool so the
+    sign jobs back-fill the GT jobs' idle capacity, and the GT
+    frame's OUTER localCheckpoint — load-bearing when two banding
+    legs each joined it (pre-r14), vestigial since the r14 #16 fold
+    left it exactly ONE consumer — is dropped, so the GT verify tail
+    (prefix join + exact-Jaccard verify, reading the toks/docw
+    checkpoints, no parquet rescan) and the banding pipeline run as
+    parallel subtrees of the single result job instead of two
+    driver-sequential jobs. Values unchanged (same frames, same
+    final plan algebra; job submission order only).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .operators.dedup import (
         minhash_lsh_pairs_multiband,
         minhash_sign,
@@ -3758,10 +3776,19 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    gt = prefix_filter_pairs(
-        docs, "text", "doc_id", 6, 10, shingle_n=3
-    ).localCheckpoint()
-    signed = minhash_sign(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+
+    def _gt_leg():
+        spark.sparkContext.setJobDescription("lsh_recall_audit: GT leg")
+        return prefix_filter_pairs(docs, "text", "doc_id", 6, 10, shingle_n=3)
+
+    def _sign_leg():
+        spark.sparkContext.setJobDescription("lsh_recall_audit: sign leg")
+        return minhash_sign(docs, "text", "doc_id", num_hashes=8, shingle_n=3)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_gt, f_signed = pool.submit(_gt_leg), pool.submit(_sign_leg)
+        gt, signed = f_gt.result(), f_signed.result()
+    spark.sparkContext.setJobDescription(None)
     tagged = minhash_lsh_pairs_multiband(
         signed,
         num_hashes=8,
