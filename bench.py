@@ -107,6 +107,22 @@ def main() -> None:
         )
         if n in QUERIES
     ]
+    # Steal-aware rep extension (r15 measurement fix, declared in
+    # OPTIMIZATION_r15.md): this host suffers recurring hypervisor
+    # steal bursts (r14: TEN torn boards in one night; BENCH_r14 was
+    # recorded at steal 45,444 jiffies and read as a phantom 0.885x
+    # composite "regression" — every flagged row sat at its floor on
+    # the quiesced board). A rep is CLEAN when the steal accrued while
+    # it ran stays under 20 jiffies/s (~0.6% of 32 CPUs); after the
+    # standard best-of-4, a query none of whose reps were clean runs
+    # up to 4 extra reps, stopping at the first clean one. The
+    # recorded statistic is unchanged — the MIN over all executed
+    # reps (steal only ever slows a rep, so extra reps never invent a
+    # floor the code cannot reach; every rep is a full computation
+    # from parquet). `load.retried_reps` stamps how many extras fired
+    # so boards remain adjudicable from the JSON alone.
+    steal_thr = 20.0  # jiffies/s during a rep
+    n_extra_total = 0
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
@@ -117,10 +133,24 @@ def main() -> None:
         # (r1->r2 dedup_exact_docs +30% with identical code). The min of
         # 4 sits on the steady-state floor.
         best = float("inf")
-        for _ in range(4):
+        any_clean = False
+        for rep in range(8):
+            if rep >= 4 and any_clean:
+                break
+            if rep >= 4:
+                n_extra_total += 1
+            st0 = _steal_jiffies()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            st1 = _steal_jiffies()
+            if (
+                st0 is None
+                or st1 is None
+                or (st1 - st0) <= steal_thr * max(elapsed, 0.05)
+            ):
+                any_clean = True
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
 
     timings.update(_build_path_benches(spark, sf_dir))
@@ -153,6 +183,7 @@ def main() -> None:
         steal1 = _steal_jiffies()
         if steal0 is not None and steal1 is not None:
             payload["load"]["steal_jiffies"] = steal1 - steal0
+        payload["load"]["retried_reps"] = n_extra_total
     except (OSError, NameError):
         # NameError: the start-of-run getloadavg raised OSError, so
         # `la` was never bound — no stamp either way
