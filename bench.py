@@ -21,6 +21,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _steal_jiffies():
+    # hypervisor steal accrues invisibly to loadavg (r14: a
+    # QUIESCED-stamped board read 1.26x lock-step during a
+    # neighbor burst — BASELINE.md round-14 note); stamp the
+    # run's delta so such boards are adjudicable from the JSON
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+#: a rep is CLEAN when hypervisor steal accrued while it ran stays
+#: under this rate (jiffies/s ≈ 0.6% of 32 CPUs) — see the r15
+#: steal-aware rep extension note in main()/OPTIMIZATION_r15.md
+STEAL_CLEAN_RATE = 20.0
+
+
+def _rep_clean(st0, st1, elapsed: float) -> bool:
+    return (
+        st0 is None
+        or st1 is None
+        or (st1 - st0) <= STEAL_CLEAN_RATE * max(elapsed, 0.05)
+    )
+
+
 def main() -> None:
     # Stamp the host conditions to STDERR (stdout stays exactly the
     # one-JSON-line driver contract): every recorded board's flags are
@@ -36,17 +62,6 @@ def main() -> None:
         )
     except OSError:
         pass
-
-    def _steal_jiffies():
-        # hypervisor steal accrues invisibly to loadavg (r14: a
-        # QUIESCED-stamped board read 1.26x lock-step during a
-        # neighbor burst — BASELINE.md round-14 note); stamp the
-        # run's delta so such boards are adjudicable from the JSON
-        try:
-            with open("/proc/stat") as f:
-                return int(f.readline().split()[8])
-        except (OSError, ValueError, IndexError):
-            return None
 
     steal0 = _steal_jiffies()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,7 +136,6 @@ def main() -> None:
     # floor the code cannot reach; every rep is a full computation
     # from parquet). `load.retried_reps` stamps how many extras fired
     # so boards remain adjudicable from the JSON alone.
-    steal_thr = 20.0  # jiffies/s during a rep
     n_extra_total = 0
     timings: dict[str, float] = {}
     for name in names:
@@ -144,16 +158,13 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             elapsed = time.perf_counter() - t0
             st1 = _steal_jiffies()
-            if (
-                st0 is None
-                or st1 is None
-                or (st1 - st0) <= steal_thr * max(elapsed, 0.05)
-            ):
-                any_clean = True
+            any_clean = any_clean or _rep_clean(st0, st1, elapsed)
             best = min(best, elapsed)
         timings[name] = round(best, 3)
 
-    timings.update(_build_path_benches(spark, sf_dir))
+    build_timings, build_extra = _build_path_benches(spark, sf_dir)
+    timings.update(build_timings)
+    n_extra_total += build_extra
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     # The host load stamp rides IN the JSON (r13 verdict item 3): the
@@ -191,7 +202,7 @@ def main() -> None:
     print(json.dumps(payload))
 
 
-def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
+def _build_path_benches(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     """Index/layout BUILD paths (round 6): at 100 TB ingest cost
     dominates probe cost, so the write side is benched alongside the
     queries — full residual-IVFPQ layout write (encode + partitioned
@@ -200,7 +211,13 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
     (range-partition + in-file sort on the interleaved key). Best-of-2:
     writes dominate their own JIT warm-up after one rep, and 4 full
     rewrites per round would double bench wall-time for no extra
-    signal. Each rep writes to a fresh tmpdir, removed afterwards."""
+    signal. Each rep writes to a fresh tmpdir, removed afterwards.
+
+    r15: the steal-aware rep extension (main()'s note) applies here
+    too — a row none of whose standard reps ran clean gets up to 2
+    extra reps (4 for the cheap probe rows), stopping at the first
+    clean one. Returns (timings, n_extra_reps) so the extras land in
+    the board's `load.retried_reps` stamp."""
     import shutil
     import tempfile
 
@@ -228,15 +245,27 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
     batch = e.limit(1000).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
+    n_extra = 0
     best_w = best_a = float("inf")
-    for _ in range(2):
+    clean_w = clean_a = False
+    for rep in range(4):
+        if rep >= 2 and clean_w and clean_a:
+            break
+        if rep >= 2:
+            n_extra += 1
         path = tempfile.mkdtemp(prefix="bench_ivfpq_")
+        st0 = _steal_jiffies()
         t0 = time.perf_counter()
         write_ivfpq_partitioned(e, path, cents, books)
-        best_w = min(best_w, time.perf_counter() - t0)
+        tw = time.perf_counter() - t0
+        best_w = min(best_w, tw)
+        clean_w = clean_w or _rep_clean(st0, _steal_jiffies(), tw)
+        st0 = _steal_jiffies()
         t0 = time.perf_counter()
         append_to_ivfpq_layout(batch, path, cents, books)
-        best_a = min(best_a, time.perf_counter() - t0)
+        ta = time.perf_counter() - t0
+        best_a = min(best_a, ta)
+        clean_a = clean_a or _rep_clean(st0, _steal_jiffies(), ta)
         shutil.rmtree(path, ignore_errors=True)
     out["build_ivfpq_layout_write"] = round(best_w, 3)
     out["build_ivfpq_append_1k"] = round(best_a, 3)
@@ -264,33 +293,60 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
     best_bw = best_ba = float("inf")
     best_p = best_s = float("inf")
     small = batch.limit(100).localCheckpoint(eager=True)
-    for rep in range(2):
+    clean_w = clean_a = False
+    for rep in range(4):
+        if rep >= 2 and clean_w and clean_a:
+            break
+        if rep >= 2:
+            n_extra += 1
         path = tempfile.mkdtemp(prefix="bench_bandidx_")
+        st0 = _steal_jiffies()
         t0 = time.perf_counter()
         write_band_index(corpus, path, "text", "doc_id")
-        best_bw = min(best_bw, time.perf_counter() - t0)
+        tw = time.perf_counter() - t0
+        best_bw = min(best_bw, tw)
+        clean_w = clean_w or _rep_clean(st0, _steal_jiffies(), tw)
         if rep == 0:
             # probe the clean, pre-append index (the append's synthetic
             # ids would double-count) — reusing this build avoids a
             # third full corpus signature build just for the probes
-            for _ in range(4):  # probes follow the query best-of-4
+            p_clean = False
+            for prep in range(8):  # probes follow the query best-of-4
+                if prep >= 4 and p_clean:
+                    break
+                if prep >= 4:
+                    n_extra += 1
+                p0 = _steal_jiffies()
                 t0 = time.perf_counter()
                 probe_band_index(
                     spark, path, batch, "text", "doc_id"
                 ).collect()
-                best_p = min(best_p, time.perf_counter() - t0)
+                tp = time.perf_counter() - t0
+                best_p = min(best_p, tp)
+                p_clean = p_clean or _rep_clean(p0, _steal_jiffies(), tp)
             # O(batch) evidence row: a 100-doc arrival must cost a
             # fraction of the 10%-of-corpus probe — probe cost tracks
             # |new|, never |corpus|
-            for _ in range(4):
+            p_clean = False
+            for prep in range(8):
+                if prep >= 4 and p_clean:
+                    break
+                if prep >= 4:
+                    n_extra += 1
+                p0 = _steal_jiffies()
                 t0 = time.perf_counter()
                 probe_band_index(
                     spark, path, small, "text", "doc_id"
                 ).collect()
-                best_s = min(best_s, time.perf_counter() - t0)
+                tp = time.perf_counter() - t0
+                best_s = min(best_s, tp)
+                p_clean = p_clean or _rep_clean(p0, _steal_jiffies(), tp)
+        st0 = _steal_jiffies()
         t0 = time.perf_counter()
         append_to_band_index(app_batch, path, "text", "doc_id")
-        best_ba = min(best_ba, time.perf_counter() - t0)
+        ta = time.perf_counter() - t0
+        best_ba = min(best_ba, ta)
+        clean_a = clean_a or _rep_clean(st0, _steal_jiffies(), ta)
         shutil.rmtree(path, ignore_errors=True)
     out["build_band_index_write"] = round(best_bw, 3)
     out["build_band_index_append_1k"] = round(best_ba, 3)
@@ -301,11 +357,19 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
         "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_quantity"
     )
     best_z = float("inf")
-    for _ in range(2):
+    any_clean = False
+    for rep in range(4):
+        if rep >= 2 and any_clean:
+            break
+        if rep >= 2:
+            n_extra += 1
         path = tempfile.mkdtemp(prefix="bench_zorder_")
+        st0 = _steal_jiffies()
         t0 = time.perf_counter()
         write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=8)
-        best_z = min(best_z, time.perf_counter() - t0)
+        tz = time.perf_counter() - t0
+        best_z = min(best_z, tz)
+        any_clean = any_clean or _rep_clean(st0, _steal_jiffies(), tz)
         shutil.rmtree(path, ignore_errors=True)
     out["build_zordered_write"] = round(best_z, 3)
 
@@ -326,15 +390,23 @@ def _build_path_benches(spark, sf_dir: str) -> dict[str, float]:
     )
 
     best_dv = float("inf")
-    for _ in range(2):
+    any_clean = False
+    for rep in range(4):
+        if rep >= 2 and any_clean:
+            break
+        if rep >= 2:
+            n_extra += 1
+        st0 = _steal_jiffies()
         t0 = time.perf_counter()
         path = _fresh_versioned_orders(spark, sf_dir)
         delete_where(spark, path, P1)
         read_version(spark, path).count()
-        best_dv = min(best_dv, time.perf_counter() - t0)
+        td = time.perf_counter() - t0
+        best_dv = min(best_dv, td)
+        any_clean = any_clean or _rep_clean(st0, _steal_jiffies(), td)
         shutil.rmtree(path, ignore_errors=True)
     out["build_dv_delete"] = round(best_dv, 3)
-    return out
+    return out, n_extra
 
 
 if __name__ == "__main__":
